@@ -1,0 +1,238 @@
+"""Host-async batch loader: parquet → padded numpy batches → device.
+
+Replaces the reference's merlin-dataloader integration (``tf/loader.py:135``): there,
+a native async dataloader assembles GPU batches from parquet via dlpack. On TPU the
+host assembles numpy batches (pyarrow IO + vectorized padding) on a background thread
+while the device runs the previous step; the training engine overlaps
+``jax.device_put`` with compute (double buffering).
+
+List columns leave the host as :class:`SequenceFeature` (padded values + mask) with a
+static pad length taken from the schema — the ``values/offsets`` ragged encoding never
+reaches the device (XLA static shapes).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..core.types import SequenceFeature
+from ..schema import Schema, Tags
+from .dataset import Dataset, table_to_numpy
+
+ROW_VALID_KEY = "__row_valid__"
+
+
+def pad_ragged(values: np.ndarray, offsets: np.ndarray, max_len: int):
+    """Vectorized ragged → (padded values, mask)."""
+    lengths = np.diff(offsets)
+    batch = len(lengths)
+    pos = np.arange(max_len)[None, :]
+    mask = pos < np.minimum(lengths, max_len)[:, None]
+    idx = np.minimum(offsets[:-1, None] + pos, len(values) - 1)
+    padded = values[idx]
+    padded = np.where(mask, padded, np.zeros((), dtype=values.dtype))
+    return padded, mask
+
+
+class Loader:
+    """Iterates ``(features, targets)`` batches over a :class:`Dataset`.
+
+    Parameters mirror the reference ``Loader`` (``tf/loader.py:247-333``): batch size,
+    shuffle, target/feature split from the schema, multi-host sharding via
+    ``global_size/global_rank`` (each host reads every ``global_size``-th batch
+    window), plus a ``transform`` hook applied to each host batch.
+
+    Batches are always full-size: when ``drop_last=False`` the final partial batch is
+    padded and a boolean row-validity column (``features['__row_valid__']``) marks real
+    rows — this keeps XLA shapes static; losses/metrics weight by it.
+    """
+
+    def __init__(
+        self,
+        dataset: Union[Dataset, str],
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: Optional[bool] = None,
+        seed: int = 0,
+        global_size: int = 1,
+        global_rank: int = 0,
+        transform=None,
+        prefetch: int = 2,
+        schema: Optional[Schema] = None,
+    ):
+        if not isinstance(dataset, Dataset):
+            dataset = Dataset(dataset)
+        self.dataset = dataset
+        self.schema = schema or dataset.schema
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.seed = seed
+        self.global_size = global_size
+        self.global_rank = global_rank
+        self.transform = transform
+        self.prefetch = prefetch
+        self._epoch = 0
+
+        self._target_cols = [c.name for c in self.schema.targets]
+        self._feature_cols = [
+            c.name for c in self.schema if c.name not in self._target_cols
+        ]
+        self._list_cols = {c.name: max(c.max_seq_length, 1) for c in self.schema if c.is_list}
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        n = self.dataset.num_rows
+        per_host = n // self.global_size if self.global_size > 1 else n
+        if self.drop_last:
+            return per_host // self.batch_size
+        return -(-per_host // self.batch_size)
+
+    @property
+    def output_schema(self) -> Schema:
+        return self.schema
+
+    def epoch_seed(self) -> int:
+        # all hosts derive the same shuffle seed deterministically (the reference
+        # allreduces a random seed, tf/loader.py:451; here seed+epoch is shared state)
+        return self.seed + self._epoch * 9973
+
+    # ------------------------------------------------------------------
+    def _materialize(self) -> Dict[str, np.ndarray]:
+        """Load (possibly shuffled) full columns for this epoch, host-sharded."""
+        table = self.dataset.to_table()
+        n = table.num_rows
+        if self.shuffle:
+            rng = np.random.default_rng(self.epoch_seed())
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        if self.global_size > 1:
+            idx = idx[self.global_rank :: self.global_size]
+        import pyarrow as pa
+
+        return table_to_numpy(table.take(pa.array(idx)))
+
+    def _assemble(self, cols: Dict[str, np.ndarray], lo: int, hi: int):
+        feats: Dict[str, Any] = {}
+        targets: Dict[str, np.ndarray] = {}
+        pad_to = self.batch_size
+        real = hi - lo
+
+        def finalize(name: str, arr, mask=None):
+            if real < pad_to:
+                reps = [(0, pad_to - real)] + [(0, 0)] * (arr.ndim - 1)
+                arr = np.pad(arr, reps)
+                if mask is not None:
+                    mask = np.pad(mask, [(0, pad_to - real), (0, 0)])
+            if mask is not None:
+                return SequenceFeature(arr, mask)
+            return arr
+
+        for name in self._feature_cols + self._target_cols:
+            dest = targets if name in self._target_cols else feats
+            if name in self._list_cols:
+                values = cols[name + "__values"]
+                offsets = cols[name + "__offsets"][lo : hi + 1]
+                padded, mask = pad_ragged(values, offsets, self._list_cols[name])
+                dest[name] = finalize(name, padded, mask)
+            else:
+                dest[name] = finalize(name, cols[name][lo:hi])
+
+        valid = np.zeros(pad_to, dtype=bool)
+        valid[:real] = True
+        feats[ROW_VALID_KEY] = valid
+
+        if self.transform is not None:
+            feats, targets = self.transform(feats, targets)
+        if len(targets) == 1:
+            targets = next(iter(targets.values()))
+        return feats, (targets if targets is not None and len(np.atleast_1d(targets)) else None)
+
+    def _batches(self) -> Iterator[Tuple[Dict[str, Any], Any]]:
+        cols = self._materialize()
+        n = len(next(iter(cols.values()))) if cols else 0
+        # the first present scalar column gives the row count; offsets cols are n+1
+        for name in self._feature_cols + self._target_cols:
+            if name in cols:
+                n = len(cols[name])
+                break
+            if name + "__offsets" in cols:
+                n = len(cols[name + "__offsets"]) - 1
+                break
+        steps = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        for step in range(steps):
+            lo = step * self.batch_size
+            hi = min(lo + self.batch_size, n)
+            yield self._assemble(cols, lo, hi)
+
+    def __iter__(self):
+        self._epoch += 1
+        if self.prefetch and self.prefetch > 0:
+            return _ThreadedIterator(self._batches(), maxsize=self.prefetch)
+        return self._batches()
+
+    # ------------------------------------------------------------------
+    def peek(self):
+        return next(iter(self._batches()))
+
+
+class _ThreadedIterator:
+    """Runs the producer generator on a background thread with a bounded queue."""
+
+    _SENTINEL = object()
+
+    def __init__(self, gen, maxsize: int = 2):
+        self._queue: "queue.Queue" = queue.Queue(maxsize=maxsize)
+        self._err: Optional[BaseException] = None
+
+        def run():
+            try:
+                for item in gen:
+                    self._queue.put(item)
+            except BaseException as e:  # propagate to consumer
+                self._err = e
+            finally:
+                self._queue.put(self._SENTINEL)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def sample_batch(
+    data: Union[Dataset, Loader],
+    batch_size: int = 32,
+    shuffle: bool = False,
+    include_targets: bool = True,
+    to_device: bool = True,
+):
+    """Peek one batch (reference ``tf/loader.py:367``)."""
+    loader = data if isinstance(data, Loader) else Loader(data, batch_size, shuffle=shuffle)
+    feats, targets = loader.peek()
+    if to_device:
+        from ..core.types import to_device_batch
+        import jax.numpy as jnp
+
+        feats = to_device_batch(feats)
+        if isinstance(targets, dict):
+            targets = {k: jnp.asarray(v) for k, v in targets.items()}
+        elif targets is not None:
+            targets = jnp.asarray(targets)
+    if include_targets:
+        return feats, targets
+    return feats

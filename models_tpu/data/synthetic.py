@@ -1,0 +1,311 @@
+"""Synthetic dataset generation from schemas.
+
+Mirrors the reference's fixture strategy (``merlin/datasets/synthetic.py:57-154``):
+each known dataset name maps to a stored schema; ``generate_data(name, num_rows)``
+samples random feature values that respect the schema's domains and returns a
+:class:`Dataset` (or a train/valid split). All unit tests run on this — no real
+data needed.
+
+The known schemas below re-declare (names/tags/domains) the reference's synthetic
+fixtures — ``e-commerce``, ``music-streaming``, ``sequence-testing``, ``testing``,
+``social`` — plus the real-dataset shapes (``movielens-100k/25m``, ``aliccp``,
+``criteo``) so the parity configs in BASELINE.md are runnable end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from ..schema import (
+    ColumnSchema,
+    Schema,
+    Tags,
+    create_categorical_column as cat,
+    create_continuous_column as cont,
+)
+from .dataset import Dataset
+
+
+def _binary_target(name: str) -> ColumnSchema:
+    return ColumnSchema(
+        name,
+        tags=(Tags.BINARY_CLASSIFICATION, Tags.TARGET),
+        dtype="int32",
+    )
+
+
+def _regression_target(name: str) -> ColumnSchema:
+    return ColumnSchema(name, tags=(Tags.REGRESSION, Tags.TARGET), dtype="float32")
+
+
+def _ecommerce_schema() -> Schema:
+    user_cats = {
+        "user_categories": 300, "user_shops": 500, "user_brands": 250,
+        "user_intentions": 50, "user_profile": 20, "user_group": 14,
+        "user_gender": 3, "user_age": 8, "user_consumption_1": 4,
+        "user_consumption_2": 4, "user_is_occupied": 3, "user_geography": 5,
+    }
+    item_cats = {"item_category": 100, "item_shop": 500, "item_intention": 25, "item_brand": 250}
+    cols: List[ColumnSchema] = []
+    for name, card in user_cats.items():
+        cols.append(cat(name, card, tags=Tags.USER))
+    cols.append(cat("user_id", 1000, tags=(Tags.USER, Tags.USER_ID)))
+    for name, card in item_cats.items():
+        cols.append(cat(name, card, tags=Tags.ITEM))
+    cols.append(cat("item_id", 1000, tags=(Tags.ITEM, Tags.ITEM_ID)))
+    cols.append(cat("position", 4, tags=Tags.CONTEXT))
+    cols.append(_binary_target("click"))
+    cols.append(_binary_target("conversion"))
+    return Schema(cols)
+
+
+def _music_streaming_schema() -> Schema:
+    return Schema(
+        [
+            cat("session_id", 10000, tags=Tags.SESSION_ID),
+            cat("item_id", 10000, tags=(Tags.ITEM, Tags.ITEM_ID)),
+            cat("item_category", 100, tags=Tags.ITEM),
+            cont("item_recency", tags=Tags.ITEM),
+            cat("item_genres", 100, tags=Tags.ITEM, is_list=True, max_seq_length=4),
+            cat("user_id", 10000, tags=(Tags.USER, Tags.USER_ID)),
+            cat("country", 100, tags=Tags.USER),
+            cont("user_age", tags=Tags.USER, min_value=18, max_value=50),
+            cat("user_genres", 100, tags=Tags.USER, is_list=True, max_seq_length=4),
+            cont("position", tags=("bias",)),
+            _binary_target("click"),
+            _regression_target("play_percentage"),
+            _binary_target("like"),
+        ]
+    )
+
+
+def _sequence_testing_schema() -> Schema:
+    seq = (Tags.ITEM, Tags.SEQUENCE)
+    L = 4  # fixed session length for synthetic sequence data
+    return Schema(
+        [
+            cat("test_user_id", 90, tags=(Tags.USER, Tags.USER_ID)),
+            cont("item_age_days_norm", tags=seq, is_list=True, max_seq_length=L),
+            cont("event_hour_sin", tags=seq, is_list=True, max_seq_length=L),
+            cont("event_hour_cos", tags=seq, is_list=True, max_seq_length=L),
+            cont("event_weekday_sin", tags=seq, is_list=True, max_seq_length=L),
+            cont("event_weekday_cos", tags=seq, is_list=True, max_seq_length=L),
+            cat("item_id_seq", 100, tags=(Tags.ITEM_ID,) + seq, is_list=True, max_seq_length=L),
+            cat("categories", 331, tags=(Tags.LIST,) + seq, is_list=True, max_seq_length=L),
+            cat("user_country", 62, tags=Tags.USER),
+            cont("user_age", tags=Tags.USER),
+        ]
+    )
+
+
+def _testing_schema() -> Schema:
+    return Schema(
+        [
+            cat("user_id", 90, tags=(Tags.USER, Tags.USER_ID)),
+            cont("item_age_days_norm", tags=Tags.ITEM),
+            cont("event_hour_sin", tags=Tags.ITEM),
+            cont("event_hour_cos", tags=Tags.ITEM),
+            cat("item_id", 100, tags=(Tags.ITEM, Tags.ITEM_ID)),
+            cat("categories", 70, tags=(Tags.ITEM, Tags.LIST), is_list=True, max_seq_length=4),
+            cat("user_country", 62, tags=Tags.USER),
+            cont("user_age", tags=Tags.USER),
+        ]
+    )
+
+
+def _social_schema() -> Schema:
+    cols = [
+        cat("user_categories", 6086, tags=Tags.USER),
+        cat("user_intentions", 33786, tags=Tags.USER),
+        cat("user_profile", 98, tags=Tags.USER),
+        cat("user_group", 14, tags=Tags.USER),
+        cat("user_id", 294736, tags=(Tags.USER, Tags.USER_ID)),
+        cat("item_category", 8581, tags=Tags.ITEM),
+        cat("item_id", 3078306, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        cat("position", 4, tags=Tags.CONTEXT),
+    ]
+    cols += [_binary_target(t) for t in ("click", "like", "comment", "share", "hide")]
+    return Schema(cols)
+
+
+def _movielens_100k_schema() -> Schema:
+    return Schema(
+        [
+            cat("movieId", 1680, tags=(Tags.ITEM, Tags.ITEM_ID)),
+            cat("userId", 943, tags=(Tags.USER, Tags.USER_ID)),
+            cat("genres", 216, tags=Tags.ITEM, is_list=True, max_seq_length=4),
+            cont("TE_movieId_rating", tags=Tags.CONTINUOUS),
+            cat("gender", 2, tags=Tags.USER),
+            cat("zip_code", 795, tags=Tags.USER),
+            _binary_target("rating_binary"),
+            _regression_target("rating"),
+        ]
+    )
+
+
+def _movielens_25m_schema() -> Schema:
+    return Schema(
+        [
+            cat("movieId", 62423, tags=(Tags.ITEM, Tags.ITEM_ID)),
+            cat("userId", 162541, tags=(Tags.USER, Tags.USER_ID)),
+            cat("genres", 21, tags=Tags.ITEM, is_list=True, max_seq_length=4),
+            _binary_target("rating_binary"),
+            _regression_target("rating"),
+        ]
+    )
+
+
+def _aliccp_schema() -> Schema:
+    cols = [
+        cat("user_id", 294737, tags=(Tags.USER, Tags.USER_ID)),
+        cat("item_id", 3078307, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        cat("item_category", 8582, tags=Tags.ITEM),
+        cat("item_shop", 4532, tags=Tags.ITEM),
+        cat("item_brand", 9996, tags=Tags.ITEM),
+        cat("user_categories", 6087, tags=Tags.USER),
+        cat("user_shops", 6736, tags=Tags.USER),
+        cat("user_profile", 99, tags=Tags.USER),
+        cat("user_group", 14, tags=Tags.USER),
+        cat("user_gender", 3, tags=Tags.USER),
+        cat("user_age", 8, tags=Tags.USER),
+        cat("user_consumption_2", 4, tags=Tags.USER),
+        cat("user_is_occupied", 3, tags=Tags.USER),
+        cat("user_geography", 5, tags=Tags.USER),
+        cat("user_intentions", 33787, tags=Tags.USER),
+        cat("user_brands", 5429, tags=Tags.USER),
+        cat("user_item_categories", 2),
+        cat("user_item_shops", 2),
+        cat("user_item_brands", 2),
+        cat("user_item_intentions", 2),
+        cat("position", 4, tags=Tags.CONTEXT),
+        _binary_target("click"),
+        _binary_target("conversion"),
+    ]
+    return Schema(cols)
+
+
+def _aliccp_small_schema() -> Schema:
+    """Same layout as aliccp with test-size cardinalities (fits CPU CI)."""
+    big = _aliccp_schema()
+
+    def shrink(c: ColumnSchema) -> ColumnSchema:
+        if c.int_domain is not None and c.int_domain.max > 1000:
+            from dataclasses import replace
+            return replace(c, int_domain=replace(c.int_domain, max=1000))
+        return c
+
+    return big.map(shrink)
+
+
+def _criteo_schema() -> Schema:
+    cols: List[ColumnSchema] = []
+    for i in range(1, 14):
+        cols.append(cont(f"I{i}", tags=Tags.CONTINUOUS))
+    cards = [7599500, 33521, 17022, 7339, 20046, 4, 7068, 1377, 63, 5345303,
+             561810, 242827, 11, 2209, 10616, 100, 4, 968, 15, 7838519,
+             2580502, 6878028, 298771, 11951, 97, 35]
+    for i, card in enumerate(cards, start=1):
+        cols.append(cat(f"C{i}", card))
+    cols.append(_binary_target("label"))
+    return Schema(cols)
+
+
+def _criteo_small_schema() -> Schema:
+    cols: List[ColumnSchema] = []
+    for i in range(1, 14):
+        cols.append(cont(f"I{i}", tags=Tags.CONTINUOUS))
+    for i in range(1, 27):
+        cols.append(cat(f"C{i}", 1000))
+    cols.append(_binary_target("label"))
+    return Schema(cols)
+
+
+KNOWN_DATASETS: Dict[str, Callable[[], Schema]] = {
+    "e-commerce": _ecommerce_schema,
+    "music-streaming": _music_streaming_schema,
+    "music_streaming": _music_streaming_schema,
+    "sequence-testing": _sequence_testing_schema,
+    "testing": _testing_schema,
+    "social": _social_schema,
+    "movielens-100k": _movielens_100k_schema,
+    "movielens-25m": _movielens_25m_schema,
+    "aliccp": _aliccp_schema,
+    "aliccp-small": _aliccp_small_schema,
+    "criteo": _criteo_schema,
+    "criteo-small": _criteo_small_schema,
+}
+
+
+def known_schema(name: str) -> Schema:
+    if name not in KNOWN_DATASETS:
+        raise ValueError(f"Unknown dataset {name!r}. Known: {sorted(KNOWN_DATASETS)}")
+    return KNOWN_DATASETS[name]()
+
+
+def generate_data(
+    input: Union[str, Schema],
+    num_rows: int = 100,
+    set_sizes: Sequence[float] = (1.0,),
+    seed: int = 42,
+    min_session_length: Optional[int] = None,
+    max_session_length: Optional[int] = None,
+) -> Union[Dataset, List[Dataset]]:
+    """Generate a random dataset honoring the schema's domains.
+
+    ``set_sizes=(0.8, 0.2)`` returns a [train, valid] list, matching the
+    reference's ``generate_data`` contract (``merlin/datasets/synthetic.py:57``).
+    """
+    schema = known_schema(input) if isinstance(input, str) else input
+    rng = np.random.default_rng(seed)
+
+    data: Dict[str, np.ndarray] = {}
+    for col in schema:
+        data[col.name] = _sample_column(col, num_rows, rng, min_session_length, max_session_length)
+
+    ds = Dataset(data, schema=schema)
+    if tuple(set_sizes) == (1.0,):
+        return ds
+    return ds.split(set_sizes, seed=seed)
+
+
+def _sample_column(
+    col: ColumnSchema,
+    num_rows: int,
+    rng: np.random.Generator,
+    min_len: Optional[int],
+    max_len: Optional[int],
+) -> np.ndarray:
+    if col.is_list:
+        length = max_len or col.max_seq_length or 4
+        low = min_len if min_len is not None else max(1, length // 2)
+        lengths = rng.integers(low, length + 1, size=num_rows)
+        rows = []
+        for n in lengths:
+            rows.append(_sample_values(col, int(n), rng))
+        return np.array([np.asarray(r) for r in rows], dtype=object)
+    return _sample_values(col, num_rows, rng)
+
+
+def _sample_values(col: ColumnSchema, n: int, rng: np.random.Generator) -> np.ndarray:
+    if col.int_domain is not None and col.int_domain.is_categorical:
+        card = col.cardinality
+        # mild popularity skew (zipf-ish) like real id distributions; id 0 reserved
+        lo = max(col.int_domain.min, 1) if card > 2 else col.int_domain.min
+        probs = 1.0 / np.arange(lo + 1, card + 1) ** 0.75
+        probs /= probs.sum()
+        vals = rng.choice(np.arange(lo, card), size=n, p=probs)
+        return vals.astype(np.int32)
+    if col.has_tag(Tags.BINARY_CLASSIFICATION) or (
+        col.is_target and col.dtype.startswith("int")
+    ):
+        return rng.integers(0, 2, size=n).astype(np.int32)
+    if col.dtype.startswith("int"):
+        hi = col.int_domain.max + 1 if col.int_domain else 100
+        return rng.integers(0, hi, size=n).astype(np.int32)
+    if col.float_domain:
+        lo = col.float_domain[0] or 0.0
+        hi = col.float_domain[1] or 1.0
+        return rng.uniform(lo, hi, size=n).astype(np.float32)
+    return rng.normal(size=n).astype(np.float32)

@@ -1,0 +1,36 @@
+"""Test configuration: force CPU platform with 8 virtual devices so sharding
+tests run without TPU hardware (mirrors the reference's degenerate-world-size
+strategy for Horovod tests, SURVEY.md §4)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def ecommerce_data():
+    from models_tpu.data import generate_data
+    return generate_data("e-commerce", num_rows=256)
+
+
+@pytest.fixture
+def music_streaming_data():
+    from models_tpu.data import generate_data
+    return generate_data("music-streaming", num_rows=256)
+
+
+@pytest.fixture
+def sequence_testing_data():
+    from models_tpu.data import generate_data
+    return generate_data("sequence-testing", num_rows=256)
+
+
+@pytest.fixture
+def testing_data():
+    from models_tpu.data import generate_data
+    return generate_data("testing", num_rows=256)

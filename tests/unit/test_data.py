@@ -1,0 +1,106 @@
+import numpy as np
+import pytest
+
+from models_tpu.core.types import SequenceFeature
+from models_tpu.data import Dataset, Loader, generate_data, sample_batch
+from models_tpu.data.loader import ROW_VALID_KEY, pad_ragged
+from models_tpu.schema import Tags
+
+
+def test_generate_data_known_datasets():
+    ds = generate_data("e-commerce", num_rows=64)
+    assert ds.num_rows == 64
+    assert "click" in ds.schema
+    assert ds.schema["item_id"].cardinality == 1001
+
+
+def test_generate_data_split():
+    train, valid = generate_data("music-streaming", num_rows=100, set_sizes=(0.8, 0.2))
+    assert train.num_rows == 80
+    assert valid.num_rows == 20
+
+
+def test_categorical_values_in_domain():
+    ds = generate_data("testing", num_rows=200)
+    cols = ds.to_numpy_dict()
+    card = ds.schema["item_id"].cardinality
+    assert cols["item_id"].max() < card
+    assert cols["item_id"].min() >= 0
+
+
+def test_parquet_roundtrip(tmp_path):
+    ds = generate_data("music-streaming", num_rows=50)
+    path = ds.to_parquet(str(tmp_path / "ms"))
+    ds2 = Dataset.from_parquet(path)
+    assert ds2.num_rows == 50
+    assert ds2.schema["item_genres"].is_list
+    assert set(ds2.schema["item_id"].tags) == set(ds.schema["item_id"].tags)
+
+
+def test_pad_ragged():
+    values = np.arange(7)
+    offsets = np.array([0, 3, 3, 7])
+    padded, mask = pad_ragged(values, offsets, 4)
+    np.testing.assert_array_equal(padded, [[0, 1, 2, 0], [0, 0, 0, 0], [3, 4, 5, 6]])
+    np.testing.assert_array_equal(mask.sum(axis=1), [3, 0, 4])
+
+
+def test_loader_batches():
+    ds = generate_data("music-streaming", num_rows=100)
+    loader = Loader(ds, batch_size=32, shuffle=False, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 4
+    feats, targets = batches[0]
+    assert feats["item_id"].shape == (32,)
+    assert isinstance(feats["item_genres"], SequenceFeature)
+    assert feats["item_genres"].values.shape == (32, 4)
+    assert isinstance(targets, dict)  # 3 targets in music-streaming
+    assert set(targets) == {"click", "play_percentage", "like"}
+    # final batch padded to full size with validity mask
+    last_feats, _ = batches[-1]
+    assert last_feats["item_id"].shape == (32,)
+    assert last_feats[ROW_VALID_KEY].sum() == 100 - 3 * 32
+
+
+def test_loader_drop_last():
+    ds = generate_data("testing", num_rows=100)
+    loader = Loader(ds, batch_size=32, drop_last=True)
+    assert len(loader) == 3
+    assert len(list(loader)) == 3
+
+
+def test_loader_shuffle_changes_order_deterministically():
+    ds = generate_data("testing", num_rows=64)
+    l1 = Loader(ds, batch_size=64, shuffle=True, seed=7)
+    l2 = Loader(ds, batch_size=64, shuffle=True, seed=7)
+    f1, _ = next(iter(l1))
+    f2, _ = next(iter(l2))
+    np.testing.assert_array_equal(f1["item_id"], f2["item_id"])
+    # second epoch differs from first
+    f1b, _ = next(iter(l1))
+    assert not np.array_equal(f1["item_id"], f1b["item_id"])
+
+
+def test_loader_multihost_sharding():
+    ds = generate_data("testing", num_rows=100)
+    l0 = Loader(ds, batch_size=10, global_size=2, global_rank=0, drop_last=True)
+    l1 = Loader(ds, batch_size=10, global_size=2, global_rank=1, drop_last=True)
+    f0, _ = next(iter(l0))
+    f1, _ = next(iter(l1))
+    assert len(l0) == 5
+    assert not np.array_equal(f0["user_id"], f1["user_id"])
+
+
+def test_sample_batch():
+    ds = generate_data("e-commerce", num_rows=64)
+    feats, targets = sample_batch(ds, batch_size=16)
+    assert feats["user_id"].shape == (16,)
+    x_only = sample_batch(ds, batch_size=16, include_targets=False)
+    assert "click" not in x_only
+
+
+def test_unique_by():
+    ds = generate_data("testing", num_rows=300)
+    unique = ds.unique_by("item_id")
+    ids = unique.to_numpy_dict()["item_id"]
+    assert len(ids) == len(np.unique(ids))

@@ -1,0 +1,268 @@
+"""MLP blocks (reference ``merlin/models/tf/blocks/mlp.py:35-434``).
+
+``Dense`` is lazily built: the kernel materializes at the model's single eager
+build pass (the engine calls the model once on a sample batch before jitting),
+after which all shapes are static. This gives the reference's no-shape-threading
+UX without Keras' dynamic ``build()`` machinery inside the compiled graph.
+
+bfloat16 policy: kernels stay float32 (master weights); the matmul runs with
+``preferred_element_type=float32`` — on TPU the MXU consumes bf16 inputs natively
+when upstream activations are bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..core.block import Block
+from ..core.combinators import SequentialBlock
+from ..core.types import SequenceFeature
+
+
+def get_activation(activation: Union[str, Callable, None]) -> Optional[Callable]:
+    if activation is None or callable(activation):
+        return activation
+    if activation == "linear":
+        return None
+    try:
+        return getattr(jax.nn, activation)
+    except AttributeError as e:
+        raise ValueError(f"Unknown activation {activation!r}") from e
+
+
+class LazyMixin:
+    """Build-on-first-call support. Param creation must happen eagerly (the engine's
+    build pass); calling an unbuilt lazy block under jit tracing is an error."""
+
+    built: bool = False
+
+    def _ensure_built(self, x):
+        if self.built:
+            return
+        if isinstance(x, jax.core.Tracer):
+            raise RuntimeError(
+                f"{type(self).__name__} is not built. Run model.build(sample_batch) "
+                "(or fit/evaluate, which build automatically) before jitting."
+            )
+        self.build(x)
+        self.built = True
+
+    def build(self, x):  # pragma: no cover - overridden
+        raise NotImplementedError
+
+
+class Dense(Block, LazyMixin):
+    """Lazily-built dense layer; applies to the last axis, SequenceFeature-aware."""
+
+    def __init__(
+        self,
+        units: int,
+        activation: Union[str, Callable, None] = None,
+        use_bias: bool = True,
+        kernel_init: str = "glorot_uniform",
+        seed: int = 0,
+        param_dtype=jnp.float32,
+    ):
+        super().__init__()
+        self.units = int(units)
+        self.activation_name = activation if isinstance(activation, str) else None
+        self.activation = get_activation(activation)
+        self.use_bias = use_bias
+        self.kernel_init = kernel_init
+        self.seed = seed
+        self.param_dtype = param_dtype
+        self.kernel = nnx.data(None)
+        self.bias = nnx.data(None)
+
+    def build(self, x):
+        in_features = x.shape[-1]
+        init = getattr(nnx.initializers, self.kernel_init)()
+        key = jax.random.key(self.seed + in_features)
+        self.kernel = nnx.Param(init(key, (in_features, self.units), self.param_dtype))
+        if self.use_bias:
+            self.bias = nnx.Param(jnp.zeros((self.units,), self.param_dtype))
+
+    def __call__(self, inputs, **kwargs):
+        mask = None
+        if isinstance(inputs, SequenceFeature):
+            mask = inputs.mask
+            inputs = inputs.values
+        self._ensure_built(inputs)
+        out = jnp.matmul(inputs, self.kernel.value, preferred_element_type=jnp.float32)
+        if self.bias is not None:
+            out = out + self.bias.value
+        if self.activation is not None:
+            out = self.activation(out)
+        if mask is not None:
+            return SequenceFeature(out, mask)
+        return out
+
+    def __repr__(self):
+        return f"Dense({self.units}, activation={self.activation_name})"
+
+
+class BatchNorm(Block, LazyMixin):
+    """Lazily-built batch normalization over the last axis."""
+
+    def __init__(self, momentum: float = 0.99, epsilon: float = 1e-3):
+        super().__init__()
+        self.momentum = momentum
+        self.epsilon = epsilon
+        self.bn = nnx.data(None)
+
+    def build(self, x):
+        self.bn = nnx.BatchNorm(
+            num_features=x.shape[-1],
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            use_running_average=True,
+            rngs=nnx.Rngs(0),
+        )
+
+    def __call__(self, inputs, *, training: bool = False, **kwargs):
+        mask = None
+        if isinstance(inputs, SequenceFeature):
+            mask = inputs.mask
+            inputs = inputs.values
+        self._ensure_built(inputs)
+        out = self.bn(inputs, use_running_average=not training)
+        if mask is not None:
+            return SequenceFeature(out, mask)
+        return out
+
+
+class LayerNorm(Block, LazyMixin):
+    def __init__(self, epsilon: float = 1e-6):
+        super().__init__()
+        self.epsilon = epsilon
+        self.ln = nnx.data(None)
+
+    def build(self, x):
+        self.ln = nnx.LayerNorm(num_features=x.shape[-1], epsilon=self.epsilon, rngs=nnx.Rngs(0))
+
+    def __call__(self, inputs, **kwargs):
+        mask = None
+        if isinstance(inputs, SequenceFeature):
+            mask = inputs.mask
+            inputs = inputs.values
+        self._ensure_built(inputs)
+        out = self.ln(inputs)
+        if mask is not None:
+            return SequenceFeature(out, mask)
+        return out
+
+
+class Dropout(Block):
+    def __init__(self, rate: float, seed: int = 0):
+        super().__init__()
+        self.rate = rate
+        self.dropout = nnx.Dropout(rate, rngs=nnx.Rngs(dropout=seed))
+
+    def __call__(self, inputs, *, training: bool = False, **kwargs):
+        if isinstance(inputs, SequenceFeature):
+            return SequenceFeature(
+                self.dropout(inputs.values, deterministic=not training), inputs.mask
+            )
+        return self.dropout(inputs, deterministic=not training)
+
+
+def MLPBlock(
+    dimensions: Sequence[int],
+    activation: Union[str, Callable, None] = "relu",
+    use_bias: bool = True,
+    dropout: Optional[float] = None,
+    normalization: Optional[str] = None,
+    no_activation_last_layer: bool = False,
+    kernel_init: str = "glorot_uniform",
+    seed: int = 0,
+    block_name: str = "MLPBlock",
+) -> SequentialBlock:
+    """Stack of Dense(+BN)(+Dropout) layers (reference ``mlp.py:35``)."""
+    layers: List[Block] = []
+    n = len(dimensions)
+    for i, units in enumerate(dimensions):
+        act = None if (no_activation_last_layer and i == n - 1) else activation
+        layers.append(
+            Dense(units, activation=act, use_bias=use_bias, kernel_init=kernel_init, seed=seed + i)
+        )
+        if normalization:
+            if normalization == "batch_norm":
+                layers.append(BatchNorm())
+            elif normalization == "layer_norm":
+                layers.append(LayerNorm())
+            else:
+                raise ValueError(f"Unknown normalization {normalization!r}")
+        if dropout:
+            layers.append(Dropout(dropout, seed=seed + i))
+    return SequentialBlock(layers, block_name=block_name)
+
+
+class DenseResidualBlock(Block):
+    """x + Dense(x) with projection if dims differ (reference ``mlp.py:142``)."""
+
+    def __init__(
+        self,
+        low_rank_dim: Optional[int] = None,
+        activation: Union[str, None] = "relu",
+        normalization: Optional[str] = "batch_norm",
+        seed: int = 0,
+    ):
+        super().__init__()
+        self.low_rank_dim = low_rank_dim
+        self.activation = get_activation(activation)
+        self.norm = BatchNorm() if normalization == "batch_norm" else None
+        self.dense = DenseMaybeLowRank(low_rank_dim=low_rank_dim, seed=seed)
+
+    def __call__(self, inputs, *, training: bool = False, **kwargs):
+        out = self.dense(inputs)
+        if self.norm is not None:
+            out = self.norm(out, training=training)
+        out = inputs + out
+        if self.activation is not None:
+            out = self.activation(out)
+        return out
+
+
+class DenseMaybeLowRank(Block, LazyMixin):
+    """Full-rank d→d dense, or low-rank U(V x) factorization (reference ``mlp.py:304``,
+    used by DCN-v2 Cross)."""
+
+    def __init__(self, low_rank_dim: Optional[int] = None, use_bias: bool = True, seed: int = 0):
+        super().__init__()
+        self.low_rank_dim = low_rank_dim
+        self.use_bias = use_bias
+        self.seed = seed
+        self.u = nnx.data(None)
+        self.v = nnx.data(None)
+        self.bias = nnx.data(None)
+
+    def build(self, x):
+        d = x.shape[-1]
+        init = nnx.initializers.glorot_uniform()
+        key = jax.random.key(self.seed + d)
+        k1, k2 = jax.random.split(key)
+        if self.low_rank_dim is not None:
+            self.v = nnx.Param(init(k1, (d, self.low_rank_dim), jnp.float32))
+            self.u = nnx.Param(init(k2, (self.low_rank_dim, d), jnp.float32))
+        else:
+            self.u = nnx.Param(init(k1, (d, d), jnp.float32))
+        if self.use_bias:
+            self.bias = nnx.Param(jnp.zeros((d,), jnp.float32))
+
+    def __call__(self, inputs, **kwargs):
+        self._ensure_built(inputs)
+        if self.v is not None:
+            out = jnp.matmul(
+                jnp.matmul(inputs, self.v.value, preferred_element_type=jnp.float32),
+                self.u.value,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            out = jnp.matmul(inputs, self.u.value, preferred_element_type=jnp.float32)
+        if self.bias is not None:
+            out = out + self.bias.value
+        return out

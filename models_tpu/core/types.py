@@ -38,7 +38,10 @@ class SequenceFeature:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        # bypass __init__: transforms may pass None/placeholder leaves
+        obj = object.__new__(cls)
+        obj.values, obj.mask = children
+        return obj
 
     # ---- convenience -------------------------------------------------------
     @property

@@ -1,0 +1,267 @@
+"""Embedding tables and the schema-driven ``Embeddings()`` factory.
+
+Reference: ``merlin/models/tf/inputs/embedding.py`` (EmbeddingTable:153,
+Embeddings:585). TPU-native differences:
+
+- tables are ``nnx.Param`` matrices with row counts from the schema's static
+  cardinalities — XLA sees fixed shapes;
+- lookups are ``jnp.take`` (XLA dynamic-gather) on one chip; the mesh-sharded path
+  (``models_tpu/parallel``) re-annotates the same tables with ``NamedSharding`` row
+  sharding and swaps in the all-to-all Pallas lookup — no user-facing change;
+- multi-hot/sequence features arrive as :class:`SequenceFeature` (padded + mask);
+  combiners are mask-aware means/sums, never ragged ops;
+- shared tables: columns with the same int-domain name share one table, exactly like
+  the reference's shared-embedding convention.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ..core.aggregation import SEQUENCE_COMBINERS
+from ..core.block import Block
+from ..core.combinators import ParallelBlock
+from ..core.types import SequenceFeature, TensorDict
+from ..schema import ColumnSchema, Schema, Tags, infer_embedding_dim
+
+
+def _normal_init(key, shape, dtype=jnp.float32, stddev: float = 0.05):
+    return jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype) * stddev
+
+
+class EmbeddingTable(Block):
+    """A single embedding table, optionally serving several features.
+
+    ``dim``: embedding width. ``col_schema``: one or more columns (all sharing the
+    table's domain). Scalar id input → (B, dim); SequenceFeature input → (B, L, dim)
+    or combined (B, dim) when ``sequence_combiner`` is set.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        col_schema: Union[ColumnSchema, Sequence[ColumnSchema]],
+        sequence_combiner: Optional[str] = None,
+        trainable: bool = True,
+        initializer: Union[str, Callable, None] = None,
+        weights: Optional[np.ndarray] = None,
+        l2_reg: float = 0.0,
+        dtype=jnp.float32,
+        seed: int = 0,
+    ):
+        cols = [col_schema] if isinstance(col_schema, ColumnSchema) else list(col_schema)
+        super().__init__(schema=Schema(cols), block_name=cols[0].domain_name)
+        self.dim = int(dim)
+        self.features = [c.name for c in cols]
+        self.sequence_combiner = sequence_combiner
+        self.trainable = trainable
+        self.l2_reg = l2_reg
+        card = cols[0].cardinality
+        if card is None:
+            raise ValueError(f"Column {cols[0].name} has no cardinality; cannot embed")
+        self.input_dim = int(card)
+
+        if weights is not None:
+            weights = jnp.asarray(weights, dtype=dtype)
+            if weights.shape != (self.input_dim, self.dim):
+                raise ValueError(
+                    f"Pretrained weights {weights.shape} != ({self.input_dim}, {self.dim})"
+                )
+            value = weights
+        else:
+            if callable(initializer):
+                value = initializer(jax.random.key(seed), (self.input_dim, self.dim), dtype)
+            else:
+                value = _normal_init(jax.random.key(seed), (self.input_dim, self.dim), dtype)
+        self.table = nnx.Param(value) if trainable else nnx.Variable(value)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_pretrained(
+        cls,
+        data: Union[np.ndarray, "object"],
+        col_schema: Optional[ColumnSchema] = None,
+        trainable: bool = True,
+        name: str = "pretrained",
+        sequence_combiner: Optional[str] = None,
+    ) -> "EmbeddingTable":
+        """Build from a (cardinality, dim) array (reference ``embedding.py:282``)."""
+        arr = np.asarray(data)
+        if col_schema is None:
+            from ..schema import create_categorical_column
+
+            col_schema = create_categorical_column(name, arr.shape[0] - 1)
+        return cls(
+            dim=arr.shape[1],
+            col_schema=col_schema,
+            weights=arr,
+            trainable=trainable,
+            sequence_combiner=sequence_combiner,
+        )
+
+    @property
+    def embeddings(self) -> jnp.ndarray:
+        return self.table.value
+
+    def to_array(self) -> np.ndarray:
+        return np.asarray(self.table.value)
+
+    def to_dataset(self):
+        """Export (id, embedding) rows (reference ``to_df/to_dataset`` :351-379)."""
+        from ..data.dataset import Dataset
+
+        emb = self.to_array()
+        data = {"id": np.arange(emb.shape[0], dtype=np.int64), "embedding": emb}
+        return Dataset(data)
+
+    # ------------------------------------------------------------------
+    def _lookup(self, ids: jnp.ndarray) -> jnp.ndarray:
+        return jnp.take(self.table.value, ids, axis=0)
+
+    def _call_single(self, value):
+        if isinstance(value, SequenceFeature):
+            emb = self._lookup(value.values)  # (B, L, D)
+            combiner = self.sequence_combiner
+            if combiner is None:
+                return SequenceFeature(emb, value.mask)
+            masked = SequenceFeature(emb, value.mask)
+            return SEQUENCE_COMBINERS[combiner](masked)
+        return self._lookup(value)
+
+    def __call__(self, inputs, **kwargs):
+        if isinstance(inputs, dict):
+            return {
+                name: self._call_single(inputs[name]) for name in self.features if name in inputs
+            }
+        return self._call_single(inputs)
+
+    def regularization_loss(self) -> jnp.ndarray:
+        if not self.l2_reg:
+            return jnp.zeros(())
+        return self.l2_reg * jnp.sum(jnp.square(self.table.value))
+
+    def __repr__(self):
+        return f"EmbeddingTable({self.input_dim}x{self.dim}, features={self.features})"
+
+
+def Embeddings(
+    schema: Schema,
+    dim: Union[int, Dict[str, int], None] = None,
+    sequence_combiner: Union[str, Dict[str, Optional[str]], None] = "default",
+    trainable: Union[bool, Dict[str, bool]] = True,
+    infer_dim_multiplier: float = 2.0,
+    l2_reg: float = 0.0,
+    table_kwargs: Optional[Dict[str, dict]] = None,
+    seed: int = 0,
+) -> ParallelBlock:
+    """One :class:`EmbeddingTable` per categorical domain (reference ``:585``).
+
+    - ``dim``: int for all tables, dict per column/domain name, or None to infer
+      via the cardinality**0.25 heuristic;
+    - ``sequence_combiner="default"``: list columns tagged ``SEQUENCE`` stay 3-D
+      (session models); other list columns are mean-pooled (multi-hot);
+    - columns sharing an int-domain name share one table.
+    """
+    cat = schema.categorical
+    if not len(cat):
+        raise ValueError("Schema has no categorical columns")
+
+    by_domain: Dict[str, list] = {}
+    for col in cat:
+        by_domain.setdefault(col.domain_name, []).append(col)
+
+    def _dim_for(domain: str, cols) -> int:
+        if isinstance(dim, dict):
+            for c in cols:
+                if c.name in dim:
+                    return dim[c.name]
+            if domain in dim:
+                return dim[domain]
+            return infer_embedding_dim(cols[0], multiplier=infer_dim_multiplier)
+        if isinstance(dim, int):
+            return dim
+        return infer_embedding_dim(cols[0], multiplier=infer_dim_multiplier)
+
+    def _combiner_for(col: ColumnSchema) -> Optional[str]:
+        if isinstance(sequence_combiner, dict):
+            return sequence_combiner.get(col.name)
+        if sequence_combiner == "default":
+            if not col.is_list:
+                return None
+            return None if col.has_tag(Tags.SEQUENCE) else "mean"
+        return sequence_combiner if col.is_list else None
+
+    tables: Dict[str, EmbeddingTable] = {}
+    for i, (domain, cols) in enumerate(by_domain.items()):
+        combiners = {_combiner_for(c) for c in cols}
+        combiner = next(iter(combiners)) if len(combiners) == 1 else None
+        tr = trainable if isinstance(trainable, bool) else trainable.get(domain, True)
+        kw = (table_kwargs or {}).get(domain, {})
+        tables[domain] = EmbeddingTable(
+            dim=_dim_for(domain, cols),
+            col_schema=cols,
+            sequence_combiner=combiner,
+            trainable=tr,
+            l2_reg=l2_reg,
+            seed=seed + i,
+            **kw,
+        )
+
+    return ParallelBlock(tables, block_name="embeddings", schema=cat)
+
+
+class AverageEmbeddingsByWeightFeature(Block):
+    """Weighted mean of sequence embeddings by a weight column
+    (reference ``embedding.py:807``)."""
+
+    def __init__(self, weight_feature_name: str):
+        super().__init__()
+        self.weight_feature_name = weight_feature_name
+
+    def __call__(self, inputs: TensorDict, *, context=None, **kwargs):
+        feats = context.features if context is not None else {}
+        w = feats.get(self.weight_feature_name)
+        if w is None:
+            raise ValueError(f"weight feature {self.weight_feature_name} not in context")
+        w_vals = w.values if isinstance(w, SequenceFeature) else w
+        out = {}
+        for name, v in inputs.items():
+            if isinstance(v, SequenceFeature):
+                weights = (w_vals * v.mask).astype(v.values.dtype)
+                denom = jnp.maximum(weights.sum(axis=1, keepdims=True), 1e-9)
+                out[name] = jnp.einsum("bld,bl->bd", v.values, weights) / denom
+            else:
+                out[name] = v
+        return out
+
+
+def PretrainedEmbeddings(
+    schema: Schema,
+    sequence_combiner: Optional[str] = "mean",
+    normalizer: Optional[Callable] = None,
+) -> Block:
+    """Pass through pre-computed embedding columns (``Tags.EMBEDDING``), optionally
+    pooled/normalized (reference ``embedding.py:717``)."""
+    emb_schema = schema.select_by_tag(Tags.EMBEDDING)
+
+    class _Pretrained(Block):
+        def __init__(self):
+            super().__init__(schema=emb_schema, block_name="pretrained_embeddings")
+            self.sequence_combiner = sequence_combiner
+
+        def __call__(self, inputs: TensorDict, **kwargs):
+            out = {}
+            for name, v in inputs.items():
+                if isinstance(v, SequenceFeature) and self.sequence_combiner:
+                    v = SEQUENCE_COMBINERS[self.sequence_combiner](v)
+                if normalizer is not None:
+                    v = normalizer(v)
+                out[name] = v
+            return out
+
+    return _Pretrained()

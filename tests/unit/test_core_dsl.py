@@ -1,0 +1,173 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from models_tpu.core import (
+    Block,
+    Filter,
+    Lambda,
+    NoOp,
+    ParallelBlock,
+    ResidualBlock,
+    SequentialBlock,
+    SequenceFeature,
+)
+from models_tpu.core.aggregation import (
+    ConcatFeatures,
+    ElementwiseSum,
+    SequenceAggregator,
+    StackFeatures,
+    sequence_last,
+    sequence_mean,
+)
+from models_tpu.blocks import Dense, MLPBlock
+from models_tpu.schema import Schema, Tags, create_categorical_column, create_continuous_column
+
+
+def double(x):
+    return x * 2.0
+
+
+def add_one(x):
+    return x + 1.0
+
+
+def test_sequential_and_rshift():
+    block = Lambda(double) >> Lambda(add_one)
+    out = block(jnp.ones((2, 3)))
+    np.testing.assert_allclose(out, np.full((2, 3), 3.0))
+    assert isinstance(block, SequentialBlock)
+    assert len(block) == 2
+
+
+def test_parallel_named_branches():
+    pb = ParallelBlock({"a": Lambda(double), "b": Lambda(add_one)})
+    out = pb(jnp.ones((2, 2)))
+    assert set(out) == {"a", "b"}
+    np.testing.assert_allclose(out["a"], 2.0 * np.ones((2, 2)))
+
+
+def test_parallel_aggregation_concat():
+    pb = ParallelBlock({"a": NoOp(), "b": NoOp()}, aggregation="concat")
+    out = pb(jnp.ones((2, 3)))
+    assert out.shape == (2, 6)
+
+
+def test_parallel_schema_filtering():
+    schema_a = Schema([create_continuous_column("x")])
+    schema_b = Schema([create_continuous_column("y")])
+
+    class Picker(Block):
+        def __init__(self, schema):
+            super().__init__(schema=schema)
+
+        def __call__(self, inputs, **kwargs):
+            assert set(inputs) == set(self.schema.column_names)
+            return sum(inputs.values())
+
+    pb = ParallelBlock({"a": Picker(schema_a), "b": Picker(schema_b)})
+    out = pb({"x": jnp.ones((2, 1)), "y": 2 * jnp.ones((2, 1))})
+    np.testing.assert_allclose(out["b"], 2.0 * np.ones((2, 1)))
+
+
+def test_filter_by_names_and_tags():
+    inputs = {"x": jnp.zeros((2, 1)), "y": jnp.ones((2, 1))}
+    assert set(Filter(["x"])(inputs)) == {"x"}
+    schema = Schema(
+        [create_continuous_column("x", tags=Tags.USER), create_continuous_column("y")]
+    )
+    f = Filter(Tags.USER)
+    f.set_schema(schema)
+    assert set(f(inputs)) == {"x"}
+    assert set(Filter(["x"], exclude=True)(inputs)) == {"y"}
+
+
+def test_residual():
+    rb = ResidualBlock(Lambda(double))
+    out = rb(jnp.ones((2, 2)))
+    np.testing.assert_allclose(out, 3.0 * np.ones((2, 2)))
+
+
+def test_aggregations():
+    a = jnp.ones((2, 3))
+    b = 2 * jnp.ones((2, 3))
+    assert ConcatFeatures()({"a": a, "b": b}).shape == (2, 6)
+    assert StackFeatures()({"a": a, "b": b}).shape == (2, 2, 3)
+    np.testing.assert_allclose(ElementwiseSum()({"a": a, "b": b}), 3 * np.ones((2, 3)))
+
+
+def test_concat_promotes_scalars():
+    out = ConcatFeatures()({"a": jnp.ones((4,)), "b": jnp.ones((4, 2))})
+    assert out.shape == (4, 3)
+
+
+def test_concat_mixed_rank_raises():
+    with pytest.raises(ValueError, match="mixed tensor ranks"):
+        ConcatFeatures()({"a": jnp.ones((2, 3)), "b": jnp.ones((2, 4, 3))})
+
+
+def test_sequence_mean_respects_mask():
+    values = jnp.arange(12, dtype=jnp.float32).reshape(2, 3, 2)
+    mask = jnp.array([[True, True, False], [True, False, False]])
+    sf = SequenceFeature(values, mask)
+    out = sequence_mean(sf)
+    np.testing.assert_allclose(out[0], values[0, :2].mean(axis=0))
+    np.testing.assert_allclose(out[1], values[1, 0])
+
+
+def test_sequence_last():
+    values = jnp.arange(12, dtype=jnp.float32).reshape(2, 3, 2)
+    mask = jnp.array([[True, True, False], [True, True, True]])
+    out = sequence_last(SequenceFeature(values, mask))
+    np.testing.assert_allclose(out[0], values[0, 1])
+    np.testing.assert_allclose(out[1], values[1, 2])
+
+
+def test_dense_lazy_build_and_jit():
+    d = Dense(4, activation="relu")
+    x = jnp.ones((2, 3))
+    out = d(x)  # eager build
+    assert out.shape == (2, 4)
+    assert d.kernel.value.shape == (3, 4)
+
+    # after build the block is jittable via nnx
+    from flax import nnx
+
+    @nnx.jit
+    def f(block, x):
+        return block(x)
+
+    out2 = f(d, x)
+    np.testing.assert_allclose(out, out2, rtol=1e-6)
+
+
+def test_unbuilt_dense_under_jit_raises():
+    d = Dense(4)
+
+    def f(x):
+        return d(x)
+
+    with pytest.raises(Exception, match="not built"):
+        jax.jit(f)(jnp.ones((2, 3)))
+
+
+def test_mlp_block():
+    mlp = MLPBlock([8, 4], dropout=0.1)
+    out = mlp(jnp.ones((2, 6)), training=False)
+    assert out.shape == (2, 4)
+    out_t = mlp(jnp.ones((2, 6)), training=True)
+    assert out_t.shape == (2, 4)
+
+
+def test_repeat():
+    block = MLPBlock([4])
+    stacked = block.repeat(3)
+    x = jnp.ones((2, 4))
+    assert stacked(x).shape == (2, 4)
+    # copies do not share parameters
+    stacked(x)  # build all
+    # nested SequentialBlocks flatten, so layers are the Dense blocks directly
+    k0 = stacked[0].kernel.value
+    k1 = stacked[1].kernel.value
+    assert k0 is not k1

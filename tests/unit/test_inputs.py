@@ -1,0 +1,131 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from models_tpu.core.types import SequenceFeature
+from models_tpu.data import generate_data, sample_batch
+from models_tpu.inputs import Continuous, Embeddings, EmbeddingTable, InputBlockV2
+from models_tpu.schema import (
+    Schema,
+    Tags,
+    create_categorical_column,
+    create_continuous_column,
+)
+
+
+def test_embedding_table_scalar_lookup():
+    col = create_categorical_column("item", 100)
+    table = EmbeddingTable(16, col)
+    ids = jnp.array([1, 5, 99])
+    out = table(ids)
+    assert out.shape == (3, 16)
+    np.testing.assert_allclose(out[0], table.embeddings[1])
+
+
+def test_embedding_table_sequence():
+    col = create_categorical_column("genres", 50, is_list=True, max_seq_length=4)
+    table = EmbeddingTable(8, col)
+    sf = SequenceFeature(jnp.array([[1, 2, 0, 0]]), jnp.array([[True, True, False, False]]))
+    out = table(sf)
+    assert isinstance(out, SequenceFeature)
+    assert out.values.shape == (1, 4, 8)
+
+    pooled_table = EmbeddingTable(8, col, sequence_combiner="mean")
+    pooled = pooled_table(sf)
+    assert pooled.shape == (1, 8)
+    expected = (pooled_table.embeddings[1] + pooled_table.embeddings[2]) / 2
+    np.testing.assert_allclose(pooled[0], expected, rtol=1e-6)
+
+
+def test_embedding_table_dict_multi_feature():
+    cols = [
+        create_categorical_column("q_item", 30, domain_name="item"),
+        create_categorical_column("c_item", 30, domain_name="item"),
+    ]
+    table = EmbeddingTable(8, cols)
+    out = table({"q_item": jnp.array([1]), "c_item": jnp.array([1])})
+    assert set(out) == {"q_item", "c_item"}
+    np.testing.assert_allclose(out["q_item"], out["c_item"])
+
+
+def test_embedding_from_pretrained():
+    weights = np.random.randn(10, 4).astype(np.float32)
+    table = EmbeddingTable.from_pretrained(weights, trainable=False)
+    np.testing.assert_allclose(table(jnp.array([3])), weights[3:4], rtol=1e-6)
+
+
+def test_embeddings_factory_shared_domain():
+    schema = Schema(
+        [
+            create_categorical_column("a", 100),
+            create_categorical_column("b", 200),
+            create_categorical_column("q_item", 50, domain_name="item"),
+            create_categorical_column("c_item", 50, domain_name="item"),
+        ]
+    )
+    emb = Embeddings(schema, dim=8)
+    assert set(emb.keys()) == {"a", "b", "item"}
+    out = emb(
+        {
+            "a": jnp.array([0]),
+            "b": jnp.array([1]),
+            "q_item": jnp.array([2]),
+            "c_item": jnp.array([2]),
+        }
+    )
+    assert set(out) == {"a", "b", "q_item", "c_item"}
+    np.testing.assert_allclose(out["q_item"], out["c_item"])
+
+
+def test_embeddings_dim_inference():
+    schema = Schema([create_categorical_column("big", 100000)])
+    emb = Embeddings(schema)
+    table = emb["big"]
+    assert table.dim % 8 == 0
+    assert table.dim >= 32
+
+
+def test_continuous_block():
+    schema = Schema(
+        [
+            create_continuous_column("age"),
+            create_continuous_column("scores", is_list=True, max_seq_length=3),
+        ]
+    )
+    block = Continuous(schema)
+    out = block(
+        {
+            "age": jnp.ones((2,)),
+            "scores": SequenceFeature(jnp.ones((2, 3)), jnp.ones((2, 3), bool)),
+        }
+    )
+    assert out["age"].shape == (2, 1)
+    assert out["scores"].values.shape == (2, 3, 1)
+
+
+def test_input_block_end_to_end(music_streaming_data):
+    schema = music_streaming_data.schema
+    block = InputBlockV2(schema)
+    x, _ = sample_batch(music_streaming_data, batch_size=8)
+    out = block(x)
+    assert out.ndim == 2
+    assert out.shape[0] == 8
+    # multi-hot list columns were mean-pooled into the concat
+    assert out.shape[1] > 10
+
+
+def test_input_block_excludes_targets(music_streaming_data):
+    schema = music_streaming_data.schema
+    block = InputBlockV2(schema)
+    assert "click" not in block.schema.column_names
+
+
+def test_input_block_tower_split(ecommerce_data):
+    schema = ecommerce_data.schema
+    user_block = InputBlockV2(schema.select_by_tag(Tags.USER))
+    item_block = InputBlockV2(schema.select_by_tag(Tags.ITEM))
+    x, _ = sample_batch(ecommerce_data, batch_size=4)
+    u = user_block(x)
+    v = item_block(x)
+    assert u.shape[0] == v.shape[0] == 4
+    assert u.shape[1] != v.shape[1] or True

@@ -1,0 +1,113 @@
+"""Feature-interaction blocks (reference ``merlin/models/tf/blocks/interaction.py``).
+
+All interactions are batched matmuls / elementwise algebra over a stacked feature
+tensor (B, F, D) — XLA maps the pairwise-dot batch matmul straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.block import Block
+from ..core.types import TensorDict
+
+
+class DotProductInteraction(Block):
+    """Pairwise dot products between stacked feature embeddings
+    (reference ``interaction.py:29``): (B, F, D) → (B, F*(F-1)/2) upper triangle
+    (``self_interaction=True`` keeps the diagonal too, → F*(F+1)/2).
+    """
+
+    def __init__(self, self_interaction: bool = False):
+        super().__init__()
+        self.self_interaction = self_interaction
+
+    def __call__(self, inputs: jnp.ndarray, **kwargs):
+        if inputs.ndim != 3:
+            raise ValueError(
+                f"DotProductInteraction expects stacked (B, F, D) input, got {inputs.shape}"
+            )
+        gram = jnp.einsum("bfd,bgd->bfg", inputs, inputs)  # batched MXU matmul
+        f = inputs.shape[1]
+        k = 0 if self.self_interaction else 1
+        iu = jnp.triu_indices(f, k=k)
+        return gram[:, iu[0], iu[1]]
+
+
+class FMPairwiseInteraction(Block):
+    """Factorization-machine 2nd-order term 0.5*((Σv)² − Σv²)
+    (reference ``interaction.py:205``): (B, F, D) → (B, D)."""
+
+    def __call__(self, inputs: jnp.ndarray, **kwargs):
+        if inputs.ndim != 3:
+            raise ValueError(f"FMPairwiseInteraction expects (B, F, D), got {inputs.shape}")
+        sum_sq = jnp.square(jnp.sum(inputs, axis=1))
+        sq_sum = jnp.sum(jnp.square(inputs), axis=1)
+        return 0.5 * (sum_sq - sq_sum)
+
+
+class XDeepFmOuterProduct(Block):
+    """One CIN layer (xDeepFM): feature-map outer products compressed by a learned
+    kernel (reference ``interaction.py:133``). x^k_{h} = Σ_{i,j} W^k_{h,i,j}
+    (x^{k-1}_i ∘ x^0_j)."""
+
+    def __init__(self, dim: int, seed: int = 0):
+        super().__init__()
+        self.dim = dim
+        self.seed = seed
+        from flax import nnx
+
+        self.kernel = nnx.data(None)
+
+    def __call__(self, inputs, **kwargs):
+        """inputs: list/tuple (x_prev (B,Hk,D), x0 (B,F,D)) or single tensor for both."""
+        import jax
+        from flax import nnx
+
+        if isinstance(inputs, (list, tuple)):
+            x_prev, x0 = inputs
+        else:
+            x_prev = x0 = inputs
+        h_prev, f0 = x_prev.shape[1], x0.shape[1]
+        if self.kernel is None:
+            if isinstance(x_prev, jax.core.Tracer):
+                raise RuntimeError("XDeepFmOuterProduct not built; run an eager build pass")
+            init = nnx.initializers.glorot_uniform()
+            self.kernel = nnx.Param(
+                init(jax.random.key(self.seed), (self.dim, h_prev, f0), jnp.float32)
+            )
+        # outer products per embedding dim, compressed over (h, f)
+        outer = jnp.einsum("bhd,bfd->bhfd", x_prev, x0)
+        return jnp.einsum("bhfd,khf->bkd", outer, self.kernel.value)
+
+
+class FMBlock(Block):
+    """Full factorization machine: global bias + 1st-order weights + 2nd-order
+    pairwise term (reference ``interaction.py:256``). Consumes the *schema* to build
+    dim-1 "wide" embeddings plus shared latent embeddings."""
+
+    def __init__(self, schema, latent_dim: Optional[int] = None, seed: int = 0):
+        from flax import nnx
+
+        from ..core.aggregation import StackFeatures
+        from ..inputs.embedding import Embeddings
+        from ..schema import Tags, infer_embedding_dim
+
+        super().__init__(schema=schema.categorical)
+        cat = schema.categorical
+        dim = latent_dim or max(infer_embedding_dim(c) for c in cat)
+        self.latent = Embeddings(cat, dim=dim, sequence_combiner="mean", seed=seed)
+        self.wide = Embeddings(cat, dim=1, sequence_combiner="sum", seed=seed + 7)
+        self.bias = nnx.Param(jnp.zeros((1,)))
+        self.stack = StackFeatures(axis=1)
+        self.pairwise = FMPairwiseInteraction()
+
+    def __call__(self, inputs: TensorDict, **kwargs):
+        latent = self.stack(self.latent(inputs))  # (B, F, D)
+        second = jnp.sum(self.pairwise(latent), axis=-1, keepdims=True)  # (B, 1)
+        wide_terms = self.wide(inputs)  # dict name -> (B, 1)
+        first = sum(jnp.sum(v.reshape(v.shape[0], -1), axis=-1, keepdims=True) for v in wide_terms.values())
+        return self.bias.value[None, :] + first + second

@@ -69,8 +69,8 @@ class Dense(Block, LazyMixin):
     ):
         super().__init__()
         self.units = int(units)
-        self.activation_name = activation if isinstance(activation, str) else None
-        self.activation = get_activation(activation)
+        # keep strings as strings: resolved at call time so models pickle cleanly
+        self.activation = activation
         self.use_bias = use_bias
         self.kernel_init = kernel_init
         self.seed = seed
@@ -95,14 +95,15 @@ class Dense(Block, LazyMixin):
         out = jnp.matmul(inputs, self.kernel.value, preferred_element_type=jnp.float32)
         if self.bias is not None:
             out = out + self.bias.value
-        if self.activation is not None:
-            out = self.activation(out)
+        act = get_activation(self.activation)
+        if act is not None:
+            out = act(out)
         if mask is not None:
             return SequenceFeature(out, mask)
         return out
 
     def __repr__(self):
-        return f"Dense({self.units}, activation={self.activation_name})"
+        return f"Dense({self.units}, activation={self.activation})"
 
 
 class BatchNorm(Block, LazyMixin):
@@ -213,7 +214,7 @@ class DenseResidualBlock(Block):
     ):
         super().__init__()
         self.low_rank_dim = low_rank_dim
-        self.activation = get_activation(activation)
+        self.activation = activation
         self.norm = BatchNorm() if normalization == "batch_norm" else None
         self.dense = DenseMaybeLowRank(low_rank_dim=low_rank_dim, seed=seed)
 
@@ -222,8 +223,9 @@ class DenseResidualBlock(Block):
         if self.norm is not None:
             out = self.norm(out, training=training)
         out = inputs + out
-        if self.activation is not None:
-            out = self.activation(out)
+        act = get_activation(self.activation)
+        if act is not None:
+            out = act(out)
         return out
 
 

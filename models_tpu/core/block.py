@@ -164,6 +164,32 @@ class Debug(Block):
         return inputs
 
 
+def iter_blocks(root, _seen=None):
+    """Depth-first traversal of the block graph (root first).
+
+    Used by the engine to find output heads, collect regularization losses, and
+    implement freeze/unfreeze — the role of Keras' ``.submodules`` walk in the
+    reference (``tf/models/base.py:2101``)."""
+    from flax import nnx
+
+    if _seen is None:
+        _seen = set()
+    if id(root) in _seen:
+        return
+    _seen.add(id(root))
+    yield root
+    children = []
+    if isinstance(root, (nnx.List, list, tuple)):
+        children = list(root)
+    elif isinstance(root, (nnx.Dict,)):
+        children = list(root.values())
+    elif isinstance(root, nnx.Module):
+        children = list(vars(root).values())
+    for child in children:
+        if isinstance(child, (nnx.Module, nnx.List, nnx.Dict, list, tuple)):
+            yield from iter_blocks(child, _seen)
+
+
 def as_block(obj) -> Block:
     """Coerce callables / strings into Blocks."""
     if isinstance(obj, Block):

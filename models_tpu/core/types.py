@@ -92,12 +92,18 @@ TensorDict = Dict[str, TensorLike]
 
 
 class Prediction(NamedTuple):
-    """Output of a model head (reference ``tf/core/prediction.py:54``)."""
+    """Output of a model head (reference ``tf/core/prediction.py:54``).
+
+    ``label_relevant_counts`` is the corpus-eval side channel (reference
+    ``tf/metrics/topk.py:187-208``): when targets are truncated to top-k
+    relevance, it carries the true number of relevant items per row.
+    """
 
     outputs: Any
     targets: Any = None
     sample_weight: Any = None
     negative_candidate_ids: Any = None
+    label_relevant_counts: Any = None
 
     @property
     def predictions(self):

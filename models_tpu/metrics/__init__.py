@@ -1,0 +1,11 @@
+from .base import AUC, BinaryAccuracy, LogLoss, MAE, MeanMetric, Metric, Precision, RMSE, Recall
+from .topk import (
+    AvgPrecisionAt,
+    MRRAt,
+    NDCGAt,
+    PrecisionAt,
+    RecallAt,
+    TopKMetric,
+    TopKMetricsAggregator,
+    extract_topk,
+)

@@ -1,0 +1,205 @@
+"""Top-k ranking metrics (reference ``merlin/models/tf/metrics/topk.py``).
+
+Functional forms (``recall_at``/``precision_at``/``average_precision_at``/
+``ndcg_at``/``mrr_at``) operate on a pre-sorted top-k relevance matrix so the sort
+happens **once** for all metrics — the reference's ``TopKMetricsAggregator``
+optimization (``topk.py:396``), which on TPU also means one ``lax.top_k`` per batch.
+
+The ``label_relevant_counts`` side channel (reference ``topk.py:187-208``) is an
+explicit argument here: corpus eval truncates targets to a top-k one-hot, and
+recall must divide by the *true* number of relevant items.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..registry import metric_registry
+from .base import Metric
+
+
+def extract_topk(
+    k: int,
+    scores: jnp.ndarray,
+    targets: jnp.ndarray,
+    shuffle_ties: bool = True,
+    seed: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sort once: top-k scores + the target relevance gathered at those positions.
+
+    Tie handling mirrors the reference's ``extract_topk`` (``tf_utils.py:157-210``):
+    ties are broken randomly (tiny uniform noise) so metrics are unbiased when many
+    scores are equal (e.g. untrained models).
+    """
+    if shuffle_ties:
+        noise = jax.random.uniform(jax.random.key(seed), scores.shape, dtype=scores.dtype)
+        span = jnp.maximum(jnp.max(scores) - jnp.min(scores), 1.0)
+        sort_scores = scores + noise * (1e-6 * span)
+    else:
+        sort_scores = scores
+    topk_scores, topk_idx = jax.lax.top_k(sort_scores, k)
+    topk_rel = jnp.take_along_axis(targets.astype(jnp.float32), topk_idx, axis=-1)
+    return topk_scores, topk_rel, topk_idx
+
+
+def recall_at(k: int, rel: jnp.ndarray, num_relevant: jnp.ndarray) -> jnp.ndarray:
+    return rel[:, :k].sum(axis=1) / jnp.maximum(num_relevant, 1.0)
+
+
+def precision_at(k: int, rel: jnp.ndarray, num_relevant: jnp.ndarray) -> jnp.ndarray:
+    return rel[:, :k].sum(axis=1) / float(k)
+
+
+def average_precision_at(k: int, rel: jnp.ndarray, num_relevant: jnp.ndarray) -> jnp.ndarray:
+    r = rel[:, :k]
+    ranks = jnp.arange(1, k + 1, dtype=jnp.float32)
+    prec_at_i = jnp.cumsum(r, axis=1) / ranks
+    ap = jnp.sum(prec_at_i * r, axis=1) / jnp.maximum(jnp.minimum(num_relevant, float(k)), 1.0)
+    return ap
+
+
+def dcg_at(k: int, rel: jnp.ndarray, num_relevant: jnp.ndarray) -> jnp.ndarray:
+    discounts = 1.0 / jnp.log2(jnp.arange(2, k + 2, dtype=jnp.float32))
+    return jnp.sum(rel[:, :k] * discounts, axis=1)
+
+
+def ndcg_at(k: int, rel: jnp.ndarray, num_relevant: jnp.ndarray) -> jnp.ndarray:
+    discounts = 1.0 / jnp.log2(jnp.arange(2, k + 2, dtype=jnp.float32))
+    dcg = jnp.sum(rel[:, :k] * discounts, axis=1)
+    # ideal DCG: first min(num_relevant, k) positions relevant
+    counts = jnp.minimum(num_relevant[:, None], jnp.arange(1, k + 1, dtype=jnp.float32)[None, :])
+    hits = (jnp.arange(k, dtype=jnp.float32)[None, :] < jnp.minimum(num_relevant, float(k))[:, None])
+    idcg = jnp.sum(hits * discounts[None, :], axis=1)
+    return dcg / jnp.maximum(idcg, 1e-9)
+
+
+def mrr_at(k: int, rel: jnp.ndarray, num_relevant: jnp.ndarray) -> jnp.ndarray:
+    ranks = jnp.arange(1, k + 1, dtype=jnp.float32)
+    rr = rel[:, :k] / ranks
+    return jnp.max(rr, axis=1)
+
+
+_TOPK_FNS = {
+    "recall_at": recall_at,
+    "precision_at": precision_at,
+    "map_at": average_precision_at,
+    "ndcg_at": ndcg_at,
+    "mrr_at": mrr_at,
+}
+
+
+class TopKMetric(Metric):
+    """A single top-k metric (can also run standalone on unsorted scores)."""
+
+    metric_fn_name: str = "recall_at"
+
+    def __init__(self, k: int = 10, name: Optional[str] = None, pre_sorted: bool = False):
+        self.k = k
+        self.pre_sorted = pre_sorted
+        super().__init__(name or f"{self.metric_fn_name}_{k}")
+
+    def init_state(self):
+        return {"total": jnp.zeros(()), "count": jnp.zeros(())}
+
+    def _compute(self, rel, num_relevant):
+        return _TOPK_FNS[self.metric_fn_name](self.k, rel, num_relevant)
+
+    def update(
+        self, state, outputs, targets, sample_weight=None, label_relevant_counts=None
+    ):
+        if self.pre_sorted:
+            rel = targets
+        else:
+            _, rel, _ = extract_topk(self.k, outputs, targets)
+        num_rel = (
+            label_relevant_counts
+            if label_relevant_counts is not None
+            else jnp.sum(targets.astype(jnp.float32), axis=-1)
+        )
+        vals = self._compute(rel, num_rel)
+        w = jnp.ones_like(vals) if sample_weight is None else sample_weight.reshape(-1).astype(vals.dtype)
+        return {
+            "total": state["total"] + jnp.sum(vals * w),
+            "count": state["count"] + jnp.sum(w),
+        }
+
+    def result(self, state):
+        return state["total"] / jnp.maximum(state["count"], 1e-9)
+
+
+@metric_registry.register("recall_at")
+class RecallAt(TopKMetric):
+    metric_fn_name = "recall_at"
+
+
+@metric_registry.register("precision_at")
+class PrecisionAt(TopKMetric):
+    metric_fn_name = "precision_at"
+
+
+@metric_registry.register("map_at")
+class AvgPrecisionAt(TopKMetric):
+    metric_fn_name = "map_at"
+
+
+@metric_registry.register("ndcg_at")
+class NDCGAt(TopKMetric):
+    metric_fn_name = "ndcg_at"
+
+
+@metric_registry.register("mrr_at")
+class MRRAt(TopKMetric):
+    metric_fn_name = "mrr_at"
+
+
+class TopKMetricsAggregator(Metric):
+    """Compute several top-k metrics from ONE shared sort (reference ``topk.py:396``)."""
+
+    def __init__(self, *metrics: TopKMetric, name: str = "topk_aggregator"):
+        super().__init__(name)
+        if not metrics:
+            raise ValueError("TopKMetricsAggregator needs at least one metric")
+        self.metrics = list(metrics)
+        self.max_k = max(m.k for m in self.metrics)
+
+    @classmethod
+    def default(cls, k: int = 10) -> "TopKMetricsAggregator":
+        """Reference default eval metrics: recall/mrr/ndcg/map/precision @k."""
+        return cls(RecallAt(k), MRRAt(k), NDCGAt(k), AvgPrecisionAt(k), PrecisionAt(k))
+
+    @property
+    def names(self) -> List[str]:
+        return [m.name for m in self.metrics]
+
+    def init_state(self):
+        return {m.name: m.init_state() for m in self.metrics}
+
+    def update(
+        self, state, outputs, targets, sample_weight=None, label_relevant_counts=None
+    ):
+        _, rel, _ = extract_topk(self.max_k, outputs, targets)
+        num_rel = (
+            label_relevant_counts
+            if label_relevant_counts is not None
+            else jnp.sum(targets.astype(jnp.float32), axis=-1)
+        )
+        new_state = {}
+        for m in self.metrics:
+            vals = m._compute(rel, num_rel)
+            w = (
+                jnp.ones_like(vals)
+                if sample_weight is None
+                else sample_weight.reshape(-1).astype(vals.dtype)
+            )
+            s = state[m.name]
+            new_state[m.name] = {
+                "total": s["total"] + jnp.sum(vals * w),
+                "count": s["count"] + jnp.sum(w),
+            }
+        return new_state
+
+    def result(self, state):
+        return {m.name: m.result(state[m.name]) for m in self.metrics}

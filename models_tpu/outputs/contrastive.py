@@ -1,0 +1,191 @@
+"""ContrastiveOutput: sampled-softmax / in-batch-negatives training head.
+
+Reference: ``merlin/models/tf/outputs/contrastive.py:47-469`` + false-negative
+rescoring (``tf/utils/tf_utils.py:126``). Behavior matched:
+
+- positive score = row-wise dot(query, positive-candidate);
+- negative scores = query @ negatives.T — one (B,D)x(D,N) MXU matmul;
+- logQ correction ``logits -= log(sampling_prob + eps)`` on negatives;
+- false negatives (sampled id == positive id) down-scored to ``MIN_FLOAT``;
+- emits ``Prediction(outputs=[pos|negs] (B,1+N), targets=one-hot col 0)``.
+
+Modes: two-tower (inputs = {"query","candidate"}) or weight-tying with an
+:class:`EmbeddingTable` (inputs = query embeddings; candidates from the table).
+When called without targets (pure inference) it falls back to plain scoring:
+row-wise dot (two-tower) or full-catalog logits (tying).
+
+The fused Pallas kernel variant (ops/contrastive.py) plugs in under the same API
+for large N where materializing (B, 1+N) logits in HBM is the bottleneck.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..core.block import Block
+from ..core.types import Prediction
+from ..metrics.topk import TopKMetricsAggregator
+from ..schema import ColumnSchema, Schema, Tags
+from .base import DotProduct, EmbeddingTablePrediction, ModelOutput
+from .sampling import Candidate, CandidateSampler, InBatchSampler
+
+MIN_FLOAT = jnp.finfo(jnp.float32).min / 100.0
+LOGQ_EPS = 1e-6
+
+
+class ContrastiveOutput(ModelOutput):
+    default_loss = "categorical_crossentropy"
+
+    def __init__(
+        self,
+        to_call=None,
+        negative_samplers: Union[str, CandidateSampler, Sequence, None] = "in-batch",
+        target: Optional[str] = None,
+        downscore_false_negatives: bool = True,
+        logq_sampling_correction: bool = True,
+        logits_temperature: float = 1.0,
+        default_metrics_top_ks: Sequence[int] = (10,),
+        query_name: str = "query",
+        candidate_name: str = "candidate",
+        **kwargs,
+    ):
+        from ..inputs.embedding import EmbeddingTable
+
+        col_schema: Optional[ColumnSchema] = None
+        table = None
+        if isinstance(to_call, ColumnSchema):
+            col_schema = to_call
+            target = target or to_call.name
+            to_call = None
+        elif isinstance(to_call, Schema):
+            col_schema = to_call.item_id_column
+            target = target or col_schema.name
+            to_call = None
+        elif isinstance(to_call, EmbeddingTable):
+            table = to_call
+            col_schema = table.schema.first
+            target = target or col_schema.name
+            to_call = None
+        self.col_schema = col_schema
+        self.table = table
+
+        if isinstance(negative_samplers, (str, CandidateSampler)):
+            negative_samplers = [negative_samplers]
+        self.samplers = [CandidateSampler.parse(s) for s in (negative_samplers or [])]
+        if not self.samplers:
+            raise ValueError("ContrastiveOutput needs at least one negative sampler")
+
+        self.downscore_false_negatives = downscore_false_negatives
+        self.logq_sampling_correction = logq_sampling_correction
+        self.query_name = query_name
+        self.candidate_name = candidate_name
+        self.top_ks = tuple(default_metrics_top_ks)
+        super().__init__(
+            to_call=None, target=target, logits_temperature=logits_temperature, **kwargs
+        )
+        # keep a reference for weight-tying AFTER super().__init__ (nnx attr)
+        if self.table is not None:
+            self.tying = EmbeddingTablePrediction(self.table)
+        else:
+            self.tying = None
+
+    # ------------------------------------------------------------------
+    def default_metrics(self):
+        return [TopKMetricsAggregator.default(k) for k in self.top_ks]
+
+    @property
+    def item_id_name(self) -> Optional[str]:
+        return self.col_schema.name if self.col_schema is not None else self.target
+
+    def _query_and_positive(self, inputs, context):
+        """Resolve (query_emb, positive Candidate)."""
+        feats = context.features if context is not None else {}
+        pos_id = feats.get(self.item_id_name) if self.item_id_name else None
+        if isinstance(inputs, dict):
+            query = inputs[self.query_name]
+            cand = inputs.get(self.candidate_name)
+            return query, Candidate(id=pos_id, embedding=cand)
+        # weight-tying: candidate embedding looked up from the table
+        if self.tying is None:
+            raise ValueError(
+                "ContrastiveOutput with tensor input requires an EmbeddingTable "
+                "(weight tying) or dict {'query','candidate'} inputs"
+            )
+        if pos_id is None:
+            raise ValueError(
+                f"ContrastiveOutput needs feature {self.item_id_name!r} in the batch "
+                "to identify positives"
+            )
+        emb = self.tying.embedding_lookup(pos_id)
+        return inputs, Candidate(id=pos_id, embedding=emb)
+
+    def _sample_negatives(self, positive: Candidate, training, step) -> Candidate:
+        negs: List[Candidate] = []
+        for sampler in self.samplers:
+            c = sampler(positive, training=training, step=step)
+            if c.embedding is None:
+                if self.tying is None:
+                    raise ValueError(
+                        f"Sampler {type(sampler).__name__} returned ids only; "
+                        "embedding lookup requires weight tying"
+                    )
+                c = c._replace(embedding=self.tying.embedding_lookup(c.id))
+            negs.append(c)
+        if len(negs) == 1:
+            return negs[0]
+        ids = jnp.concatenate([c.id for c in negs], axis=0)
+        emb = jnp.concatenate([c.embedding for c in negs], axis=0)
+        probs = None
+        if all(c.sampling_prob is not None for c in negs):
+            probs = jnp.concatenate([c.sampling_prob for c in negs], axis=0)
+        return Candidate(id=ids, embedding=emb, sampling_prob=probs)
+
+    def contrastive_logits(self, query, positive: Candidate, negatives: Candidate):
+        pos_score = jnp.sum(query * positive.embedding, axis=-1, keepdims=True)  # (B,1)
+        neg_scores = jnp.matmul(
+            query, negatives.embedding.T, preferred_element_type=jnp.float32
+        )  # (B,N)
+        if self.logq_sampling_correction and negatives.sampling_prob is not None:
+            neg_scores = neg_scores - jnp.log(negatives.sampling_prob + LOGQ_EPS)[None, :]
+        if self.downscore_false_negatives and positive.id is not None and negatives.id is not None:
+            false_neg = negatives.id[None, :] == positive.id[:, None]  # (B,N)
+            neg_scores = jnp.where(false_neg, MIN_FLOAT, neg_scores)
+        return jnp.concatenate([pos_score, neg_scores], axis=1)
+
+    # ------------------------------------------------------------------
+    def __call__(self, inputs, *, training=False, context=None, targets=None, **kwargs):
+        step = context.get("step") if context is not None else None
+        query, positive = self._query_and_positive(inputs, context)
+
+        use_contrastive = training or targets is not None or (
+            context is not None and context.get("testing", False)
+        )
+        if use_contrastive and positive.id is not None:
+            negatives = self._sample_negatives(positive, training, step)
+            logits = self.contrastive_logits(query, positive, negatives)
+            if self.logits_scaler is not None:
+                logits = self.logits_scaler(logits)
+            onehot = jnp.zeros_like(logits).at[:, 0].set(1.0)
+            return Prediction(
+                outputs=logits, targets=onehot, negative_candidate_ids=negatives.id
+            )
+
+        # inference: plain scoring
+        if isinstance(inputs, dict):
+            logits = jnp.sum(
+                inputs[self.query_name] * inputs[self.candidate_name], axis=-1, keepdims=True
+            )
+        else:
+            logits = self.tying(query)  # full catalog (B, num_items)
+        if self.logits_scaler is not None:
+            logits = self.logits_scaler(logits)
+        return Prediction(outputs=logits, targets=self.bind_target(targets))
+
+    def to_dataset(self):
+        """Export the tied candidate embeddings."""
+        if self.table is None:
+            raise ValueError("No tied embedding table to export")
+        return self.table.to_dataset()

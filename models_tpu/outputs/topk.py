@@ -1,0 +1,157 @@
+"""Top-k retrieval layers (reference ``merlin/models/tf/outputs/topk.py`` +
+``tf/core/index.py``).
+
+``BruteForce`` holds the full candidate-embedding matrix and ids as non-trainable
+state; querying is one (B,D)x(D,C) matmul + ``lax.top_k``. On one chip XLA already
+runs this near roofline for moderate catalogs; the sharded/tiled Pallas variant
+(``models_tpu/ops/topk.py``) handles catalogs that exceed one chip's HBM by
+row-sharding candidates across the mesh and merging per-shard partial top-k.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ..core.block import Block
+from ..core.types import Prediction, TopKPrediction
+from ..registry import topk_registry
+
+
+class TopKLayer(Block):
+    """ABC: ``index()`` then ``__call__(queries) -> TopKPrediction``."""
+
+    def __init__(self, k: int = 10):
+        super().__init__()
+        self.k = int(k)
+
+    def index(self, candidates: jnp.ndarray, ids: Optional[jnp.ndarray] = None) -> "TopKLayer":
+        raise NotImplementedError
+
+    def index_from_dataset(self, dataset, check_unique_ids: bool = True) -> "TopKLayer":
+        """Index from a Dataset with columns id + embedding (or id + vector cols)."""
+        data = dataset.to_numpy_dict() if hasattr(dataset, "to_numpy_dict") else dataset
+        if "id" in data:
+            ids = np.asarray(data["id"])
+        else:
+            ids = np.asarray(next(iter(data.values())))
+        if "embedding__values" in data:
+            values = data["embedding__values"]
+            dim = len(values) // len(ids)
+            emb = values.reshape(len(ids), dim)
+        elif "embedding" in data:
+            emb = np.asarray(list(data["embedding"]))
+        else:
+            cols = [c for c in data if c != "id"]
+            emb = np.stack([data[c] for c in cols], axis=1)
+        if check_unique_ids:
+            self._check_unique_ids(ids)
+        return self.index(jnp.asarray(emb), jnp.asarray(ids))
+
+    @staticmethod
+    def _check_unique_ids(ids) -> None:
+        # reference TopKLayer._check_unique_ids (topk.py:83-86)
+        arr = np.asarray(ids)
+        if len(np.unique(arr)) != len(arr):
+            raise ValueError("Candidate ids must be unique to build a top-k index")
+
+
+@topk_registry.register_with_multiple_names("brute-force-topk", "brute-force")
+class BruteForce(TopKLayer):
+    """Exact top-k over the full candidate matrix (reference ``topk.py:129``)."""
+
+    def __init__(self, k: int = 10):
+        super().__init__(k=k)
+        self.candidates = nnx.data(None)
+        self.ids = nnx.data(None)
+
+    def index(self, candidates: jnp.ndarray, ids: Optional[jnp.ndarray] = None) -> "BruteForce":
+        candidates = jnp.asarray(candidates, dtype=jnp.float32)
+        if ids is None:
+            ids = jnp.arange(candidates.shape[0], dtype=jnp.int32)
+        self.candidates = nnx.Variable(candidates)
+        self.ids = nnx.Variable(jnp.asarray(ids))
+        return self
+
+    @property
+    def num_candidates(self) -> int:
+        return self.candidates.value.shape[0]
+
+    def __call__(self, queries, *, k: Optional[int] = None, **kwargs) -> TopKPrediction:
+        if self.candidates is None:
+            raise ValueError("BruteForce index is empty; call index() first")
+        k = k or self.k
+        scores = jnp.matmul(
+            queries, self.candidates.value.T, preferred_element_type=jnp.float32
+        )
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        return TopKPrediction(top_scores, jnp.take(self.ids.value, top_idx))
+
+    def score_all(self, queries) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Full (B, C) score matrix + ids — used by corpus evaluation."""
+        scores = jnp.matmul(
+            queries, self.candidates.value.T, preferred_element_type=jnp.float32
+        )
+        return scores, self.ids.value
+
+
+from ..outputs.base import ModelOutput
+
+
+class TopKOutput(ModelOutput):
+    """Head wrapping a TopKLayer; eval emits relevance-at-top-k + the
+    ``label_relevant_counts`` side channel (reference ``topk.py:247``)."""
+
+    default_loss = None  # retrieval eval has no trainable loss
+
+    def __init__(self, to_call: Union[str, TopKLayer] = "brute-force-topk", k: int = 10,
+                 candidates=None, item_id_name: Optional[str] = None,
+                 default_metrics_top_ks=(10,)):
+        ModelOutput.__init__(self, to_call=None, target=item_id_name, task_name="topk_output")
+        if isinstance(to_call, str):
+            to_call = topk_registry.parse(to_call, k=k)
+        self.topk_layer = to_call
+        self.k = k
+        self.item_id_name = item_id_name
+        self.top_ks = tuple(default_metrics_top_ks)
+        if candidates is not None:
+            if hasattr(candidates, "to_numpy_dict"):
+                self.topk_layer.index_from_dataset(candidates)
+            elif isinstance(candidates, tuple):
+                self.topk_layer.index(candidates[0], candidates[1])
+            else:
+                self.topk_layer.index(jnp.asarray(candidates))
+
+    def default_metrics(self):
+        from ..metrics.topk import TopKMetricsAggregator
+
+        return [TopKMetricsAggregator.default(min(k, self.k)) for k in self.top_ks]
+
+    def __call__(self, inputs, *, training=False, context=None, targets=None, **kwargs):
+        queries = inputs["query"] if isinstance(inputs, dict) else inputs
+        topk = self.topk_layer(queries, k=self.k)
+        # eval mode ONLY with explicit targets or under the engine's testing flag —
+        # a batch merely containing the item-id feature is still a serving request
+        testing = bool(context.get("testing", False)) if context is not None else False
+        true_ids = None
+        if targets is not None and not isinstance(targets, dict):
+            true_ids = targets
+        elif isinstance(targets, dict) and self.item_id_name in targets:
+            true_ids = targets[self.item_id_name]
+        elif testing and context is not None and self.item_id_name is not None:
+            true_ids = context.features.get(self.item_id_name)
+        if true_ids is None:
+            return topk  # pure inference
+
+        # eval: relevance = does the true item appear in the top-k list; the
+        # label_relevant_counts side channel records 1 relevant item per row
+        rel = (topk.identifiers == true_ids.reshape(-1, 1)).astype(jnp.float32)
+        return Prediction(
+            outputs=topk.scores,
+            targets=rel,
+            label_relevant_counts=jnp.ones(rel.shape[0], dtype=jnp.float32),
+        )

@@ -1,0 +1,90 @@
+import numpy as np
+import pytest
+
+from models_tpu.data import Loader, generate_data
+from models_tpu.models import (
+    MatrixFactorizationModel,
+    TwoTowerModel,
+    YoutubeDNNRetrievalModel,
+)
+
+from tests.utils import model_test
+
+
+@pytest.fixture(scope="module")
+def ml100k():
+    return generate_data("movielens-100k", num_rows=320)
+
+
+def test_mf_fit_evaluate_save(ml100k, tmp_path):
+    model = MatrixFactorizationModel(ml100k.schema, dim=16)
+    history, reloaded = model_test(model, ml100k, tmp_path=tmp_path)
+    res = model.evaluate(ml100k, batch_size=16)
+    assert 0.0 <= res["recall_at_10"] <= 1.0
+    assert "ndcg_at_10" in res and "mrr_at_10" in res
+
+
+def test_mf_learns_structure():
+    # deterministic mapping user -> item makes in-batch contrastive learnable
+    import pyarrow as pa
+    from models_tpu.data import Dataset
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+
+    n_users, rows = 50, 800
+    rng = np.random.default_rng(0)
+    users = rng.integers(0, n_users, size=rows).astype(np.int32)
+    items = users.copy()  # item == user id: perfectly learnable
+    schema = Schema(
+        [
+            create_categorical_column("user_id", n_users - 1, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", n_users - 1, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    ds = Dataset({"user_id": users, "item_id": items}, schema=schema)
+    model = MatrixFactorizationModel(schema, dim=16)
+    model.compile(optimizer="adam", learning_rate=0.05)
+    hist = model.fit(ds, epochs=5, batch_size=16, verbose=0)
+    losses = hist.history["loss"]
+    assert losses[-1] < losses[0] * 0.7, f"loss did not drop: {losses}"
+    res = model.evaluate(ds, batch_size=16)
+    assert res["recall_at_10"] > 0.5
+
+
+def test_two_tower_fit(ecommerce_data, tmp_path):
+    model = TwoTowerModel(ecommerce_data.schema, query_tower=(32, 8))
+    history, reloaded = model_test(model, ecommerce_data, tmp_path=tmp_path)
+
+
+def test_two_tower_topk_encoder(ecommerce_data):
+    model = TwoTowerModel(ecommerce_data.schema, query_tower=(16, 8))
+    model.compile()
+    model.fit(ecommerce_data, epochs=1, batch_size=16, verbose=0)
+    topk_model = model.to_top_k_encoder(ecommerce_data, k=5)
+    topk_model.compile()
+    res = topk_model.evaluate(ecommerce_data, batch_size=16)
+    assert "recall_at_5" in res
+    assert 0.0 <= res["recall_at_5"] <= 1.0
+
+    # pure inference returns scores+ids
+    x, _ = Loader(ecommerce_data, 16).peek()
+    del x["item_id"]
+    out = topk_model.predict(dict(x))
+    assert out["scores"].shape == (16, 5)
+    assert out["ids"].shape == (16, 5)
+
+
+def test_mf_candidate_embeddings(ml100k):
+    model = MatrixFactorizationModel(ml100k.schema, dim=16)
+    model.compile()
+    model.fit(ml100k, epochs=1, batch_size=16, verbose=0)
+    cands = model.candidate_embeddings()
+    assert cands.num_rows == ml100k.schema["movieId"].cardinality
+    q = model.query_embeddings()
+    assert q.num_rows == ml100k.schema["userId"].cardinality
+
+
+def test_youtube_dnn_on_testing_data(testing_data):
+    model = YoutubeDNNRetrievalModel(testing_data.schema, num_sampled=20, embedding_dim=16)
+    model.compile()
+    hist = model.fit(testing_data, epochs=1, batch_size=16, verbose=0)
+    assert np.isfinite(hist.history["loss"][0])

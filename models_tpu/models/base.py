@@ -353,6 +353,8 @@ class BaseModel(Block):
         callbacks: Optional[Sequence] = None,
         pre=None,
         verbose: int = 1,
+        mesh=None,
+        shard_rules=None,
     ) -> History:
         if not self._compiled:
             self.compile()
@@ -361,6 +363,11 @@ class BaseModel(Block):
         self._pre_transform = as_block(pre) if pre is not None else None
 
         graphdef, params, rest = self._split()
+        if mesh is not None:
+            from ..parallel.mesh import replicate, shard_state
+
+            params = shard_state(params, mesh, shard_rules)
+            rest = replicate(rest, mesh)
         self._graphdef = graphdef
         loss_fns = self._resolve_task_losses()
         task_metrics = self._resolve_task_metrics()
@@ -371,6 +378,11 @@ class BaseModel(Block):
             else self._make_train_step(loss_fns, task_metrics, with_metrics=False)
         )
         opt_state = self._tx.init(params)
+        if mesh is not None:
+            from ..parallel.mesh import shard_state
+
+            # optimizer slots inherit each param's placement
+            opt_state = shard_state(opt_state, mesh, shard_rules)
 
         history = History()
         callbacks = list(callbacks or [])
@@ -392,6 +404,11 @@ class BaseModel(Block):
                     break
                 if self._pre_transform is not None:
                     x, y = self._apply_pre(x, y, training=True, step=global_step)
+                if mesh is not None:
+                    from ..parallel.mesh import shard_batch
+
+                    x = shard_batch(x, mesh)
+                    y = shard_batch(y, mesh)
                 use_metrics = (global_step % self.train_metrics_steps) == 0
                 fn = train_step if use_metrics else train_step_fast
                 params, rest, opt_state, metric_states, logs = fn(

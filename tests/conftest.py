@@ -3,7 +3,6 @@ tests run without TPU hardware (mirrors the reference's degenerate-world-size
 strategy for Horovod tests, SURVEY.md §4)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
@@ -11,10 +10,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np
 import pytest
 
-# Persistent XLA compilation cache: this host has 1 CPU core and ~0.4s per tiny
-# op compile; the cache makes re-runs of the suite dramatically faster.
 import jax
 
+# IMPORTANT: the axon TPU plugin ignores the JAX_PLATFORMS env var — the config
+# call below is the only way to force tests onto the 8 virtual CPU devices
+# (otherwise every tiny test op round-trips through the TPU tunnel at ~0.4s each).
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: makes suite re-runs much faster on this host.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -65,6 +65,10 @@ class EmbeddingTable(Block):
         if card is None:
             raise ValueError(f"Column {cols[0].name} has no cardinality; cannot embed")
         self.input_dim = int(card)
+        # pad rows to a multiple of 8: keeps the table tileable on TPU and evenly
+        # row-shardable across small mesh axes; phantom rows never surface (the
+        # `embeddings` property slices them off)
+        self.padded_rows = -(-self.input_dim // 8) * 8
 
         if weights is not None:
             weights = jnp.asarray(weights, dtype=dtype)
@@ -72,12 +76,12 @@ class EmbeddingTable(Block):
                 raise ValueError(
                     f"Pretrained weights {weights.shape} != ({self.input_dim}, {self.dim})"
                 )
-            value = weights
+            value = jnp.zeros((self.padded_rows, self.dim), dtype=dtype).at[: self.input_dim].set(weights)
         else:
             if callable(initializer):
-                value = initializer(jax.random.key(seed), (self.input_dim, self.dim), dtype)
+                value = initializer(jax.random.key(seed), (self.padded_rows, self.dim), dtype)
             else:
-                value = _normal_init(jax.random.key(seed), (self.input_dim, self.dim), dtype)
+                value = _normal_init(jax.random.key(seed), (self.padded_rows, self.dim), dtype)
         self.table = nnx.Param(value) if trainable else nnx.Variable(value)
 
     # ------------------------------------------------------------------
@@ -106,10 +110,10 @@ class EmbeddingTable(Block):
 
     @property
     def embeddings(self) -> jnp.ndarray:
-        return self.table.value
+        return self.table.value[: self.input_dim]
 
     def to_array(self) -> np.ndarray:
-        return np.asarray(self.table.value)
+        return np.asarray(self.table.value[: self.input_dim])
 
     def to_dataset(self):
         """Export (id, embedding) rows (reference ``to_df/to_dataset`` :351-379)."""

@@ -1,0 +1,148 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from models_tpu.blocks import (
+    CrossBlock,
+    DotProductInteraction,
+    FMPairwiseInteraction,
+    MLPBlock,
+)
+from models_tpu.data import Loader, generate_data
+from models_tpu.models import (
+    DCNModel,
+    DeepFMModel,
+    DLRMModel,
+    MMOEModel,
+    NCFModel,
+    PLEModel,
+    WideAndDeepModel,
+)
+from models_tpu.schema import Tags
+
+from tests.utils import model_test
+
+
+@pytest.fixture(scope="module")
+def ecommerce():
+    from models_tpu.data import generate_data
+
+    return generate_data("e-commerce", num_rows=256)
+
+
+@pytest.fixture(scope="module")
+def music():
+    from models_tpu.data import generate_data
+
+    return generate_data("music-streaming", num_rows=256)
+
+
+def test_dot_product_interaction():
+    x = jnp.asarray(np.random.randn(4, 3, 8).astype(np.float32))
+    out = DotProductInteraction()(x)
+    assert out.shape == (4, 3)  # 3*(3-1)/2
+    expected01 = jnp.sum(x[:, 0] * x[:, 1], axis=-1)
+    np.testing.assert_allclose(out[:, 0], expected01, rtol=1e-5)
+    out_self = DotProductInteraction(self_interaction=True)(x)
+    assert out_self.shape == (4, 6)
+
+
+def test_fm_pairwise():
+    x = jnp.asarray(np.random.randn(4, 3, 8).astype(np.float32))
+    out = FMPairwiseInteraction()(x)
+    assert out.shape == (4, 8)
+    # brute-force pairwise check
+    expected = sum(
+        x[:, i] * x[:, j] for i in range(3) for j in range(3) if i < j
+    )
+    np.testing.assert_allclose(out, expected, rtol=1e-4)
+
+
+def test_cross_block():
+    cb = CrossBlock(depth=2)
+    x = jnp.asarray(np.random.randn(4, 8).astype(np.float32))
+    out = cb(x)
+    assert out.shape == (4, 8)
+
+
+def test_dlrm_model(ecommerce, tmp_path):
+    # e-commerce has two binary targets (click, conversion) -> multi-task heads
+    model = DLRMModel(
+        ecommerce.schema, embedding_dim=16, bottom_block=(32,), top_block=(32, 16)
+    )
+    history, reloaded = model_test(model, ecommerce, tmp_path=tmp_path)
+    assert any(k.startswith("loss/") for k in history.history)
+
+
+def test_dlrm_single_task(music, tmp_path):
+    schema = music.schema.excluding_by_name(["play_percentage", "like"])
+    model = DLRMModel(schema, embedding_dim=16, top_block=(16,))
+    history, _ = model_test(model, music)
+    res = model.evaluate(music, batch_size=16)
+    assert "click/auc" in res
+    assert 0.0 <= res["click/auc"] <= 1.0
+
+
+def test_dcn_model(ecommerce, tmp_path):
+    model = DCNModel(ecommerce.schema, depth=2, deep_block=(32, 16), embedding_dim=8)
+    model_test(model, ecommerce, tmp_path=tmp_path)
+
+
+def test_dcn_low_rank_parallel(ecommerce):
+    model = DCNModel(
+        ecommerce.schema, depth=1, deep_block=(16,), stacked=False, low_rank_dim=4,
+        embedding_dim=8,
+    )
+    model_test(model, ecommerce)
+
+
+def test_deepfm_model(ecommerce):
+    model = DeepFMModel(ecommerce.schema, embedding_dim=8, deep_block=(16,))
+    model_test(model, ecommerce)
+
+
+def test_wide_and_deep(ecommerce):
+    model = WideAndDeepModel(
+        ecommerce.schema, embedding_dim=8, deep_block=(16,), enable_wide_crosses=False
+    )
+    model_test(model, ecommerce)
+
+
+def test_ncf_model(music):
+    schema = music.schema.excluding_by_name(["play_percentage", "like"])
+    model = NCFModel(schema, embedding_dim=8, mlp_block=(16,))
+    model_test(model, music)
+
+
+def test_mmoe_model(ecommerce):
+    model = MMOEModel(
+        ecommerce.schema, expert_block=(16,), num_experts=3, embedding_dim=8
+    )
+    history, _ = model_test(model, ecommerce)
+    res = model.evaluate(ecommerce, batch_size=16)
+    # two tasks, each with AUC
+    aucs = [k for k in res if k.endswith("auc")]
+    assert len(aucs) == 2
+
+
+def test_ple_model(ecommerce):
+    model = PLEModel(
+        ecommerce.schema, expert_block=(16,), num_layers=2, embedding_dim=8
+    )
+    model_test(model, ecommerce)
+
+
+def test_multitask_loss_weights(ecommerce):
+    model = MMOEModel(ecommerce.schema, expert_block=(16,), num_experts=2, embedding_dim=8)
+    model.compile(loss_weights={"click/BinaryOutput": 2.0, "conversion/BinaryOutput": 0.5})
+    hist = model.fit(ecommerce, epochs=1, batch_size=16, verbose=0)
+    assert np.isfinite(hist.history["loss"][0])
+
+
+def test_regression_head(music):
+    schema = music.schema.excluding_by_name(["click", "like"])
+    model = DLRMModel(schema, embedding_dim=8, top_block=(16,))
+    model.compile()
+    model.fit(music, epochs=1, batch_size=16, verbose=0)
+    res = model.evaluate(music, batch_size=16)
+    assert "play_percentage/rmse" in res

@@ -158,17 +158,28 @@ class LayerNorm(Block, LazyMixin):
 
 
 class Dropout(Block):
+    """Stateless dropout: the key derives from (seed, context step), so the train
+    step stays a pure function of its inputs — no NNX RngCount mutation, which
+    would be illegal inside the grad trace of the compiled step."""
+
     def __init__(self, rate: float, seed: int = 0):
         super().__init__()
-        self.rate = rate
-        self.dropout = nnx.Dropout(rate, rngs=nnx.Rngs(dropout=seed))
+        self.rate = float(rate)
+        self.seed = seed
 
-    def __call__(self, inputs, *, training: bool = False, **kwargs):
+    def _apply(self, x, step):
+        key = jax.random.fold_in(jax.random.key(self.seed), step)
+        keep = jax.random.bernoulli(key, 1.0 - self.rate, x.shape)
+        return jnp.where(keep, x / (1.0 - self.rate), 0.0)
+
+    def __call__(self, inputs, *, training: bool = False, context=None, **kwargs):
+        if not training or self.rate == 0.0:
+            return inputs
+        step = context.get("step", 0) if context is not None else 0
+        step = jnp.asarray(step, dtype=jnp.uint32)
         if isinstance(inputs, SequenceFeature):
-            return SequenceFeature(
-                self.dropout(inputs.values, deterministic=not training), inputs.mask
-            )
-        return self.dropout(inputs, deterministic=not training)
+            return SequenceFeature(self._apply(inputs.values, step), inputs.mask)
+        return self._apply(inputs, step)
 
 
 def MLPBlock(

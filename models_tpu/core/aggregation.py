@@ -65,16 +65,27 @@ class TabularAggregation(Block):
 
 @aggregation_registry.register("concat")
 class ConcatFeatures(TabularAggregation):
-    """Concatenate along the last axis (scalars promoted to (B, 1))."""
+    """Concatenate along the last axis (scalars promoted to (B, 1)).
+
+    If any input is a SequenceFeature, the result is a SequenceFeature carrying
+    the first input's mask (all sequence features in one batch share padding)."""
 
     def __init__(self, axis: int = -1):
         super().__init__()
         self.axis = axis
 
     def __call__(self, inputs: TensorDict, **kwargs):
+        mask = None
+        for v in inputs.values():
+            if isinstance(v, SequenceFeature):
+                mask = v.mask
+                break
         vals = [_expand_2d(v) for v in _values(inputs)]
         self._check_ranks(vals, "concat")
-        return jnp.concatenate(vals, axis=self.axis)
+        out = jnp.concatenate(vals, axis=self.axis)
+        if mask is not None and out.ndim == 3:
+            return SequenceFeature(out, mask)
+        return out
 
 
 @aggregation_registry.register("stack")

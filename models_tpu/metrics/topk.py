@@ -36,7 +36,12 @@ def extract_topk(
     """
     if shuffle_ties:
         noise = jax.random.uniform(jax.random.key(seed), scores.shape, dtype=scores.dtype)
-        span = jnp.maximum(jnp.max(scores) - jnp.min(scores), 1.0)
+        # span must ignore MIN_FLOAT sentinel scores (false-negative downscoring,
+        # outputs/contrastive.py) or the noise swamps every real score difference
+        finite = scores > -1e30
+        smax = jnp.max(jnp.where(finite, scores, -jnp.inf))
+        smin = jnp.min(jnp.where(finite, scores, jnp.inf))
+        span = jnp.clip(smax - smin, 1e-3, 1e6)
         sort_scores = scores + noise * (1e-6 * span)
     else:
         sort_scores = scores

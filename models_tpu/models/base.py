@@ -68,6 +68,36 @@ def _auto_loss(loss_fn: Callable, labels, logits, sample_weight):
     return loss_fn(labels, logits, sample_weight)
 
 
+
+def _unwrap_targets(pred):
+    """SequenceFeature targets -> (values, prediction-mask weight)."""
+    t, sw = pred.targets, pred.sample_weight
+    if isinstance(t, SequenceFeature):
+        m = t.mask.astype(jnp.float32)
+        sw = m if sw is None else sw * m
+        t = t.values
+    return t, sw
+
+
+def _merge_row_valid(sw, row_valid, lead_dim):
+    """Combine head sample-weights with the loader's row-validity mask, handling
+    flattened-sequence leading dims ((B*L,) outputs vs (B,) validity)."""
+    if row_valid is None:
+        return sw
+    rv = row_valid.astype(jnp.float32)
+    if sw is None:
+        if lead_dim != rv.shape[0] and lead_dim % rv.shape[0] == 0:
+            rv = jnp.repeat(rv, lead_dim // rv.shape[0])
+        return rv
+    if sw.shape[0] == rv.shape[0]:
+        if sw.ndim > 1:
+            rv = rv.reshape((rv.shape[0],) + (1,) * (sw.ndim - 1))
+        return sw * rv
+    if sw.shape[0] % rv.shape[0] == 0:
+        return sw * jnp.repeat(rv, sw.shape[0] // rv.shape[0])
+    return sw
+
+
 class History:
     def __init__(self):
         self.history: Dict[str, List[float]] = {}
@@ -191,11 +221,9 @@ class BaseModel(Block):
         for name, pred in pred_dict.items():
             if pred.targets is None or name not in loss_fns:
                 continue
-            sw = pred.sample_weight
-            if row_valid is not None:
-                rv = row_valid.astype(jnp.float32)
-                sw = rv if sw is None else sw * rv
-            value = _auto_loss(loss_fns[name], pred.targets, pred.outputs, sw)
+            t, sw = _unwrap_targets(pred)
+            sw = _merge_row_valid(sw, row_valid, pred.outputs.shape[0])
+            value = _auto_loss(loss_fns[name], t, pred.outputs, sw)
             weight = self._loss_weights.get(name, 1.0)
             logs[f"loss/{name}"] = value
             total = total + weight * value
@@ -218,24 +246,35 @@ class BaseModel(Block):
             if pred is None or pred.targets is None:
                 new_states[name] = states[name]
                 continue
-            sw = pred.sample_weight
-            if row_valid is not None:
-                rv = row_valid.astype(jnp.float32)
-                sw = rv if sw is None else sw * rv
+            t, sw = _unwrap_targets(pred)
+            outputs = pred.outputs
+            sw = _merge_row_valid(sw, row_valid, outputs.shape[0])
+            # flatten sequence logits for metrics: (B, L, C) -> (B*L, C)
+            if outputs.ndim == 3:
+                C = outputs.shape[-1]
+                outputs = outputs.reshape(-1, C)
+                if t is not None and t.ndim >= 2:
+                    t = t.reshape(-1) if t.ndim == 2 else t.reshape(-1, t.shape[-1])
+                if sw is not None:
+                    sw = sw.reshape(-1)
             updated = []
             for m, s in zip(ms, states[name]):
                 if isinstance(m, (TopKMetric, TopKMetricsAggregator)):
+                    tt = t
+                    if tt is not None and tt.ndim == outputs.ndim - 1:
+                        # sparse ids -> one-hot relevance for top-k metrics
+                        tt = jax.nn.one_hot(tt, outputs.shape[-1])
                     updated.append(
                         m.update(
                             s,
-                            pred.outputs,
-                            pred.targets,
+                            outputs,
+                            tt,
                             sample_weight=sw,
                             label_relevant_counts=pred.label_relevant_counts,
                         )
                     )
                 else:
-                    updated.append(m.update(s, pred.outputs, pred.targets, sample_weight=sw))
+                    updated.append(m.update(s, outputs, t, sample_weight=sw))
             new_states[name] = updated
         return new_states
 

@@ -100,27 +100,72 @@ class ContrastiveOutput(ModelOutput):
     def item_id_name(self) -> Optional[str]:
         return self.col_schema.name if self.col_schema is not None else self.target
 
-    def _query_and_positive(self, inputs, context):
-        """Resolve (query_emb, positive Candidate)."""
-        feats = context.features if context is not None else {}
-        pos_id = feats.get(self.item_id_name) if self.item_id_name else None
+    def _resolve_positive_ids(self, context, targets):
+        """Positive item ids: explicit targets beat batch features. Returns
+        (ids, prediction_weights) — for sequence targets the ids are the target
+        SequenceFeature's values and the weights its prediction mask."""
+        from ..core.types import SequenceFeature
+
+        source = None
+        if isinstance(targets, dict) and self.item_id_name in targets:
+            source = targets[self.item_id_name]
+        elif targets is not None and not isinstance(targets, dict):
+            source = targets
+        elif context is not None and self.item_id_name:
+            source = context.features.get(self.item_id_name)
+        if isinstance(source, SequenceFeature):
+            return source.values, source.mask.astype(jnp.float32)
+        return source, None
+
+    def _query_and_positive(self, inputs, context, targets):
+        """Resolve (query_emb (Q, D), positive Candidate, weights (Q,) or None).
+
+        Sequence queries (B, L, D) flatten to (B*L, D): every position is a query,
+        padding/unmasked positions zero-weighted — static shapes, no gather.
+        """
+        from ..core.types import SequenceFeature
+
+        pos_id, weights = self._resolve_positive_ids(context, targets)
         if isinstance(inputs, dict):
             query = inputs[self.query_name]
             cand = inputs.get(self.candidate_name)
-            return query, Candidate(id=pos_id, embedding=cand)
-        # weight-tying: candidate embedding looked up from the table
+            return query, Candidate(id=pos_id, embedding=cand), weights
+
+        query = inputs
+        qmask = None
+        if isinstance(query, SequenceFeature):
+            qmask = query.mask
+            query = query.values
         if self.tying is None:
             raise ValueError(
                 "ContrastiveOutput with tensor input requires an EmbeddingTable "
                 "(weight tying) or dict {'query','candidate'} inputs"
             )
+        if query.ndim == 3:
+            B, L, D = query.shape
+            if pos_id is not None and pos_id.ndim == 1:
+                # scalar targets (predict-last/random protocols): the query is the
+                # hidden state at the last valid input position
+                from ..core.aggregation import sequence_last
+                from ..core.types import SequenceFeature as _SF
+
+                m = qmask if qmask is not None else jnp.ones((B, L), dtype=bool)
+                query = sequence_last(_SF(query, m))
+            else:
+                query = query.reshape(B * L, D)
+                if pos_id is not None and pos_id.ndim == 2:
+                    pos_id = pos_id.reshape(B * L)
+                if weights is not None:
+                    weights = weights.reshape(B * L)
+                elif qmask is not None:
+                    weights = qmask.astype(jnp.float32).reshape(B * L)
         if pos_id is None:
             raise ValueError(
-                f"ContrastiveOutput needs feature {self.item_id_name!r} in the batch "
+                f"ContrastiveOutput needs feature/target {self.item_id_name!r} "
                 "to identify positives"
             )
         emb = self.tying.embedding_lookup(pos_id)
-        return inputs, Candidate(id=pos_id, embedding=emb)
+        return query, Candidate(id=pos_id, embedding=emb), weights
 
     def _sample_negatives(self, positive: Candidate, training, step) -> Candidate:
         negs: List[Candidate] = []
@@ -158,28 +203,35 @@ class ContrastiveOutput(ModelOutput):
     # ------------------------------------------------------------------
     def __call__(self, inputs, *, training=False, context=None, targets=None, **kwargs):
         step = context.get("step") if context is not None else None
-        query, positive = self._query_and_positive(inputs, context)
 
         use_contrastive = training or targets is not None or (
             context is not None and context.get("testing", False)
         )
-        if use_contrastive and positive.id is not None:
-            negatives = self._sample_negatives(positive, training, step)
-            logits = self.contrastive_logits(query, positive, negatives)
-            if self.logits_scaler is not None:
-                logits = self.logits_scaler(logits)
-            onehot = jnp.zeros_like(logits).at[:, 0].set(1.0)
-            return Prediction(
-                outputs=logits, targets=onehot, negative_candidate_ids=negatives.id
-            )
+        if use_contrastive:
+            query, positive, weights = self._query_and_positive(inputs, context, targets)
+            if positive.id is not None:
+                negatives = self._sample_negatives(positive, training, step)
+                logits = self.contrastive_logits(query, positive, negatives)
+                if self.logits_scaler is not None:
+                    logits = self.logits_scaler(logits)
+                onehot = jnp.zeros_like(logits).at[:, 0].set(1.0)
+                return Prediction(
+                    outputs=logits,
+                    targets=onehot,
+                    sample_weight=weights,
+                    negative_candidate_ids=negatives.id,
+                )
 
         # inference: plain scoring
+        from ..core.types import SequenceFeature
+
         if isinstance(inputs, dict):
             logits = jnp.sum(
                 inputs[self.query_name] * inputs[self.candidate_name], axis=-1, keepdims=True
             )
         else:
-            logits = self.tying(query)  # full catalog (B, num_items)
+            query = inputs.values if isinstance(inputs, SequenceFeature) else inputs
+            logits = self.tying(query)  # full catalog (B[, L], num_items)
         if self.logits_scaler is not None:
             logits = self.logits_scaler(logits)
         return Prediction(outputs=logits, targets=self.bind_target(targets))

@@ -1,0 +1,205 @@
+"""Session transformer encoder (reference ``merlin/models/tf/transformers/``).
+
+The reference wraps HuggingFace TF main-layers (``transformers/block.py:54-222``
+with Bert/Albert/Roberta/XLNet/GPT2 configs). The TPU-native stand-in is a compact
+NNX pre-norm transformer encoder compiled whole-graph by XLA:
+
+- padding-aware attention mask from the input :class:`SequenceFeature`;
+- causal mode (GPT2-style next-item) or bidirectional (BERT-style MLM);
+- learned positional embeddings (session lengths are short and static);
+- Albert-style cross-layer parameter sharing as a flag.
+
+Output adapters mirror ``transformers/transforms.py``: ``LastHiddenState``,
+``TransformerInferenceHiddenState``, ``SequenceSummary`` (last/mean/cls).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..core.aggregation import sequence_last, sequence_mean
+from ..core.block import Block
+from ..core.types import SequenceFeature
+
+
+class TransformerLayer(Block):
+    def __init__(self, d_model: int, n_heads: int, d_ff: int, dropout: float, seed: int):
+        from ..blocks.mlp import Dropout
+
+        super().__init__()
+        rngs = nnx.Rngs(seed)
+        # attention-internal dropout disabled: dropout is applied statelessly on
+        # the sublayer outputs (NNX's stateful rng counter cannot mutate inside
+        # the grad trace of the compiled train step)
+        self.attn = nnx.MultiHeadAttention(
+            num_heads=n_heads,
+            in_features=d_model,
+            qkv_features=d_model,
+            dropout_rate=0.0,
+            decode=False,
+            rngs=rngs,
+        )
+        self.ln1 = nnx.LayerNorm(d_model, rngs=rngs)
+        self.ln2 = nnx.LayerNorm(d_model, rngs=rngs)
+        self.ff1 = nnx.Linear(d_model, d_ff, rngs=rngs)
+        self.ff2 = nnx.Linear(d_ff, d_model, rngs=rngs)
+        self.drop1 = Dropout(dropout, seed=seed + 21)
+        self.drop2 = Dropout(dropout, seed=seed + 22)
+
+    def __call__(self, x, attn_mask, *, training: bool = False, context=None):
+        h = self.ln1(x)
+        h = self.attn(h, mask=attn_mask, deterministic=True)
+        h = self.drop1(h, training=training, context=context)
+        x = x + h
+        h = self.ln2(x)
+        h = self.ff2(jax.nn.gelu(self.ff1(h)))
+        h = self.drop2(h, training=training, context=context)
+        return x + h
+
+
+class TransformerBlock(Block):
+    """Pre-norm transformer over (B, L, D) session representations."""
+
+    def __init__(
+        self,
+        d_model: int = 64,
+        n_heads: int = 4,
+        n_layers: int = 2,
+        d_ff: Optional[int] = None,
+        causal: bool = False,
+        dropout: float = 0.1,
+        max_seq_len: int = 512,
+        share_layers: bool = False,
+        seed: int = 0,
+        block_name: str = "transformer",
+    ):
+        super().__init__(block_name=block_name)
+        d_ff = d_ff or 4 * d_model
+        self.d_model = d_model
+        self.causal = causal
+        self.share_layers = share_layers
+        rngs = nnx.Rngs(seed + 7)
+        self.in_proj = nnx.data(None)  # lazy: projects input dim -> d_model
+        self.pos_emb = nnx.Param(
+            jax.random.truncated_normal(jax.random.key(seed + 3), -2, 2, (max_seq_len, d_model))
+            * 0.02
+        )
+        if share_layers:
+            self.layers = nnx.List([TransformerLayer(d_model, n_heads, d_ff, dropout, seed)])
+            self.n_layers = n_layers
+        else:
+            self.layers = nnx.List(
+                [TransformerLayer(d_model, n_heads, d_ff, dropout, seed + i) for i in range(n_layers)]
+            )
+            self.n_layers = n_layers
+        self.final_ln = nnx.LayerNorm(d_model, rngs=rngs)
+
+    def _project(self, x):
+        if x.shape[-1] == self.d_model:
+            return x
+        if self.in_proj is None:
+            if isinstance(x, jax.core.Tracer):
+                raise RuntimeError("TransformerBlock not built; run an eager build pass")
+            self.in_proj = nnx.Linear(x.shape[-1], self.d_model, rngs=nnx.Rngs(5))
+        return self.in_proj(x)
+
+    def __call__(self, inputs, *, training: bool = False, context=None, **kwargs):
+        if isinstance(inputs, SequenceFeature):
+            x, pad_mask = inputs.values, inputs.mask
+        else:
+            x, pad_mask = inputs, None
+        if x.ndim != 3:
+            raise ValueError(f"TransformerBlock expects (B, L, D) input, got {x.shape}")
+        B, L, _ = x.shape
+        x = self._project(x)
+        x = x + self.pos_emb.value[None, :L, :]
+
+        # attention mask (B, 1, L, L): padding ∧ (causal)
+        if pad_mask is None:
+            pad_mask = jnp.ones((B, L), dtype=bool)
+        attn = pad_mask[:, None, None, :] & pad_mask[:, None, :, None]
+        if self.causal:
+            tri = jnp.tril(jnp.ones((L, L), dtype=bool))
+            attn = attn & tri[None, None, :, :]
+
+        for i in range(self.n_layers):
+            layer = self.layers[i % len(self.layers)]
+            x = layer(x, attn, training=training, context=context)
+        x = self.final_ln(x)
+        return SequenceFeature(x, pad_mask)
+
+
+# ---------------------------------------------------------------------------
+# named configs mirroring the reference's HF wrappers (transformers/block.py)
+# ---------------------------------------------------------------------------
+
+def BertBlock(d_model=64, n_head=4, n_layer=2, **kwargs) -> TransformerBlock:
+    return TransformerBlock(d_model, n_head, n_layer, causal=False,
+                            block_name="bert", **kwargs)
+
+
+def RobertaBlock(d_model=64, n_head=4, n_layer=2, **kwargs) -> TransformerBlock:
+    return TransformerBlock(d_model, n_head, n_layer, causal=False,
+                            block_name="roberta", **kwargs)
+
+
+def AlbertBlock(d_model=64, n_head=4, n_layer=2, **kwargs) -> TransformerBlock:
+    return TransformerBlock(d_model, n_head, n_layer, causal=False, share_layers=True,
+                            block_name="albert", **kwargs)
+
+
+def XLNetBlock(d_model=64, n_head=4, n_layer=2, **kwargs) -> TransformerBlock:
+    # two-stream attention approximated by a bidirectional encoder + masking
+    # transforms (the reference uses HF XLNet in exactly this MLM role)
+    return TransformerBlock(d_model, n_head, n_layer, causal=False,
+                            block_name="xlnet", **kwargs)
+
+
+def GPT2Block(d_model=64, n_head=4, n_layer=2, **kwargs) -> TransformerBlock:
+    return TransformerBlock(d_model, n_head, n_layer, causal=True,
+                            block_name="gpt2", **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# output adapters (reference transformers/transforms.py)
+# ---------------------------------------------------------------------------
+
+class LastHiddenState(Block):
+    """Identity passthrough of the (B, L, D) hidden states (reference ``:29``)."""
+
+    def __call__(self, inputs, **kwargs):
+        return inputs
+
+
+class TransformerInferenceHiddenState(Block):
+    """At inference keep only the last valid position (reference ``:50``);
+    during training pass everything through."""
+
+    def __call__(self, inputs, *, training: bool = False, **kwargs):
+        if not training and isinstance(inputs, SequenceFeature):
+            return sequence_last(inputs)
+        return inputs
+
+
+class SequenceSummary(Block):
+    """Pool the sequence: 'last' | 'mean' | 'cls_index' (reference ``:198-244``)."""
+
+    def __init__(self, summary: str = "last"):
+        super().__init__()
+        if summary not in ("last", "mean", "cls_index", "first"):
+            raise ValueError(f"Unknown summary {summary!r}")
+        self.summary = summary
+
+    def __call__(self, inputs, **kwargs):
+        if not isinstance(inputs, SequenceFeature):
+            return inputs
+        if self.summary == "last":
+            return sequence_last(inputs)
+        if self.summary == "mean":
+            return sequence_mean(inputs)
+        return inputs.values[:, 0]

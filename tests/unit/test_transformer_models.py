@@ -1,0 +1,136 @@
+import numpy as np
+import pytest
+
+from models_tpu.data import generate_data
+from models_tpu.models.session import SessionBasedTransformerModel
+from models_tpu.transformer.block import (
+    AlbertBlock,
+    BertBlock,
+    GPT2Block,
+    SequenceSummary,
+    TransformerBlock,
+    XLNetBlock,
+)
+from models_tpu.transforms.sequence import (
+    SequenceMaskLast,
+    SequenceMaskRandom,
+    SequencePredictLast,
+    SequencePredictNext,
+)
+
+
+@pytest.fixture(scope="module")
+def seq_data():
+    return generate_data("sequence-testing", num_rows=192)
+
+
+def test_transformer_block_shapes():
+    import jax.numpy as jnp
+
+    from models_tpu.core.types import SequenceFeature
+
+    x = SequenceFeature(jnp.ones((4, 6, 32)), jnp.ones((4, 6), bool))
+    block = TransformerBlock(d_model=32, n_heads=2, n_layers=2)
+    out = block(x)
+    assert out.values.shape == (4, 6, 32)
+
+    causal = GPT2Block(d_model=32, n_head=2, n_layer=1)
+    out2 = causal(x)
+    assert out2.values.shape == (4, 6, 32)
+
+
+def test_causal_mask_blocks_future():
+    """Changing a later item must not affect earlier positions (causal)."""
+    import jax.numpy as jnp
+
+    from models_tpu.core.types import SequenceFeature
+
+    block = GPT2Block(d_model=16, n_head=2, n_layer=2, dropout=0.0)
+    base = np.random.randn(1, 5, 16).astype(np.float32)
+    x1 = SequenceFeature(jnp.asarray(base), jnp.ones((1, 5), bool))
+    mod = base.copy()
+    mod[0, 4] += 10.0  # change only the last item
+    x2 = SequenceFeature(jnp.asarray(mod), jnp.ones((1, 5), bool))
+    o1 = np.asarray(block(x1).values)
+    o2 = np.asarray(block(x2).values)
+    np.testing.assert_allclose(o1[0, :4], o2[0, :4], atol=1e-5)
+    assert not np.allclose(o1[0, 4], o2[0, 4])
+
+
+def test_session_model_predict_next(seq_data):
+    model = SessionBasedTransformerModel(
+        seq_data.schema,
+        transformer=GPT2Block(d_model=32, n_head=2, n_layer=1),
+        embedding_dim=16,
+    )
+    model.compile(learning_rate=0.005)
+    pre = SequencePredictNext(seq_data.schema, target="item_id_seq")
+    hist = model.fit(seq_data, epochs=1, batch_size=16, pre=pre, verbose=0)
+    assert np.isfinite(hist.history["loss"][0])
+    res = model.evaluate(seq_data, batch_size=16, pre=pre)
+    assert "recall_at_10" in res
+
+
+def test_session_model_masked_lm(seq_data):
+    model = SessionBasedTransformerModel(
+        seq_data.schema,
+        transformer=BertBlock(d_model=32, n_head=2, n_layer=1),
+        embedding_dim=16,
+        masked_lm=True,
+    )
+    model.compile()
+    pre = SequenceMaskRandom(seq_data.schema, target="item_id_seq", masking_prob=0.3)
+    hist = model.fit(seq_data, epochs=1, batch_size=16, pre=pre, verbose=0)
+    assert np.isfinite(hist.history["loss"][0])
+    eval_pre = SequenceMaskLast(seq_data.schema, target="item_id_seq")
+    res = model.evaluate(seq_data, batch_size=16, pre=eval_pre)
+    assert 0.0 <= res["recall_at_10"] <= 1.0
+
+
+def test_session_model_sampled_softmax(seq_data):
+    model = SessionBasedTransformerModel(
+        seq_data.schema,
+        transformer=GPT2Block(d_model=32, n_head=2, n_layer=1),
+        embedding_dim=16,
+        num_sampled=20,
+    )
+    model.compile()
+    pre = SequencePredictNext(seq_data.schema, target="item_id_seq")
+    hist = model.fit(seq_data, epochs=1, batch_size=16, pre=pre, verbose=0)
+    assert np.isfinite(hist.history["loss"][0])
+
+
+def test_session_model_learns_constant_next_item():
+    """Planted pattern: next item is always previous+1 → model should beat random."""
+    import numpy as np
+
+    from models_tpu.data import Dataset
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+
+    rng = np.random.default_rng(0)
+    rows = []
+    n, L, card = 512, 5, 50
+    seqs = []
+    for _ in range(n):
+        start = rng.integers(1, card - L - 1)
+        seqs.append(np.arange(start, start + L, dtype=np.int32))
+    schema = Schema(
+        [
+            create_categorical_column(
+                "item_id_seq", card, tags=(Tags.ITEM_ID, Tags.SEQUENCE),
+                is_list=True, max_seq_length=L,
+            )
+        ]
+    )
+    ds = Dataset({"item_id_seq": np.array(seqs, dtype=object)}, schema=schema)
+    model = SessionBasedTransformerModel(
+        schema, transformer=GPT2Block(d_model=32, n_head=2, n_layer=1, dropout=0.0),
+        embedding_dim=32,
+    )
+    model.compile(optimizer="adam", learning_rate=0.01)
+    from models_tpu.transforms.sequence import SequencePredictNext
+
+    pre = SequencePredictNext(schema, target="item_id_seq")
+    hist = model.fit(ds, epochs=6, batch_size=32, pre=pre, verbose=0)
+    losses = hist.history["loss"]
+    assert losses[-1] < losses[0] * 0.8, f"no learning: {losses}"

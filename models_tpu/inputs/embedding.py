@@ -34,6 +34,16 @@ def _normal_init(key, shape, dtype=jnp.float32, stddev: float = 0.05):
     return jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype) * stddev
 
 
+class EmbeddingParam(nnx.Param):
+    """Param subclass marking embedding-table weights.
+
+    Lets the engine split table params from dense params (``nnx.split(model,
+    EmbeddingParam, nnx.Param, ...)``) so tables can take row-sparse optimizer
+    updates (``blocks/optimizer.py``) instead of dense full-table updates — the
+    HBM-traffic difference between touching ~batch rows and rewriting the whole
+    table every step."""
+
+
 class EmbeddingTable(Block):
     """A single embedding table, optionally serving several features.
 
@@ -82,7 +92,11 @@ class EmbeddingTable(Block):
                 value = initializer(jax.random.key(seed), (self.padded_rows, self.dim), dtype)
             else:
                 value = _normal_init(jax.random.key(seed), (self.padded_rows, self.dim), dtype)
-        self.table = nnx.Param(value) if trainable else nnx.Variable(value)
+        self.table = EmbeddingParam(value) if trainable else nnx.Variable(value)
+        # sparse-optimizer support (set up by the engine when compile() requests a
+        # row-sparse embedding optimizer): slots live beside the table
+        self.sparse_slots = nnx.data(None)
+        self._tap_key: Optional[str] = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -127,22 +141,42 @@ class EmbeddingTable(Block):
     def _lookup(self, ids: jnp.ndarray) -> jnp.ndarray:
         return jnp.take(self.table.value, ids, axis=0)
 
-    def _call_single(self, value):
+    def _tap(self, emb, ids, feature, context):
+        """Sparse-training hook: inject the zero 'tap' tensor so the engine can
+        take gradients w.r.t. the *gathered rows* (not the full table), and
+        record the looked-up ids for the row-sparse scatter update."""
+        if context is None or self._tap_key is None:
+            return emb
+        key = f"{self._tap_key}:{feature}" if feature else self._tap_key
+        shapes = context.get("collect_tap_shapes")
+        if shapes is not None:
+            shapes[key] = tuple(emb.shape)
+        taps = context.get("taps")
+        if taps is not None and key in taps:
+            emb = emb + taps[key]
+            context.setdefault("tap_ids", {})[key] = ids
+        return emb
+
+    def _call_single(self, value, feature: Optional[str] = None, context=None):
         if isinstance(value, SequenceFeature):
             emb = self._lookup(value.values)  # (B, L, D)
+            emb = self._tap(emb, value.values, feature, context)
             combiner = self.sequence_combiner
             if combiner is None:
                 return SequenceFeature(emb, value.mask)
             masked = SequenceFeature(emb, value.mask)
             return SEQUENCE_COMBINERS[combiner](masked)
-        return self._lookup(value)
+        emb = self._lookup(value)
+        return self._tap(emb, value, feature, context)
 
-    def __call__(self, inputs, **kwargs):
+    def __call__(self, inputs, *, context=None, **kwargs):
         if isinstance(inputs, dict):
             return {
-                name: self._call_single(inputs[name]) for name in self.features if name in inputs
+                name: self._call_single(inputs[name], feature=name, context=context)
+                for name in self.features
+                if name in inputs
             }
-        return self._call_single(inputs)
+        return self._call_single(inputs, feature=self.features[0], context=context)
 
     def regularization_loss(self) -> jnp.ndarray:
         if not self.l2_reg:

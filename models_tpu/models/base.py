@@ -56,6 +56,12 @@ def _resolve_optimizer(optimizer, learning_rate: Optional[float]) -> optax.Gradi
     return table[optimizer]()
 
 
+def _embedding_param_type():
+    from ..inputs.embedding import EmbeddingParam
+
+    return EmbeddingParam
+
+
 def _auto_loss(loss_fn: Callable, labels, logits, sample_weight):
     """Dispatch dense-vs-sparse categorical CE automatically."""
     from ..losses import categorical_crossentropy, sparse_categorical_crossentropy
@@ -151,9 +157,21 @@ class BaseModel(Block):
         loss_weights: Optional[Dict[str, float]] = None,
         learning_rate: Optional[float] = None,
         train_metrics_steps: int = 1,
+        embedding_optimizer=None,
         jit: bool = True,
     ) -> "BaseModel":
-        self._tx = _resolve_optimizer(optimizer, learning_rate)
+        from ..blocks.optimizer import MultiOptimizer, SparseEmbeddingOptimizer
+
+        if isinstance(optimizer, MultiOptimizer):
+            self._tx = optimizer  # built over params at fit time
+        else:
+            self._tx = _resolve_optimizer(optimizer, learning_rate)
+        if isinstance(embedding_optimizer, str):
+            kind = embedding_optimizer.replace("lazy_", "").replace("sparse_", "")
+            embedding_optimizer = SparseEmbeddingOptimizer(
+                kind, learning_rate=learning_rate if learning_rate is not None else 0.05
+            )
+        self._emb_opt = embedding_optimizer
         self._loss_spec = loss
         self._metrics_spec = metrics
         self._loss_weights = loss_weights or {}
@@ -322,6 +340,79 @@ class BaseModel(Block):
             step_fn = jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
         return step_fn
 
+    # ------------------------------------------------------------------
+    # row-sparse embedding training (blocks/optimizer.py)
+    # ------------------------------------------------------------------
+    def _embedding_tables(self):
+        from ..inputs.embedding import EmbeddingTable
+
+        return [
+            b for b in iter_blocks(self) if isinstance(b, EmbeddingTable) and b.trainable
+        ]
+
+    def _setup_sparse_embeddings(self, loader, sparse):
+        """Assign tap keys, create optimizer slots, and discover tap shapes by one
+        eager training-mode forward."""
+        tables = self._embedding_tables()
+        for i, t in enumerate(tables):
+            t._tap_key = f"t{i}"
+            if t.sparse_slots is None or not len(t.sparse_slots):
+                sparse.init_slots(t)
+        x, y = loader.peek()
+        if getattr(self, "_pre_transform", None) is not None:
+            x, y = self._apply_pre(x, y, training=True, step=0)
+        x = to_device_batch(x)
+        shapes: Dict[str, tuple] = {}
+        context = ModelContext(features=x, targets=y, step=0)
+        context["collect_tap_shapes"] = shapes
+        call_block(self, x, targets=y, training=True, context=context)
+        if not shapes:
+            raise ValueError(
+                "embedding_optimizer was set but no embedding lookups were traced; "
+                "check that the model has trainable EmbeddingTables"
+            )
+        return shapes
+
+    def _make_sparse_train_step(self, loss_fns, task_metrics, tap_shapes, sparse, with_metrics):
+        graphdef = self._graphdef
+        emb_type = _embedding_param_type()
+
+        def step_fn(dense_params, emb_params, rest, opt_state, metric_states, x, y, step):
+            taps = {k: jnp.zeros(s) for k, s in tap_shapes.items()}
+
+            def loss_fn(dp, taps):
+                model = nnx.merge(graphdef, emb_params, dp, rest)
+                context = ModelContext(features=x, targets=y, step=step)
+                context["taps"] = taps
+                context["tap_ids"] = {}
+                preds = call_block(model, x, targets=y, training=True, context=context)
+                pred_dict = model._as_pred_dict(preds)
+                total, logs = model._compute_losses(pred_dict, x, loss_fns)
+                _, _, _, new_rest = nnx.split(model, emb_type, nnx.Param, ...)
+                return total, (logs, context["tap_ids"], pred_dict, new_rest)
+
+            (loss_val, (logs, tap_ids, pred_dict, new_rest)), (gd, gt) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(dense_params, taps)
+            updates, opt_state = self._tx.update(gd, opt_state, dense_params)
+            dense_params = optax.apply_updates(dense_params, updates)
+
+            # scatter-update the tables (and slots) at the looked-up rows
+            model = nnx.merge(graphdef, emb_params, dense_params, new_rest)
+            for table in model._embedding_tables():
+                prefix = table._tap_key + ":"
+                for key, ids in tap_ids.items():
+                    if key.startswith(prefix):
+                        sparse.apply(table, ids, gt[key], step)
+            if with_metrics:
+                metric_states = model._update_metrics(metric_states, pred_dict, x, task_metrics)
+            _, new_emb, new_dense, new_rest2 = nnx.split(model, emb_type, nnx.Param, ...)
+            return new_dense, new_emb, new_rest2, opt_state, metric_states, logs
+
+        if self._jit:
+            step_fn = jax.jit(step_fn, donate_argnums=(0, 1, 2, 3, 4))
+        return step_fn
+
     def _make_eval_step(self, loss_fns, task_metrics):
         graphdef = self._graphdef
 
@@ -401,21 +492,54 @@ class BaseModel(Block):
         self.build(loader)
         self._pre_transform = as_block(pre) if pre is not None else None
 
-        graphdef, params, rest = self._split()
+        sparse = getattr(self, "_emb_opt", None)
+        tap_shapes = None
+        if sparse is not None:
+            tap_shapes = self._setup_sparse_embeddings(loader, sparse)
+            graphdef, emb_params, params, rest = nnx.split(
+                self, _embedding_param_type(), nnx.Param, ...
+            )
+        else:
+            emb_params = None
+            graphdef, params, rest = self._split()
+        from ..blocks.optimizer import MultiOptimizer
+
+        if isinstance(self._tx, MultiOptimizer):
+            self._tx = self._tx.build(params)
+        frozen = self.frozen_blocks()
+        if frozen:
+            # frozen blocks get zero updates (reference freeze_blocks semantics)
+            self._tx = MultiOptimizer(
+                default=self._tx, rules=[(b, optax.set_to_zero()) for b in frozen]
+            ).build(params)
         if mesh is not None:
             from ..parallel.mesh import replicate, shard_state
 
             params = shard_state(params, mesh, shard_rules)
             rest = replicate(rest, mesh)
+            if emb_params is not None:
+                emb_params = shard_state(emb_params, mesh, shard_rules)
         self._graphdef = graphdef
         loss_fns = self._resolve_task_losses()
         task_metrics = self._resolve_task_metrics()
-        train_step = self._make_train_step(loss_fns, task_metrics, with_metrics=True)
-        train_step_fast = (
-            train_step
-            if self.train_metrics_steps == 1
-            else self._make_train_step(loss_fns, task_metrics, with_metrics=False)
-        )
+        if sparse is not None:
+            train_step = self._make_sparse_train_step(
+                loss_fns, task_metrics, tap_shapes, sparse, with_metrics=True
+            )
+            train_step_fast = (
+                train_step
+                if self.train_metrics_steps == 1
+                else self._make_sparse_train_step(
+                    loss_fns, task_metrics, tap_shapes, sparse, with_metrics=False
+                )
+            )
+        else:
+            train_step = self._make_train_step(loss_fns, task_metrics, with_metrics=True)
+            train_step_fast = (
+                train_step
+                if self.train_metrics_steps == 1
+                else self._make_train_step(loss_fns, task_metrics, with_metrics=False)
+            )
         opt_state = self._tx.init(params)
         if mesh is not None:
             from ..parallel.mesh import shard_state
@@ -450,9 +574,15 @@ class BaseModel(Block):
                     y = shard_batch(y, mesh)
                 use_metrics = (global_step % self.train_metrics_steps) == 0
                 fn = train_step if use_metrics else train_step_fast
-                params, rest, opt_state, metric_states, logs = fn(
-                    params, rest, opt_state, metric_states, x, y, jnp.asarray(global_step)
-                )
+                if sparse is not None:
+                    params, emb_params, rest, opt_state, metric_states, logs = fn(
+                        params, emb_params, rest, opt_state, metric_states, x, y,
+                        jnp.asarray(global_step),
+                    )
+                else:
+                    params, rest, opt_state, metric_states, logs = fn(
+                        params, rest, opt_state, metric_states, x, y, jnp.asarray(global_step)
+                    )
                 last_logs = logs
                 n_examples += loader.batch_size
                 global_step += 1
@@ -480,7 +610,10 @@ class BaseModel(Block):
             if self.stop_training:
                 break
 
-        nnx.update(self, params, rest)
+        if emb_params is not None:
+            nnx.update(self, params, emb_params, rest)
+        else:
+            nnx.update(self, params, rest)
         self.history = history
         return history
 

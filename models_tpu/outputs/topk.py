@@ -85,11 +85,14 @@ class BruteForce(TopKLayer):
         if self.candidates is None:
             raise ValueError("BruteForce index is empty; call index() first")
         k = k or self.k
-        scores = jnp.matmul(
-            queries, self.candidates.value.T, preferred_element_type=jnp.float32
+        from ..ops.topk import topk_scores
+
+        # tiled kernel for big catalogs (never materializes (B, C) in HBM);
+        # direct fused matmul+top_k for small ones
+        top_scores, top_ids = topk_scores(
+            queries, self.candidates.value, k, ids=self.ids.value
         )
-        top_scores, top_idx = jax.lax.top_k(scores, k)
-        return TopKPrediction(top_scores, jnp.take(self.ids.value, top_idx))
+        return TopKPrediction(top_scores, top_ids)
 
     def score_all(self, queries) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Full (B, C) score matrix + ids — used by corpus evaluation."""

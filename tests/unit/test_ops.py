@@ -1,0 +1,154 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from models_tpu.ops.contrastive import sampled_softmax_loss
+from models_tpu.ops.embedding_lookup import sharded_lookup, sharded_update_rows
+from models_tpu.ops.topk import blockwise_topk, sharded_topk, topk_scores
+
+
+def test_blockwise_topk_matches_direct():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((16, 32)), jnp.float32)
+    cand = jnp.asarray(rng.standard_normal((10_000, 32)), jnp.float32)
+    ref = np.sort(np.asarray(q @ cand.T), axis=1)[:, -5:][:, ::-1]
+    s, i = blockwise_topk(q, cand, 5, tile=1024)
+    np.testing.assert_allclose(np.asarray(s), ref, rtol=1e-4)
+    # non-multiple-of-tile catalog
+    s2, i2 = blockwise_topk(q, cand[:9500], 5, tile=1024)
+    ref2 = np.sort(np.asarray(q @ cand[:9500].T), axis=1)[:, -5:][:, ::-1]
+    np.testing.assert_allclose(np.asarray(s2), ref2, rtol=1e-4)
+
+
+def test_topk_scores_with_custom_ids():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32)
+    cand = jnp.asarray(rng.standard_normal((5000, 16)), jnp.float32)
+    ids = jnp.arange(5000, dtype=jnp.int32) * 7 + 3
+    s, i = topk_scores(q, cand, 3, ids=ids, tile=512, prefer_pallas=False)
+    direct = np.asarray(q @ cand.T)
+    best_idx = np.argsort(-direct, axis=1)[:, :3]
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ids)[best_idx])
+
+
+def test_sharded_topk_on_virtual_mesh():
+    from models_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")[:4]
+    mesh = make_mesh({"model": 4}, devices=devs)
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+    cand = jnp.asarray(rng.standard_normal((4096, 16)), jnp.float32)
+    s, i = sharded_topk(q, cand, 5, mesh, axis="model", tile=512)
+    ref = np.sort(np.asarray(q @ cand.T), axis=1)[:, -5:][:, ::-1]
+    np.testing.assert_allclose(np.asarray(s), ref, rtol=1e-4)
+
+
+def test_sampled_softmax_loss_matches_dense():
+    rng = np.random.default_rng(3)
+    Q, D, N = 32, 16, 500
+    q = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32)
+    pos = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32)
+    neg = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+
+    def dense_loss(q, pos, neg):
+        pos_l = jnp.sum(q * pos, axis=-1, keepdims=True)
+        neg_l = q @ neg.T
+        logits = jnp.concatenate([pos_l, neg_l], axis=1)
+        return jnp.mean(jax.nn.logsumexp(logits, axis=1) - logits[:, 0])
+
+    expected = dense_loss(q, pos, neg)
+    got = sampled_softmax_loss(q, pos, neg, None, None, None, 1.0, 128)
+    np.testing.assert_allclose(float(got), float(expected), rtol=1e-5)
+
+
+def test_sampled_softmax_loss_grads_match_dense():
+    rng = np.random.default_rng(4)
+    Q, D, N = 8, 8, 96
+    q = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32)
+    pos = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32)
+    neg = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+
+    def dense_loss(q, pos, neg):
+        pos_l = jnp.sum(q * pos, axis=-1, keepdims=True)
+        neg_l = q @ neg.T
+        logits = jnp.concatenate([pos_l, neg_l], axis=1)
+        return jnp.mean(jax.nn.logsumexp(logits, axis=1) - logits[:, 0])
+
+    def block_loss(q, pos, neg):
+        return sampled_softmax_loss(q, pos, neg, None, None, None, 1.0, 32)
+
+    g_ref = jax.grad(dense_loss, argnums=(0, 1, 2))(q, pos, neg)
+    g_got = jax.grad(block_loss, argnums=(0, 1, 2))(q, pos, neg)
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_sampled_softmax_false_negative_masking():
+    rng = np.random.default_rng(5)
+    Q, D, N = 4, 8, 16
+    q = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32)
+    pos = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32)
+    neg = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    pos_id = jnp.array([1, 2, 3, 4])
+    neg_id = jnp.arange(N)  # ids 1..4 collide with positives
+    with_mask = sampled_softmax_loss(q, pos, neg, pos_id, neg_id, None, 1.0, 8)
+    without = sampled_softmax_loss(q, pos, neg, None, None, None, 1.0, 8)
+    assert float(with_mask) < float(without) + 1e-6  # masked collisions lower LSE
+
+
+def test_sampled_softmax_weights():
+    rng = np.random.default_rng(6)
+    Q, D, N = 6, 4, 32
+    q = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32)
+    pos = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32)
+    neg = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    w = jnp.array([1, 1, 0, 0, 0, 0], jnp.float32)
+    loss_w = sampled_softmax_loss(q, pos, neg, None, None, w, 1.0, 16)
+    loss_2 = sampled_softmax_loss(q[:2], pos[:2], neg, None, None, None, 1.0, 16)
+    np.testing.assert_allclose(float(loss_w), float(loss_2), rtol=1e-5)
+
+
+def test_sharded_lookup_matches_gather():
+    from models_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")[:4]
+    mesh = make_mesh({"model": 4}, devices=devs)
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.standard_normal((64, 8)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 64, size=20), jnp.int32)
+    out = sharded_lookup(table, ids, mesh, axis="model")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table)[np.asarray(ids)], rtol=1e-6)
+
+
+def test_sharded_lookup_grad_is_scatter():
+    from models_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")[:2]
+    mesh = make_mesh({"model": 2}, devices=devs)
+    table = jnp.ones((16, 4), jnp.float32)
+    ids = jnp.array([0, 3, 9, 3], jnp.int32)
+
+    def f(t):
+        return jnp.sum(sharded_lookup(t, ids, mesh) * 2.0)
+
+    g = np.asarray(jax.grad(f)(table))
+    expected = np.zeros((16, 4), np.float32)
+    for i in ids:
+        expected[int(i)] += 2.0
+    np.testing.assert_allclose(g, expected)
+
+
+def test_sharded_update_rows():
+    from models_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")[:2]
+    mesh = make_mesh({"model": 2}, devices=devs)
+    table = jnp.zeros((8, 4), jnp.float32)
+    ids = jnp.array([1, 6, 1], jnp.int32)
+    upd = jnp.ones((3, 4), jnp.float32)
+    out = np.asarray(sharded_update_rows(table, ids, upd, mesh))
+    assert out[1, 0] == 2.0  # duplicate id accumulated
+    assert out[6, 0] == 1.0
+    assert out[0, 0] == 0.0

@@ -9,3 +9,4 @@ from .topk import (
     TopKMetricsAggregator,
     extract_topk,
 )
+from .evaluation import ItemCoverageAt, NoveltyAt, PopularityBiasAt

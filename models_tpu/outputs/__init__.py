@@ -13,3 +13,4 @@ from .base import (
 from .contrastive import ContrastiveOutput
 from .sampling import Candidate, CandidateSampler, InBatchSampler, PopularityBasedSampler
 from .topk import BruteForce, TopKLayer, TopKOutput
+from .queue import CachedCrossBatchSampler, FIFOQueue

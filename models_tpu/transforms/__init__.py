@@ -1,3 +1,4 @@
+from .bias import LogitsTemperatureScaler, PopularityLogitsCorrection
 from .features import (
     BroadcastToSequence,
     CategoryEncoding,
@@ -7,4 +8,17 @@ from .features import (
     PrepareFeatures,
     ToTarget,
 )
+from .negative_sampling import InBatchNegatives
+from .noise import StochasticSwapNoise
 from .regularization import L2Norm
+from .sequence import (
+    ExtractMaskFromTargets,
+    ReplaceMaskedEmbeddings,
+    SequenceMaskLast,
+    SequenceMaskLastInference,
+    SequenceMaskRandom,
+    SequencePredictLast,
+    SequencePredictNext,
+    SequencePredictRandom,
+    SequenceTargetAsInput,
+)

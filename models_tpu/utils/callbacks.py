@@ -1,0 +1,134 @@
+"""Training callbacks (reference ``merlin/models/tf/logging/callbacks.py``).
+
+The engine calls ``set_model`` / ``on_epoch_begin`` / ``on_batch_end`` /
+``on_epoch_end`` (duck-typed — any object with some of these works).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+
+class Callback:
+    model = None
+
+    def set_model(self, model):
+        self.model = model
+
+    def on_epoch_begin(self, epoch):
+        pass
+
+    def on_batch_end(self, step, logs):
+        pass
+
+    def on_epoch_end(self, epoch, logs):
+        pass
+
+
+class ExamplesPerSecondCallback(Callback):
+    """Throughput every N batches (reference ``ExamplesPerSecondCallback:124``)."""
+
+    def __init__(self, batch_size: int, every_n_steps: int = 100, log_fn=print):
+        self.batch_size = batch_size
+        self.every_n_steps = every_n_steps
+        self.log_fn = log_fn
+        self._t0 = None
+        self._epoch_t0 = None
+        self._count = 0
+        self.history = []
+
+    def on_epoch_begin(self, epoch):
+        self._t0 = time.perf_counter()
+        self._epoch_t0 = self._t0
+        self._count = 0
+
+    def on_batch_end(self, step, logs):
+        self._count += 1
+        if self._count % self.every_n_steps == 0:
+            dt = time.perf_counter() - self._t0
+            eps = self.every_n_steps * self.batch_size / max(dt, 1e-9)
+            self.history.append(eps)
+            self.log_fn(f"examples/sec (last {self.every_n_steps} steps): {eps:,.0f}")
+            self._t0 = time.perf_counter()
+
+
+class WandbLogger(Callback):
+    """Weights & Biases logging (reference ``WandbLogger:8``). No-ops cleanly when
+    wandb is unavailable (this environment has no egress)."""
+
+    def __init__(self, project: str = "models-tpu", run_name: Optional[str] = None, config=None):
+        try:
+            import wandb  # noqa
+
+            self._wandb = wandb
+        except ImportError:
+            self._wandb = None
+        self.project = project
+        self.run_name = run_name
+        self.config = config or {}
+        self._run = None
+
+    def set_model(self, model):
+        super().set_model(model)
+        if self._wandb is not None and self._run is None:
+            self._run = self._wandb.init(project=self.project, name=self.run_name,
+                                         config=self.config)
+
+    def on_epoch_end(self, epoch, logs):
+        if self._run is not None:
+            self._wandb.log(dict(logs), step=epoch)
+
+    def finish(self):
+        if self._run is not None:
+            self._run.finish()
+
+
+class EarlyStopping(Callback):
+    """Stop when a monitored metric stops improving."""
+
+    def __init__(self, monitor: str = "loss", patience: int = 3, mode: str = "min",
+                 min_delta: float = 0.0):
+        self.monitor = monitor
+        self.patience = patience
+        self.mode = mode
+        self.min_delta = min_delta
+        self.best = None
+        self.wait = 0
+
+    def on_epoch_end(self, epoch, logs):
+        value = logs.get(self.monitor)
+        if value is None:
+            return
+        improved = (
+            self.best is None
+            or (self.mode == "min" and value < self.best - self.min_delta)
+            or (self.mode == "max" and value > self.best + self.min_delta)
+        )
+        if improved:
+            self.best = value
+            self.wait = 0
+        else:
+            self.wait += 1
+            if self.wait >= self.patience and self.model is not None:
+                self.model.stop_training = True
+
+
+class ProfilerCallback(Callback):
+    """Capture a jax.profiler trace for selected steps (TPU timeline inspection)."""
+
+    def __init__(self, log_dir: str = "/tmp/jax_trace", start_step: int = 5, num_steps: int = 5):
+        self.log_dir = log_dir
+        self.start_step = start_step
+        self.stop_step = start_step + num_steps
+        self._active = False
+
+    def on_batch_end(self, step, logs):
+        import jax
+
+        if step + 1 == self.start_step and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif step + 1 == self.stop_step and self._active:
+            jax.profiler.stop_trace()
+            self._active = False

@@ -1,0 +1,148 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from models_tpu.core.types import ModelContext, Prediction, SequenceFeature
+from models_tpu.data import Dataset, generate_data
+from models_tpu.metrics.evaluation import ItemCoverageAt, NoveltyAt, PopularityBiasAt
+from models_tpu.outputs.queue import CachedCrossBatchSampler, FIFOQueue
+from models_tpu.outputs.sampling import Candidate
+from models_tpu.transforms.bias import PopularityLogitsCorrection
+from models_tpu.transforms.negative_sampling import InBatchNegatives
+from models_tpu.transforms.noise import StochasticSwapNoise
+from models_tpu.utils.callbacks import EarlyStopping, ExamplesPerSecondCallback
+from models_tpu.utils.checkpoint import CheckpointManager
+from models_tpu.utils.misc import Timing
+
+
+def test_popularity_logits_correction():
+    freqs = np.array([100.0, 10.0, 1.0])
+    corr = PopularityLogitsCorrection(freqs)
+    logits = jnp.zeros((2, 4))  # [pos | 3 negs]
+    pred = Prediction(outputs=logits, targets=None,
+                      negative_candidate_ids=jnp.array([0, 1, 2]))
+    out = corr(pred)
+    # popular item 0 gets the largest subtraction -> most negative logit
+    arr = np.asarray(out.outputs)
+    assert arr[0, 1] < arr[0, 2] < arr[0, 3]
+    assert arr[0, 0] == 0.0  # positive column untouched
+
+
+def test_stochastic_swap_noise():
+    x = {"a": jnp.arange(32, dtype=jnp.float32)}
+    t = StochasticSwapNoise(pad_ratio=0.5, seed=1)
+    ctx = ModelContext()
+    ctx["step"] = 0
+    out = t(x, training=True, context=ctx)
+    changed = (np.asarray(out["a"]) != np.asarray(x["a"])).mean()
+    assert 0.1 < changed < 0.9
+    # inference: untouched
+    out2 = t(x, training=False)
+    np.testing.assert_array_equal(np.asarray(out2["a"]), np.asarray(x["a"]))
+
+
+def test_in_batch_negatives(music_streaming_data):
+    from models_tpu.data import Loader
+
+    schema = music_streaming_data.schema
+    loader = Loader(music_streaming_data, 16, drop_last=True)
+    x, y = loader.peek()
+    from models_tpu.core.types import to_device_batch
+
+    x = to_device_batch(x)
+    t = InBatchNegatives(schema, n_per_positive=2)
+    ctx = ModelContext(features=x)
+    ctx["step"] = 0
+    x2, y2 = t(x, targets={k: jnp.asarray(v) for k, v in y.items()}, context=ctx)
+    assert x2["item_id"].shape[0] == 48
+    assert x2["user_id"].shape[0] == 48
+    # user features repeat, item features shuffle
+    np.testing.assert_array_equal(np.asarray(x2["user_id"][:16]), np.asarray(x2["user_id"][16:32]))
+    assert y2["click"].shape[0] == 48
+    assert float(y2["click"][16:].sum()) == 0.0
+
+
+def test_fifo_queue_wraps():
+    q = FIFOQueue(capacity=8, dim=4)
+    q.enqueue(jnp.arange(6), jnp.ones((6, 4)))
+    q.enqueue(jnp.arange(6, 12), 2 * jnp.ones((6, 4)))
+    snap = q.snapshot()
+    ids = np.asarray(snap.id)
+    # capacity 8, 12 enqueued -> ids 4..11 present (ring wrapped)
+    assert set(ids.tolist()) == set(range(4, 12))
+
+
+def test_cross_batch_sampler():
+    s = CachedCrossBatchSampler(capacity=16, dim=4)
+    pos = Candidate(id=jnp.arange(8), embedding=jnp.ones((8, 4)))
+    first = s(pos, training=True)
+    assert (np.asarray(first.id) == -1).all()  # empty before first enqueue
+    second = s(pos, training=True)
+    assert (np.asarray(second.id)[:8] == np.arange(8)).all()
+
+
+def test_beyond_accuracy_metrics():
+    freqs = np.array([1000.0, 100.0, 10.0, 1.0])
+    ids = jnp.array([[0, 1], [2, 3]])
+    for metric, check in [
+        (NoveltyAt(freqs, k=2), lambda v: v > 0),
+        (PopularityBiasAt(freqs, k=2), lambda v: 0 <= v <= 1),
+        (ItemCoverageAt(freqs, k=2), lambda v: abs(v - 1.0) < 1e-6),
+    ]:
+        state = metric.init_state()
+        state = metric.update(state, None, ids)
+        assert check(float(metric.result(state)))
+
+
+def test_item_coverage_partial():
+    freqs = np.ones(10)
+    m = ItemCoverageAt(freqs, k=2)
+    state = m.init_state()
+    state = m.update(state, None, jnp.array([[0, 1]]))
+    assert abs(float(m.result(state)) - 0.2) < 1e-6
+
+
+def test_early_stopping():
+    class FakeModel:
+        stop_training = False
+
+    cb = EarlyStopping(monitor="loss", patience=2)
+    cb.set_model(FakeModel())
+    for epoch, loss in enumerate([1.0, 0.9, 0.95, 0.97, 0.99]):
+        cb.on_epoch_end(epoch, {"loss": loss})
+    assert cb.model.stop_training
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 20, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 20, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    ds = Dataset(
+        {"user_id": np.arange(32, dtype=np.int32) % 20,
+         "item_id": np.arange(32, dtype=np.int32) % 20},
+        schema=schema,
+    )
+    m = MatrixFactorizationModel(schema, dim=8)
+    m.build(ds)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, m)
+    before = m.query_encoder.table.to_array().copy()
+    # perturb then restore
+    from flax import nnx
+
+    m.query_encoder.table.table.value = m.query_encoder.table.table.value + 1.0
+    mgr.restore(m, step=0)
+    np.testing.assert_allclose(m.query_encoder.table.to_array(), before, rtol=1e-6)
+
+
+def test_timing():
+    with Timing("", log_fn=lambda s: None) as t:
+        pass
+    assert t["seconds"] >= 0

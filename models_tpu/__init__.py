@@ -7,6 +7,8 @@ NVIDIA Merlin Models, redesigned for TPU.
 
 __version__ = "0.1.0"
 
+from .api import MerlinModel
+from .registry import Registry
 from .schema import (
     ColumnSchema,
     Domain,
@@ -16,4 +18,175 @@ from .schema import (
     create_continuous_column,
     infer_embedding_dim,
 )
-from .registry import Registry
+
+# core DSL
+from .core import (
+    AsTabular,
+    Block,
+    Cond,
+    Debug,
+    Filter,
+    Lambda,
+    MapValues,
+    ModelContext,
+    NoOp,
+    ParallelBlock,
+    Prediction,
+    ResidualBlock,
+    SequenceFeature,
+    SequentialBlock,
+    TopKPrediction,
+    WithShortcut,
+)
+from .core.encoder import EmbeddingEncoder, Encoder, TopKEncoder
+
+# data plane
+from .data import Dataset, Loader, generate_data, sample_batch
+
+# inputs
+from .inputs import (
+    Continuous,
+    ContinuousProjection,
+    Embeddings,
+    EmbeddingTable,
+    InputBlock,
+    InputBlockV2,
+    PretrainedEmbeddings,
+)
+
+# blocks
+from .blocks import (
+    BatchNorm,
+    CGCBlock,
+    Cross,
+    CrossBlock,
+    Dense,
+    DenseResidualBlock,
+    DLRMBlock,
+    DotProductInteraction,
+    Dropout,
+    ExpertsGate,
+    FMBlock,
+    FMPairwiseInteraction,
+    LayerNorm,
+    MLPBlock,
+    MMOEBlock,
+    PLEBlock,
+    XDeepFmOuterProduct,
+)
+from .blocks.optimizer import (
+    LazyAdam,
+    MultiOptimizer,
+    SparseEmbeddingOptimizer,
+    split_embeddings_on_size,
+)
+
+# outputs / heads / samplers
+from .outputs import (
+    BinaryOutput,
+    BruteForce,
+    CachedCrossBatchSampler,
+    Candidate,
+    CandidateSampler,
+    CategoricalOutput,
+    CategoricalTarget,
+    ColumnBasedSampleWeight,
+    ContrastiveOutput,
+    DotProduct,
+    EmbeddingTablePrediction,
+    FIFOQueue,
+    InBatchSampler,
+    LogitsTemperatureScaler,
+    ModelOutput,
+    OutputBlock,
+    PopularityBasedSampler,
+    RegressionOutput,
+    TopKLayer,
+    TopKOutput,
+)
+
+# transforms
+from .transforms import (
+    BroadcastToSequence,
+    CategoryEncoding,
+    ExpandDims,
+    ExtractMaskFromTargets,
+    HashedCross,
+    HashedCrossAll,
+    InBatchNegatives,
+    L2Norm,
+    PopularityLogitsCorrection,
+    PrepareFeatures,
+    ReplaceMaskedEmbeddings,
+    SequenceMaskLast,
+    SequenceMaskLastInference,
+    SequenceMaskRandom,
+    SequencePredictLast,
+    SequencePredictNext,
+    SequencePredictRandom,
+    SequenceTargetAsInput,
+    StochasticSwapNoise,
+    ToTarget,
+)
+
+# metrics & losses
+from . import losses
+from .metrics import (
+    AUC,
+    AvgPrecisionAt,
+    BinaryAccuracy,
+    ItemCoverageAt,
+    LogLoss,
+    MAE,
+    MRRAt,
+    NDCGAt,
+    NoveltyAt,
+    PopularityBiasAt,
+    Precision,
+    PrecisionAt,
+    RecallAt,
+    Recall,
+    RMSE,
+    TopKMetric,
+    TopKMetricsAggregator,
+)
+
+# models
+from .models import (
+    BaseModel,
+    DCNModel,
+    DeepFMModel,
+    DLRMModel,
+    MatrixFactorizationModel,
+    MatrixFactorizationModelV2,
+    MMOEModel,
+    Model,
+    ModelBlock,
+    NCFModel,
+    PLEModel,
+    RetrievalModelV2,
+    TwoTowerModel,
+    TwoTowerModelV2,
+    WideAndDeepModel,
+    YoutubeDNNRetrievalModel,
+)
+from .models.session import SessionBasedTransformerModel
+
+# transformers
+from .transformer.block import (
+    AlbertBlock,
+    BertBlock,
+    GPT2Block,
+    LastHiddenState,
+    RobertaBlock,
+    SequenceSummary,
+    TransformerBlock,
+    TransformerInferenceHiddenState,
+    XLNetBlock,
+)
+
+# distribution
+from .parallel.mesh import make_mesh
+
+# persistence
+from .utils.io import load_model, save_model

@@ -1,0 +1,131 @@
+import numpy as np
+import pytest
+
+from models_tpu.api import MerlinModel
+from models_tpu.data import Dataset, generate_data
+from models_tpu.schema import Tags
+from models_tpu.xgb import dataset_to_xy
+
+
+def test_torch_mlp_model(music_streaming_data):
+    pytest.importorskip("torch")
+    from models_tpu.torch_backend import TorchMLPModel
+
+    schema = music_streaming_data.schema.excluding_by_name(["play_percentage"])
+    model = TorchMLPModel(schema, dims=(32, 16))
+    hist = model.fit(music_streaming_data, epochs=1, batch_size=32)
+    assert np.isfinite(hist["loss"][0])
+    res = model.evaluate(music_streaming_data, batch_size=32)
+    assert "click/binary_accuracy" in res
+    preds = model.predict(music_streaming_data, batch_size=32)
+    assert preds["click"].shape == (256,)
+    assert (preds["click"] >= 0).all() and (preds["click"] <= 1).all()
+
+
+def test_torch_dlrm_learns_planted_signal():
+    pytest.importorskip("torch")
+    import pyarrow as pa
+
+    from models_tpu.torch_backend import TorchDLRMModel
+
+    ds = generate_data("e-commerce", num_rows=512)
+    tb = ds.to_table()
+    sig = np.asarray(tb.column("user_gender"))
+    click = (sig >= 2).astype(np.int32)
+    tb = tb.drop_columns(["click"]).append_column("click", pa.array(click))
+    ds2 = Dataset(tb, schema=ds.schema.excluding_by_name("conversion"))
+    model = TorchDLRMModel(ds2.schema, embedding_dim=8, top=(32, 16))
+    model.fit(ds2, epochs=4, batch_size=64, learning_rate=0.01)
+    res = model.evaluate(ds2, batch_size=64)
+    assert res["click/binary_accuracy"] > 0.9
+
+
+def test_torch_dcn_runs(ecommerce_data):
+    pytest.importorskip("torch")
+    from models_tpu.torch_backend import TorchDCNModel
+
+    model = TorchDCNModel(ecommerce_data.schema, depth=1, deep=(16,))
+    hist = model.fit(ecommerce_data, epochs=1, batch_size=32)
+    assert np.isfinite(hist["loss"][0])
+
+
+def test_torch_save_load(tmp_path, ecommerce_data):
+    pytest.importorskip("torch")
+    from models_tpu.torch_backend import TorchMLPModel
+
+    model = TorchMLPModel(ecommerce_data.schema, dims=(16,))
+    model.fit(ecommerce_data, epochs=1, batch_size=32)
+    model.save(str(tmp_path / "torch_model"))
+    model2 = TorchMLPModel(ecommerce_data.schema, dims=(16,))
+    model2.load_weights(str(tmp_path / "torch_model"))
+    p1 = model.predict(ecommerce_data, batch_size=64)
+    p2 = model2.predict(ecommerce_data, batch_size=64)
+    np.testing.assert_allclose(p1["click"], p2["click"], rtol=1e-6)
+
+
+def test_torch_model_satisfies_protocol(ecommerce_data):
+    pytest.importorskip("torch")
+    from models_tpu.torch_backend import TorchMLPModel
+
+    model = TorchMLPModel(ecommerce_data.schema, dims=(8,))
+    assert isinstance(model, MerlinModel)
+
+
+def test_jax_model_satisfies_protocol():
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.schema import Schema, create_categorical_column
+
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 10, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 10, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    m = MatrixFactorizationModel(schema, dim=4)
+    assert isinstance(m, MerlinModel)
+
+
+def test_xgb_dataset_conversion(music_streaming_data):
+    X, y, qid, names = dataset_to_xy(music_streaming_data, target_column="click")
+    assert X.shape == (256, len(names))
+    assert y.shape == (256,)
+    assert qid is not None  # user_id present
+    assert "item_genres" in names  # list col pooled
+    assert not np.isnan(X).any()
+
+
+def test_coo_conversion():
+    from models_tpu.baselines import dataset_to_coo
+
+    ds = generate_data("movielens-100k", num_rows=100)
+    coo = dataset_to_coo(ds)
+    assert coo.shape == (944, 1681)
+    assert coo.nnz == 100
+
+
+def test_dataset_accessors_synthetic_fallback(tmp_path):
+    from models_tpu.data.datasets import get_aliccp, get_movielens
+
+    train, valid = get_movielens(variant="ml-100k", num_rows=200)
+    assert train.num_rows == 160 and valid.num_rows == 40
+    assert "movieId" in train.schema
+
+    t2, v2 = get_aliccp(num_rows=100)
+    assert "click" in t2.schema
+
+
+def test_movielens_raw_loader(tmp_path):
+    from models_tpu.data.datasets import get_movielens
+
+    raw = np.column_stack(
+        [
+            np.random.randint(1, 50, 200),
+            np.random.randint(1, 100, 200),
+            np.random.randint(1, 6, 200),
+            np.arange(200),
+        ]
+    )
+    np.savetxt(tmp_path / "u.data", raw, fmt="%d")
+    train, valid = get_movielens(path=str(tmp_path), variant="ml-100k")
+    assert train.num_rows + valid.num_rows == 200
+    assert train.schema["rating_binary"].is_target

@@ -27,7 +27,16 @@ ROW_VALID_KEY = "__row_valid__"
 
 
 def pad_ragged(values: np.ndarray, offsets: np.ndarray, max_len: int):
-    """Vectorized ragged → (padded values, mask)."""
+    """Ragged → (padded values, mask): native C++ single-pass kernel when built
+    (``data/native/fastbatch.cc``), vectorized numpy otherwise."""
+    try:
+        from . import native
+
+        out = native.pad_ragged(values, offsets, max_len)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     lengths = np.diff(offsets)
     batch = len(lengths)
     pos = np.arange(max_len)[None, :]

@@ -104,3 +104,28 @@ def test_unique_by():
     unique = ds.unique_by("item_id")
     ids = unique.to_numpy_dict()["item_id"]
     assert len(ids) == len(np.unique(ids))
+
+
+def test_native_pad_ragged_matches_numpy():
+    from models_tpu.data import native
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("no C++ compiler available")
+    rng = np.random.default_rng(0)
+    lens = rng.integers(0, 6, size=500)
+    offsets = np.zeros(501, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    values = rng.standard_normal(int(offsets[-1])).astype(np.float32)
+    out = native.pad_ragged(values, offsets, 6)
+    assert out is not None
+    padded, mask = out
+    # numpy reference
+    exp_p, exp_m = np.zeros((500, 6), np.float32), np.zeros((500, 6), bool)
+    for i in range(500):
+        n = min(lens[i], 6)
+        exp_p[i, :n] = values[offsets[i] : offsets[i] + n]
+        exp_m[i, :n] = True
+    np.testing.assert_array_equal(padded, exp_p)
+    np.testing.assert_array_equal(mask, exp_m)

@@ -1,0 +1,122 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from models_tpu.parallel.mesh import (
+    DEFAULT_RULES,
+    batch_sharding,
+    make_mesh,
+    shard_batch,
+    shard_state,
+    sharding_for_tree,
+)
+
+
+def cpu_mesh(shape):
+    n = int(np.prod(list(shape.values())))
+    return make_mesh(shape, devices=jax.devices("cpu")[:n])
+
+
+def test_make_mesh_shapes():
+    mesh = cpu_mesh({"data": 4, "model": 2})
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh({"data": 3}, devices=jax.devices("cpu")[:8])
+
+
+def test_sharding_rules_tables_divisible():
+    from flax import nnx
+
+    from models_tpu.inputs.embedding import EmbeddingTable
+    from models_tpu.schema import create_categorical_column
+
+    mesh = cpu_mesh({"data": 2, "model": 2})
+    table = EmbeddingTable(8, create_categorical_column("item", 99))  # 100→104 padded rows
+    graphdef, state = nnx.split(table)
+    shardings = sharding_for_tree(state, mesh)
+    leaves = jax.tree_util.tree_leaves_with_path(shardings)
+    from models_tpu.parallel.mesh import _path_to_str
+
+    table_sharding = [s for p, s in leaves if "table" in _path_to_str(p)][0]
+    assert table_sharding.spec == jax.sharding.PartitionSpec("model", None)
+
+
+def test_sharding_rules_skip_indivisible():
+    from flax import nnx
+
+    from models_tpu.inputs.embedding import EmbeddingTable
+    from models_tpu.schema import create_categorical_column
+
+    mesh = cpu_mesh({"data": 2, "model": 2})
+    # 8 rows padded stays 8 → divisible; use dim not divisible? rows 8 % 2 == 0.
+    # use a mesh axis of 3... not possible with 8 devs; instead check replication
+    # for a rule that doesn't fit via a fake 3-axis is skipped on dims check
+    from models_tpu.parallel.mesh import _spec_fits
+    from jax.sharding import PartitionSpec as P
+
+    assert _spec_fits(P("model", None), (104, 8), mesh)
+    assert not _spec_fits(P("model", None), (7, 8), mesh)
+
+
+def test_shard_batch_places_leading_axis():
+    mesh = cpu_mesh({"data": 4, "model": 2})
+    batch = {"a": jnp.ones((16, 3)), "b": jnp.ones((7,))}  # 7 not divisible → replicated
+    out = shard_batch(batch, mesh)
+    assert out["a"].sharding.spec == jax.sharding.PartitionSpec("data")
+    assert out["b"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_fit_on_mesh_matches_single_device():
+    """Data-parallel fit over a 4-device mesh must reproduce 1-device training
+    (same batches, deterministic init → same loss trajectory)."""
+    from models_tpu.data import Dataset
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+
+    rng = np.random.default_rng(0)
+    users = rng.integers(0, 49, size=256).astype(np.int32)
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 49, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 49, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    ds = Dataset({"user_id": users, "item_id": users.copy()}, schema=schema)
+
+    def run(mesh):
+        m = MatrixFactorizationModel(schema, dim=8)
+        m.compile(optimizer="adam", learning_rate=0.05)
+        h = m.fit(ds, epochs=2, batch_size=32, shuffle=False, verbose=0, mesh=mesh)
+        return h.history["loss"]
+
+    losses_single = run(None)
+    losses_mesh = run(cpu_mesh({"data": 4, "model": 1}))
+    np.testing.assert_allclose(losses_single, losses_mesh, rtol=1e-4)
+
+
+def test_fit_on_model_sharded_mesh():
+    from models_tpu.data import generate_data
+    from models_tpu.models import TwoTowerModel
+
+    ds = generate_data("movielens-100k", num_rows=128)
+    mesh = cpu_mesh({"data": 2, "model": 2})
+    m = TwoTowerModel(ds.schema, query_tower=(16, 8), embedding_dim=8)
+    m.compile()
+    h = m.fit(ds, epochs=1, batch_size=16, verbose=0, mesh=mesh)
+    assert np.isfinite(h.history["loss"][0])
+
+
+def test_chief_guards():
+    from models_tpu.parallel.mesh import chief_only, is_chief, shared_seed
+
+    assert is_chief()
+    calls = []
+
+    @chief_only
+    def record():
+        calls.append(1)
+        return "ran"
+
+    assert record() == "ran"
+    assert shared_seed(7) == 7

@@ -1,5 +1,5 @@
 from .base import InputBlock, InputBlockV2
-from .continuous import Continuous, ContinuousProjection
+from .continuous import Continuous, ContinuousEmbedding, ContinuousProjection
 from .embedding import (
     AverageEmbeddingsByWeightFeature,
     Embeddings,

@@ -47,6 +47,38 @@ class Continuous(Block):
         return out
 
 
+class ContinuousEmbedding(Block):
+    """Soft-embedding of continuous features (reference ``ContinuousEmbedding``,
+    ``tf/inputs/embedding.py:1439``): each scalar attends over a small learned
+    embedding table via a softmax projection — a smooth alternative to binning.
+
+    out = softmax(x · W_proj) @ E, with E (num_embeddings, dim).
+    """
+
+    def __init__(self, num_embeddings: int = 10, dim: int = 8, seed: int = 0):
+        import jax
+        from flax import nnx
+
+        super().__init__(block_name="continuous_embedding")
+        key1, key2 = jax.random.split(jax.random.key(seed))
+        self.proj = nnx.Param(jax.random.normal(key1, (1, num_embeddings)) * 0.05)
+        self.table = nnx.Param(jax.random.normal(key2, (num_embeddings, dim)) * 0.05)
+
+    def _embed(self, x):
+        import jax
+
+        if x.ndim == 1:
+            x = x[:, None]
+        weights = jax.nn.softmax(x @ self.proj.value, axis=-1)
+        return weights @ self.table.value
+
+    def __call__(self, inputs, **kwargs):
+        if isinstance(inputs, dict):
+            return {k: self._embed(v) for k, v in inputs.items()
+                    if not isinstance(v, SequenceFeature)}
+        return self._embed(inputs)
+
+
 def ContinuousProjection(schema: Schema, projection) -> "Block":
     """Concat continuous features then project through a block (reference
     ``continuous.py:54``)."""

@@ -129,3 +129,13 @@ def test_input_block_tower_split(ecommerce_data):
     v = item_block(x)
     assert u.shape[0] == v.shape[0] == 4
     assert u.shape[1] != v.shape[1] or True
+
+
+def test_continuous_embedding():
+    from models_tpu.inputs import ContinuousEmbedding
+
+    block = ContinuousEmbedding(num_embeddings=6, dim=4)
+    out = block(jnp.linspace(-2, 2, 8))
+    assert out.shape == (8, 4)
+    # different scalar values map to different soft embeddings
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[-1]))

@@ -53,8 +53,8 @@ def test_causal_mask_blocks_future():
     x2 = SequenceFeature(jnp.asarray(mod), jnp.ones((1, 5), bool))
     o1 = np.asarray(block(x1).values)
     o2 = np.asarray(block(x2).values)
-    np.testing.assert_allclose(o1[0, :4], o2[0, :4], atol=1e-5)
-    assert not np.allclose(o1[0, 4], o2[0, 4])
+    np.testing.assert_allclose(o1[0, :4], o2[0, :4], atol=1e-4)
+    assert not np.allclose(o1[0, 4], o2[0, 4], atol=1e-4)
 
 
 def test_session_model_predict_next(seq_data):

@@ -46,10 +46,12 @@ def test_causal_mask_blocks_future():
     from models_tpu.core.types import SequenceFeature
 
     block = GPT2Block(d_model=16, n_head=2, n_layer=2, dropout=0.0)
-    base = np.random.randn(1, 5, 16).astype(np.float32)
+    base = np.random.default_rng(42).standard_normal((1, 5, 16)).astype(np.float32)
     x1 = SequenceFeature(jnp.asarray(base), jnp.ones((1, 5), bool))
     mod = base.copy()
-    mod[0, 4] += 10.0  # change only the last item
+    # perturb a single feature of the last item (a constant shift across all
+    # features would be removed exactly by LayerNorm)
+    mod[0, 4, 0] += 10.0
     x2 = SequenceFeature(jnp.asarray(mod), jnp.ones((1, 5), bool))
     o1 = np.asarray(block(x1).values)
     o2 = np.asarray(block(x2).values)

@@ -70,6 +70,8 @@ def main():
         def loss_fn(p):
             mod = nnx.merge(graphdef, p, rest)
             context = ModelContext(features=x, targets=y, step=0)
+            # fused blockwise CE path (no metrics on these steps)
+            context["need_logits"] = False
             preds = call_block(mod, x, targets=y, training=True, context=context)
             pred_dict = mod._as_pred_dict(preds)
             total, _ = mod._compute_losses(pred_dict, x, loss_fns)

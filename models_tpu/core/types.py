@@ -104,6 +104,9 @@ class Prediction(NamedTuple):
     sample_weight: Any = None
     negative_candidate_ids: Any = None
     label_relevant_counts: Any = None
+    # set by fused-loss heads (flash-style blockwise CE): the engine uses this
+    # scalar directly instead of applying a loss fn to outputs/targets
+    precomputed_loss: Any = None
 
     @property
     def predictions(self):

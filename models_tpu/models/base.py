@@ -237,6 +237,12 @@ class BaseModel(Block):
         logs: Dict[str, jnp.ndarray] = {}
         total = jnp.zeros(())
         for name, pred in pred_dict.items():
+            if pred.precomputed_loss is not None:
+                # fused-loss head: weights/row-validity already folded in
+                weight = self._loss_weights.get(name, 1.0)
+                logs[f"loss/{name}"] = pred.precomputed_loss
+                total = total + weight * pred.precomputed_loss
+                continue
             if pred.targets is None or name not in loss_fns:
                 continue
             t, sw = _unwrap_targets(pred)
@@ -319,6 +325,7 @@ class BaseModel(Block):
             def loss_fn(p):
                 model = nnx.merge(graphdef, p, rest)
                 context = ModelContext(features=x, targets=y, step=step)
+                context["need_logits"] = with_metrics
                 preds = call_block(model, x, targets=y, training=True, context=context)
                 pred_dict = model._as_pred_dict(preds)
                 total, logs = model._compute_losses(pred_dict, x, loss_fns)
@@ -383,6 +390,7 @@ class BaseModel(Block):
             def loss_fn(dp, taps):
                 model = nnx.merge(graphdef, emb_params, dp, rest)
                 context = ModelContext(features=x, targets=y, step=step)
+                context["need_logits"] = with_metrics
                 context["taps"] = taps
                 context["tap_ids"] = {}
                 preds = call_block(model, x, targets=y, training=True, context=context)
@@ -419,6 +427,7 @@ class BaseModel(Block):
         def step_fn(params, rest, metric_states, loss_acc, x, y):
             model = nnx.merge(graphdef, params, rest)
             context = ModelContext(features=x, targets=y, testing=True)
+            context["need_logits"] = True
             preds = call_block(model, x, targets=y, training=False, context=context)
             pred_dict = model._as_pred_dict(preds)
             total, logs = model._compute_losses(pred_dict, x, loss_fns)

@@ -50,6 +50,8 @@ class ContrastiveOutput(ModelOutput):
         default_metrics_top_ks: Sequence[int] = (10,),
         query_name: str = "query",
         candidate_name: str = "candidate",
+        fused_loss: str = "auto",
+        fused_tile: int = 2048,
         **kwargs,
     ):
         from ..inputs.embedding import EmbeddingTable
@@ -83,6 +85,11 @@ class ContrastiveOutput(ModelOutput):
         self.query_name = query_name
         self.candidate_name = candidate_name
         self.top_ks = tuple(default_metrics_top_ks)
+        # fused blockwise CE ("auto" = on train steps that don't need logits for
+        # metrics): ~2x step time on large batches — the (B, 1+N) logit matrix
+        # never round-trips HBM (ops/contrastive.py)
+        self.fused_loss = fused_loss
+        self.fused_tile = int(fused_tile)
         super().__init__(
             to_call=None, target=target, logits_temperature=logits_temperature, **kwargs
         )
@@ -211,6 +218,41 @@ class ContrastiveOutput(ModelOutput):
             query, positive, weights = self._query_and_positive(inputs, context, targets)
             if positive.id is not None:
                 negatives = self._sample_negatives(positive, training, step, context=context)
+
+                # fused flash-style CE when logits aren't needed downstream
+                need_logits = bool(context.get("need_logits", True)) if context is not None else True
+                fused_ok = (
+                    self.fused_loss in ("auto", True)
+                    and training
+                    and not need_logits
+                    and negatives.embedding is not None
+                    and negatives.sampling_prob is None  # logQ path stays dense for now
+                    and positive.embedding is not None
+                )
+                if fused_ok:
+                    from ..data.loader import ROW_VALID_KEY
+                    from ..ops.contrastive import sampled_softmax_loss
+
+                    w = weights
+                    rv = context.features.get(ROW_VALID_KEY) if context is not None else None
+                    if rv is not None:
+                        rvf = rv.astype(jnp.float32)
+                        if query.shape[0] != rvf.shape[0] and query.shape[0] % rvf.shape[0] == 0:
+                            rvf = jnp.repeat(rvf, query.shape[0] // rvf.shape[0])
+                        w = rvf if w is None else w * rvf
+                    temp = self.logits_scaler.temperature if self.logits_scaler else 1.0
+                    loss = sampled_softmax_loss(
+                        query,
+                        positive.embedding,
+                        negatives.embedding,
+                        positive.id if self.downscore_false_negatives else None,
+                        negatives.id if self.downscore_false_negatives else None,
+                        w,
+                        temp,
+                        min(self.fused_tile, negatives.embedding.shape[0]),
+                    )
+                    return Prediction(outputs=loss, precomputed_loss=loss)
+
                 logits = self.contrastive_logits(query, positive, negatives)
                 if self.logits_scaler is not None:
                     logits = self.logits_scaler(logits)

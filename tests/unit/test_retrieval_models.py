@@ -88,3 +88,35 @@ def test_youtube_dnn_on_testing_data(testing_data):
     model.compile()
     hist = model.fit(testing_data, epochs=1, batch_size=16, verbose=0)
     assert np.isfinite(hist.history["loss"][0])
+
+
+def test_fused_contrastive_loss_matches_dense():
+    """The fused (flash-style) training loss must equal the dense head's CE."""
+    import jax.numpy as jnp
+
+    from models_tpu.core.block import call_block
+    from models_tpu.core.types import ModelContext, to_device_batch
+    from models_tpu.data import Loader, generate_data
+    from models_tpu.losses import categorical_crossentropy
+    from models_tpu.models import MatrixFactorizationModel
+
+    ds = generate_data("movielens-100k", num_rows=64)
+    m = MatrixFactorizationModel(ds.schema, dim=16)
+    m.compile()
+    loader = Loader(ds, 32, drop_last=True)
+    m.build(loader)
+    x, y = loader.peek()
+    x = to_device_batch(x)
+
+    def run(need_logits):
+        ctx = ModelContext(features=x, targets=y, step=0)
+        ctx["need_logits"] = need_logits
+        pred = call_block(m, x, targets=y, training=True, context=ctx)
+        if pred.precomputed_loss is not None:
+            return float(pred.precomputed_loss)
+        rv = x["__row_valid__"].astype(jnp.float32)
+        return float(categorical_crossentropy(pred.targets, pred.outputs, rv))
+
+    dense = run(True)
+    fused = run(False)
+    np.testing.assert_allclose(fused, dense, rtol=1e-5)

@@ -104,6 +104,30 @@ def _merge_row_valid(sw, row_valid, lead_dim):
     return sw
 
 
+def _device_prefetch(iterator, depth: int = 1):
+    """Keep ``depth`` batches in flight to the device: ``jax.device_put`` is
+    async, so the next batch's host→device transfer overlaps the current step's
+    compute — the double-buffering role of the reference's GPU dataloader."""
+    import collections
+
+    def put(item):
+        x, y = item
+        x = to_device_batch(x)
+        if isinstance(y, dict):
+            y = {k: jnp.asarray(v) for k, v in y.items()}
+        elif y is not None:
+            y = jnp.asarray(y)
+        return x, y
+
+    queue = collections.deque()
+    for item in iterator:
+        queue.append(put(item))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 class History:
     def __init__(self):
         self.history: Dict[str, List[float]] = {}
@@ -571,7 +595,12 @@ class BaseModel(Block):
             last_logs = {}
             for cb in callbacks:
                 getattr(cb, "on_epoch_begin", lambda *a, **k: None)(epoch)
-            for step, (x, y) in enumerate(loader):
+            batch_iter = (
+                iter(loader)
+                if (self._pre_transform is not None or mesh is not None)
+                else _device_prefetch(iter(loader))
+            )
+            for step, (x, y) in enumerate(batch_iter):
                 if steps_per_epoch is not None and step >= steps_per_epoch:
                     break
                 if self._pre_transform is not None:
@@ -659,7 +688,8 @@ class BaseModel(Block):
 
         metric_states = self._init_metric_states(task_metrics)
         loss_acc = {"total": jnp.zeros(()), "count": jnp.zeros(())}
-        for x, y in loader:
+        batch_iter = iter(loader) if pre_block is not None else _device_prefetch(iter(loader))
+        for x, y in batch_iter:
             if pre_block is not None:
                 saved, self._pre_transform = getattr(self, "_pre_transform", None), pre_block
                 x, y = self._apply_pre(x, y, training=False, step=0)

@@ -26,16 +26,18 @@ MIN_FLOAT = jnp.finfo(jnp.float32).min / 100.0
 LOGQ_EPS = 1e-6
 
 
-def _tile_logits(query, neg_emb_t, neg_id_t, pos_id, logq_t, temperature):
+def _tile_logits(query, neg_emb_t, neg_id_t, pos_id, bias_t, temperature):
     s = jnp.matmul(query, neg_emb_t.T, preferred_element_type=jnp.float32)
-    if logq_t is not None:
-        s = s - jnp.log(logq_t + LOGQ_EPS)[None, :]
+    if bias_t is not None:
+        # additive pre-temperature bias; the caller passes -log(p_sampling+eps)
+        # for logQ correction
+        s = s + bias_t[None, :]
     if pos_id is not None and neg_id_t is not None:
         s = jnp.where(neg_id_t[None, :] == pos_id[:, None], MIN_FLOAT, s)
     return s / temperature
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def sampled_softmax_loss(
     query: jnp.ndarray,       # (Q, D)
     pos_emb: jnp.ndarray,     # (Q, D)
@@ -43,43 +45,50 @@ def sampled_softmax_loss(
     pos_id: Optional[jnp.ndarray],   # (Q,) or None
     neg_id: Optional[jnp.ndarray],   # (N,) or None
     weights: Optional[jnp.ndarray],  # (Q,) or None
+    neg_bias: Optional[jnp.ndarray] = None,  # (N,) additive logit bias (logQ)
     temperature: float = 1.0,
     tile: int = 8192,
 ) -> jnp.ndarray:
-    loss, _ = _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, temperature, tile)
+    loss, _ = _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias,
+                       temperature, tile)
     return loss
 
 
-def _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, temperature, tile):
-    Q, D = query.shape
-    N = neg_emb.shape[0]
+def _tile_inputs(neg_emb, neg_id, neg_bias, tile):
+    N, D = neg_emb.shape
     pad = (-N) % tile
     if pad:
         neg_emb = jnp.pad(neg_emb, ((0, pad), (0, 0)))
         neg_id = jnp.pad(neg_id, (0, pad), constant_values=-1) if neg_id is not None else None
+        neg_bias = jnp.pad(neg_bias, (0, pad)) if neg_bias is not None else None
     n_tiles = neg_emb.shape[0] // tile
-    neg_tiles = neg_emb.reshape(n_tiles, tile, D)
-    id_tiles = neg_id.reshape(n_tiles, tile) if neg_id is not None else None
-    valid = (jnp.arange(n_tiles * tile).reshape(n_tiles, tile) < N)
+    xs = {
+        "emb": neg_emb.reshape(n_tiles, tile, D),
+        "valid": jnp.arange(n_tiles * tile).reshape(n_tiles, tile) < N,
+    }
+    if neg_id is not None:
+        xs["id"] = neg_id.reshape(n_tiles, tile)
+    if neg_bias is not None:
+        xs["bias"] = neg_bias.reshape(n_tiles, tile)
+    return xs
+
+
+def _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, temperature, tile):
+    Q, D = query.shape
+    xs = _tile_inputs(neg_emb, neg_id, neg_bias, tile)
 
     pos_logit = jnp.sum(query * pos_emb, axis=-1) / temperature  # (Q,)
 
-    def body(carry, tile_data):
+    def body(carry, t):
         m, s = carry  # running max (Q,), running sum of exp (Q,)
-        if id_tiles is not None:
-            nt, it, vt = tile_data
-        else:
-            nt, vt = tile_data
-            it = None
-        logits = _tile_logits(query, nt, it, pos_id, None, temperature)
-        logits = jnp.where(vt[None, :], logits, MIN_FLOAT)
+        logits = _tile_logits(query, t["emb"], t.get("id"), pos_id, t.get("bias"), temperature)
+        logits = jnp.where(t["valid"][None, :], logits, MIN_FLOAT)
         tile_max = jnp.max(logits, axis=1)
         new_m = jnp.maximum(m, tile_max)
         s = s * jnp.exp(m - new_m) + jnp.sum(jnp.exp(logits - new_m[:, None]), axis=1)
         return (new_m, s), None
 
     init = (pos_logit, jnp.exp(jnp.zeros(Q)))  # positive included from the start
-    xs = (neg_tiles, id_tiles, valid) if id_tiles is not None else (neg_tiles, valid)
     (m, s), _ = jax.lax.scan(body, init, xs)
     lse = m + jnp.log(s)
     per = lse - pos_logit
@@ -91,13 +100,14 @@ def _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, temperature, tile
     return loss, (m, s)
 
 
-def _fwd(query, pos_emb, neg_emb, pos_id, neg_id, weights, temperature, tile):
-    loss, (m, s) = _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, temperature, tile)
-    return loss, (query, pos_emb, neg_emb, pos_id, neg_id, weights, m, s)
+def _fwd(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, temperature, tile):
+    loss, (m, s) = _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias,
+                            temperature, tile)
+    return loss, (query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, m, s)
 
 
 def _bwd(temperature, tile, res, g):
-    query, pos_emb, neg_emb, pos_id, neg_id, weights, m, s = res
+    query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, m, s = res
     Q, D = query.shape
     N = neg_emb.shape[0]
     lse = m + jnp.log(s)
@@ -114,34 +124,20 @@ def _bwd(temperature, tile, res, g):
     d_query = coef_pos[:, None] * pos_emb
     d_pos = coef_pos[:, None] * query
 
-    pad = (-N) % tile
-    neg_emb_p = jnp.pad(neg_emb, ((0, pad), (0, 0))) if pad else neg_emb
-    neg_id_p = (
-        jnp.pad(neg_id, (0, pad), constant_values=-1) if (pad and neg_id is not None) else neg_id
-    )
-    n_tiles = neg_emb_p.shape[0] // tile
-    neg_tiles = neg_emb_p.reshape(n_tiles, tile, D)
-    id_tiles = neg_id_p.reshape(n_tiles, tile) if neg_id_p is not None else None
-    valid = (jnp.arange(n_tiles * tile).reshape(n_tiles, tile) < N)
+    xs = _tile_inputs(neg_emb, neg_id, neg_bias, tile)
 
-    def body(d_query, tile_data):
-        if id_tiles is not None:
-            nt, it, vt = tile_data
-        else:
-            nt, vt = tile_data
-            it = None
-        logits = _tile_logits(query, nt, it, pos_id, None, temperature)
-        logits = jnp.where(vt[None, :], logits, MIN_FLOAT)
+    def body(d_query, t):
+        logits = _tile_logits(query, t["emb"], t.get("id"), pos_id, t.get("bias"), temperature)
+        logits = jnp.where(t["valid"][None, :], logits, MIN_FLOAT)
         p = jnp.exp(logits - lse[:, None])  # (Q, T) softmax over full set
         coef = gw[:, None] * p / temperature
-        d_query = d_query + jnp.matmul(coef, nt, preferred_element_type=jnp.float32)
+        d_query = d_query + jnp.matmul(coef, t["emb"], preferred_element_type=jnp.float32)
         d_neg_t = jnp.matmul(coef.T, query, preferred_element_type=jnp.float32)
         return d_query, d_neg_t
 
-    xs = (neg_tiles, id_tiles, valid) if id_tiles is not None else (neg_tiles, valid)
     d_query, d_neg_tiles = jax.lax.scan(body, d_query, xs)
     d_neg = d_neg_tiles.reshape(-1, D)[:N]
-    return (d_query, d_pos, d_neg, None, None, None)
+    return (d_query, d_pos, d_neg, None, None, None, None)
 
 
 sampled_softmax_loss.defvjp(_fwd, _bwd)

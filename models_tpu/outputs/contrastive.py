@@ -226,7 +226,6 @@ class ContrastiveOutput(ModelOutput):
                     and training
                     and not need_logits
                     and negatives.embedding is not None
-                    and negatives.sampling_prob is None  # logQ path stays dense for now
                     and positive.embedding is not None
                 )
                 if fused_ok:
@@ -241,6 +240,9 @@ class ContrastiveOutput(ModelOutput):
                             rvf = jnp.repeat(rvf, query.shape[0] // rvf.shape[0])
                         w = rvf if w is None else w * rvf
                     temp = self.logits_scaler.temperature if self.logits_scaler else 1.0
+                    neg_bias = None
+                    if self.logq_sampling_correction and negatives.sampling_prob is not None:
+                        neg_bias = -jnp.log(negatives.sampling_prob + LOGQ_EPS)
                     loss = sampled_softmax_loss(
                         query,
                         positive.embedding,
@@ -248,6 +250,7 @@ class ContrastiveOutput(ModelOutput):
                         positive.id if self.downscore_false_negatives else None,
                         negatives.id if self.downscore_false_negatives else None,
                         w,
+                        neg_bias,
                         temp,
                         min(self.fused_tile, negatives.embedding.shape[0]),
                     )

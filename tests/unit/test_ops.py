@@ -59,7 +59,7 @@ def test_sampled_softmax_loss_matches_dense():
         return jnp.mean(jax.nn.logsumexp(logits, axis=1) - logits[:, 0])
 
     expected = dense_loss(q, pos, neg)
-    got = sampled_softmax_loss(q, pos, neg, None, None, None, 1.0, 128)
+    got = sampled_softmax_loss(q, pos, neg, None, None, None, None, 1.0, 128)
     np.testing.assert_allclose(float(got), float(expected), rtol=1e-5)
 
 
@@ -77,7 +77,7 @@ def test_sampled_softmax_loss_grads_match_dense():
         return jnp.mean(jax.nn.logsumexp(logits, axis=1) - logits[:, 0])
 
     def block_loss(q, pos, neg):
-        return sampled_softmax_loss(q, pos, neg, None, None, None, 1.0, 32)
+        return sampled_softmax_loss(q, pos, neg, None, None, None, None, 1.0, 32)
 
     g_ref = jax.grad(dense_loss, argnums=(0, 1, 2))(q, pos, neg)
     g_got = jax.grad(block_loss, argnums=(0, 1, 2))(q, pos, neg)
@@ -93,8 +93,8 @@ def test_sampled_softmax_false_negative_masking():
     neg = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
     pos_id = jnp.array([1, 2, 3, 4])
     neg_id = jnp.arange(N)  # ids 1..4 collide with positives
-    with_mask = sampled_softmax_loss(q, pos, neg, pos_id, neg_id, None, 1.0, 8)
-    without = sampled_softmax_loss(q, pos, neg, None, None, None, 1.0, 8)
+    with_mask = sampled_softmax_loss(q, pos, neg, pos_id, neg_id, None, None, 1.0, 8)
+    without = sampled_softmax_loss(q, pos, neg, None, None, None, None, 1.0, 8)
     assert float(with_mask) < float(without) + 1e-6  # masked collisions lower LSE
 
 
@@ -105,8 +105,8 @@ def test_sampled_softmax_weights():
     pos = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32)
     neg = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
     w = jnp.array([1, 1, 0, 0, 0, 0], jnp.float32)
-    loss_w = sampled_softmax_loss(q, pos, neg, None, None, w, 1.0, 16)
-    loss_2 = sampled_softmax_loss(q[:2], pos[:2], neg, None, None, None, 1.0, 16)
+    loss_w = sampled_softmax_loss(q, pos, neg, None, None, w, None, 1.0, 16)
+    loss_2 = sampled_softmax_loss(q[:2], pos[:2], neg, None, None, None, None, 1.0, 16)
     np.testing.assert_allclose(float(loss_w), float(loss_2), rtol=1e-5)
 
 
@@ -152,3 +152,26 @@ def test_sharded_update_rows():
     assert out[1, 0] == 2.0  # duplicate id accumulated
     assert out[6, 0] == 1.0
     assert out[0, 0] == 0.0
+
+
+def test_sampled_softmax_logq_bias_matches_dense():
+    rng = np.random.default_rng(8)
+    Q, D, N = 8, 8, 48
+    q = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32)
+    pos = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32)
+    neg = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    probs = jnp.asarray(rng.uniform(0.01, 0.2, N), jnp.float32)
+    bias = -jnp.log(probs + 1e-6)
+
+    def dense_loss(q, pos, neg):
+        pos_l = jnp.sum(q * pos, axis=-1, keepdims=True)
+        neg_l = q @ neg.T + bias[None, :]
+        logits = jnp.concatenate([pos_l, neg_l], axis=1) / 0.7
+        return jnp.mean(jax.nn.logsumexp(logits, axis=1) - logits[:, 0])
+
+    got = sampled_softmax_loss(q, pos, neg, None, None, None, bias, 0.7, 16)
+    np.testing.assert_allclose(float(got), float(dense_loss(q, pos, neg)), rtol=1e-5)
+    # grads flow with bias present
+    g = jax.grad(lambda qq: sampled_softmax_loss(qq, pos, neg, None, None, None, bias, 0.7, 16))(q)
+    g_ref = jax.grad(lambda qq: dense_loss(qq, pos, neg))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-6)

@@ -120,3 +120,31 @@ def test_fused_contrastive_loss_matches_dense():
     dense = run(True)
     fused = run(False)
     np.testing.assert_allclose(fused, dense, rtol=1e-5)
+
+
+def test_fused_matches_dense_with_popularity_logq(testing_data):
+    """Fused path with popularity sampler (logQ correction) == dense head loss."""
+    import jax.numpy as jnp
+
+    from models_tpu.core.block import call_block
+    from models_tpu.core.types import ModelContext, to_device_batch
+    from models_tpu.data import Loader
+    from models_tpu.losses import categorical_crossentropy
+
+    m = YoutubeDNNRetrievalModel(testing_data.schema, num_sampled=25, embedding_dim=16)
+    m.compile()
+    loader = Loader(testing_data, 16, drop_last=True)
+    m.build(loader)
+    x, y = loader.peek()
+    x = to_device_batch(x)
+
+    def run(need_logits):
+        ctx = ModelContext(features=x, targets=y, step=3)
+        ctx["need_logits"] = need_logits
+        pred = call_block(m, x, targets=y, training=True, context=ctx)
+        if pred.precomputed_loss is not None:
+            return float(pred.precomputed_loss)
+        rv = x["__row_valid__"].astype(jnp.float32)
+        return float(categorical_crossentropy(pred.targets, pred.outputs, rv))
+
+    np.testing.assert_allclose(run(False), run(True), rtol=1e-5)

@@ -122,6 +122,20 @@ class TopKPrediction(NamedTuple):
     def with_k(self, k: int) -> "TopKPrediction":
         return TopKPrediction(self.scores[:, :k], self.identifiers[:, :k])
 
+    def to_df(self):
+        """Export to a Dataset with per-row top-k id/score list columns
+        (reference ``TopKPrediction.to_df`` — feeds offline recommendation dumps)."""
+        from ..data.dataset import Dataset
+
+        ids = np.asarray(self.identifiers)
+        scores = np.asarray(self.scores)
+        return Dataset(
+            {
+                "top_ids": np.asarray(ids, dtype=np.int64),
+                "top_scores": np.asarray(scores, dtype=np.float32),
+            }
+        )
+
 
 class ModelContext(dict):
     """Mutable shared context threaded through a forward pass.

@@ -89,7 +89,7 @@ def pallas_topk(
     candidates: jnp.ndarray,
     k: int,
     ids: Optional[jnp.ndarray] = None,
-    tile: int = 2048,
+    tile: int = 4096,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused scores+top-k Pallas kernel.
@@ -186,7 +186,7 @@ def topk_scores(
         prefer_pallas = jax.default_backend() == "tpu"
     if prefer_pallas:
         try:
-            return pallas_topk(queries, candidates, k, ids=ids, tile=min(tile, 2048))
+            return pallas_topk(queries, candidates, k, ids=ids, tile=min(tile, 4096))
         except Exception:  # Mosaic lowering gap → fall back
             pass
     return blockwise_topk(queries, candidates, k, ids=ids, tile=tile)

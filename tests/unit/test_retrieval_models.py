@@ -148,3 +148,28 @@ def test_fused_matches_dense_with_popularity_logq(testing_data):
         return float(categorical_crossentropy(pred.targets, pred.outputs, rv))
 
     np.testing.assert_allclose(run(False), run(True), rtol=1e-5)
+
+
+def test_topk_batch_predict_export(ecommerce_data):
+    """Offline recommendation dump: batch_predict over a dataset appends top-k
+    id/score list columns (reference encoder.py:602 TopKPrediction.to_df)."""
+    model = TwoTowerModel(ecommerce_data.schema, query_tower=(16, 8))
+    model.compile()
+    model.fit(ecommerce_data, epochs=1, batch_size=16, verbose=0)
+    topk = model.to_top_k_encoder(ecommerce_data, k=5)
+    topk.compile()
+    out = topk.batch_predict(ecommerce_data, batch_size=16)
+    table = out.to_table()
+    assert "prediction/ids" in table.column_names
+    assert "prediction/scores" in table.column_names
+    ids = table.column("prediction/ids").to_pylist()
+    assert len(ids) == ecommerce_data.num_rows
+    assert len(ids[0]) == 5
+
+    # direct TopKPrediction.to_df export
+    from models_tpu.core.types import TopKPrediction
+    import jax.numpy as jnp
+
+    tp = TopKPrediction(jnp.ones((3, 5)), jnp.arange(15).reshape(3, 5))
+    df = tp.to_df()
+    assert df.num_rows == 3

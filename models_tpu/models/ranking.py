@@ -120,9 +120,10 @@ class _WidePath(Block):
 
         super().__init__(schema=schema.excluding_by_tag(Tags.TARGET))
         self.encoding = CategoryEncoding(self.schema.categorical, output_mode="multi_hot")
-        self.crosses = None
         if crosses:
             self.crosses = HashedCrossAll(self.schema.categorical, max_level=2, num_bins=1000)
+        else:
+            self.crosses = None
         from .base import Model  # noqa
         from ..blocks.mlp import Dense
 

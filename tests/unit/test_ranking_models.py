@@ -146,3 +146,15 @@ def test_regression_head(music):
     model.fit(music, epochs=1, batch_size=16, verbose=0)
     res = model.evaluate(music, batch_size=16)
     assert "play_percentage/rmse" in res
+
+
+def test_wide_and_deep_with_crosses(ecommerce_data):
+    model = WideAndDeepModel(
+        ecommerce_data.schema.select_by_name(
+            ["user_gender", "user_age", "item_category", "position", "click"]
+        ),
+        embedding_dim=8,
+        deep_block=(16,),
+        enable_wide_crosses=True,
+    )
+    model_test(model, ecommerce_data)

@@ -50,11 +50,13 @@ class Dataset:
         elif isinstance(data, str):
             self._files = _list_parquet_files(data)
             if schema is None:
-                sidecar = os.path.join(
-                    data if os.path.isdir(data) else os.path.dirname(data), SCHEMA_FILE
-                )
-                if os.path.exists(sidecar):
-                    schema = Schema.load(sidecar)
+                base = data if os.path.isdir(data) else os.path.dirname(data)
+                json_sidecar = os.path.join(base, SCHEMA_FILE)
+                pbtxt_sidecar = os.path.join(base, "schema.pbtxt")
+                if os.path.exists(json_sidecar):
+                    schema = Schema.load(json_sidecar)
+                elif os.path.exists(pbtxt_sidecar):
+                    schema = Schema.load_pbtxt(pbtxt_sidecar)
         elif isinstance(data, (list, tuple)):
             self._files = list(data)
         else:

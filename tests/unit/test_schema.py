@@ -100,3 +100,51 @@ def test_schema_add_and_domain_sharing():
     b = Schema([create_categorical_column("c_item", 50, domain_name="item")])
     merged = a + b
     assert merged["q_item"].domain_name == merged["c_item"].domain_name == "item"
+
+
+def test_pbtxt_roundtrip_parse():
+    pbtxt = '''
+feature {
+  name: "user_id"
+  type: INT
+  int_domain {
+    name: "user_id"
+    max: 1000
+    is_categorical: true
+  }
+  annotation {
+    tag: "user_id"
+    tag: "categorical"
+  }
+}
+feature {
+  name: "genres"
+  type: INT
+  value_count {
+    min: 1
+    max: 6
+  }
+  int_domain {
+    name: "genres"
+    max: 20
+    is_categorical: true
+  }
+  annotation {
+    tag: "categorical"
+    tag: "item"
+  }
+}
+feature {
+  name: "price"
+  type: FLOAT
+  annotation {
+    tag: "continuous"
+  }
+}
+'''
+    s = Schema.from_pbtxt(pbtxt)
+    assert s.column_names == ["user_id", "genres", "price"]
+    assert s["user_id"].cardinality == 1001
+    assert s["user_id"].has_tag(Tags.USER_ID)
+    assert s["genres"].is_list and s["genres"].max_seq_length == 6
+    assert s["price"].is_continuous

@@ -187,7 +187,14 @@ class Loader:
 
     # ------------------------------------------------------------------
     def peek(self):
-        return next(iter(self._batches()))
+        try:
+            return next(iter(self._batches()))
+        except StopIteration:
+            raise ValueError(
+                f"Loader produced no batches: dataset has {self.dataset.num_rows} rows "
+                f"for batch_size={self.batch_size} (drop_last={self.drop_last}). "
+                "Lower batch_size or generate more rows."
+            ) from None
 
 
 class _ThreadedIterator:

@@ -632,8 +632,13 @@ class BaseModel(Block):
             dt = time.perf_counter() - t0
             epoch_logs["examples_per_sec"] = n_examples / max(dt, 1e-9)
 
-            if validation_data is not None:
+            # rebind live state into the model object: the step donates the old
+            # buffers, so callbacks reading model state need fresh references
+            if emb_params is not None:
+                nnx.update(self, params, emb_params, rest)
+            else:
                 nnx.update(self, params, rest)
+            if validation_data is not None:
                 val = self.evaluate(
                     validation_data, batch_size=batch_size or loader.batch_size, verbose=0,
                     _params=(graphdef, params, rest),

@@ -146,3 +146,42 @@ def test_timing():
     with Timing("", log_fn=lambda s: None) as t:
         pass
     assert t["seconds"] >= 0
+
+
+def test_model_checkpoint_callback(tmp_path):
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+    from models_tpu.utils.checkpoint import ModelCheckpoint
+
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 20, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 20, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    ds = Dataset(
+        {"user_id": np.arange(64, dtype=np.int32) % 20,
+         "item_id": np.arange(64, dtype=np.int32) % 20},
+        schema=schema,
+    )
+    m = MatrixFactorizationModel(schema, dim=8)
+    m.compile()
+    cb = ModelCheckpoint(str(tmp_path / "ckpts"), every_n_epochs=1)
+    m.fit(ds, epochs=2, batch_size=16, callbacks=[cb], verbose=0)
+    assert cb.manager.all_steps() == [0, 1]
+    # restore epoch-0 weights into a fresh model
+    m2 = MatrixFactorizationModel(schema, dim=8)
+    m2.build(ds)
+    step, _ = cb.manager.restore(m2, step=1)
+    assert step == 1
+    np.testing.assert_allclose(
+        m2.query_encoder.table.to_array(), m.query_encoder.table.to_array(), rtol=1e-6
+    )
+
+
+def test_loader_empty_error():
+    from models_tpu.data import Loader, generate_data
+
+    ds = generate_data("testing", num_rows=10)
+    with pytest.raises(ValueError, match="no batches"):
+        Loader(ds, batch_size=64, drop_last=True).peek()

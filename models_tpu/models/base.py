@@ -203,6 +203,7 @@ class BaseModel(Block):
         self._jit = jit
         self._compiled = True
         self._step_cache: Dict[str, Any] = {}
+        self._graphdef_cache = None
         return self
 
     def _resolve_task_losses(self) -> Dict[str, Callable]:
@@ -446,6 +447,11 @@ class BaseModel(Block):
         return step_fn
 
     def _make_eval_step(self, loss_fns, task_metrics):
+        # reuse the jitted step across epochs/calls (same graph structure):
+        # re-jitting every evaluate() would retrace per validation epoch
+        cached = self._step_cache.get("eval")
+        if cached is not None and self._graphdef_cache == self._graphdef:
+            return cached
         graphdef = self._graphdef
 
         def step_fn(params, rest, metric_states, loss_acc, x, y):
@@ -464,6 +470,8 @@ class BaseModel(Block):
 
         if self._jit:
             step_fn = jax.jit(step_fn, donate_argnums=(2, 3))
+        self._step_cache["eval"] = step_fn
+        self._graphdef_cache = self._graphdef
         return step_fn
 
     def _make_predict_step(self):

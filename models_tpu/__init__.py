@@ -83,6 +83,7 @@ from .blocks.optimizer import (
 
 # outputs / heads / samplers
 from .outputs import (
+    BinaryClassificationTask,
     BinaryOutput,
     BruteForce,
     CachedCrossBatchSampler,
@@ -96,11 +97,15 @@ from .outputs import (
     EmbeddingTablePrediction,
     FIFOQueue,
     InBatchSampler,
+    ItemRetrievalTask,
     LogitsTemperatureScaler,
+    MultiClassClassificationTask,
     ModelOutput,
     OutputBlock,
     PopularityBasedSampler,
+    PredictionTasks,
     RegressionOutput,
+    RegressionTask,
     TopKLayer,
     TopKOutput,
 )

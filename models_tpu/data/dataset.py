@@ -146,11 +146,20 @@ class Dataset:
         return Dataset(table.take(pa.array(order)), schema=self.schema)
 
     # ---- IO ----------------------------------------------------------------
-    def to_parquet(self, path: str, row_group_size: Optional[int] = None) -> str:
+    def to_parquet(
+        self, path: str, row_group_size: Optional[int] = None, num_partitions: int = 1
+    ) -> str:
         os.makedirs(path, exist_ok=True)
-        pq.write_table(
-            self.to_table(), os.path.join(path, "part_0.parquet"), row_group_size=row_group_size
-        )
+        table = self.to_table()
+        n = table.num_rows
+        per = -(-n // max(num_partitions, 1))
+        for i in range(max(num_partitions, 1)):
+            part = table.slice(i * per, per)
+            if part.num_rows == 0:
+                break
+            pq.write_table(
+                part, os.path.join(path, f"part_{i}.parquet"), row_group_size=row_group_size
+            )
         self.schema.save(os.path.join(path, SCHEMA_FILE))
         return path
 

@@ -162,22 +162,100 @@ class Loader:
             targets = next(iter(targets.values()))
         return feats, (targets if targets is not None and len(np.atleast_1d(targets)) else None)
 
-    def _batches(self) -> Iterator[Tuple[Dict[str, Any], Any]]:
-        cols = self._materialize()
-        n = len(next(iter(cols.values()))) if cols else 0
-        # the first present scalar column gives the row count; offsets cols are n+1
+    def _num_rows(self, cols: Dict[str, np.ndarray]) -> int:
         for name in self._feature_cols + self._target_cols:
             if name in cols:
-                n = len(cols[name])
-                break
+                return len(cols[name])
             if name + "__offsets" in cols:
-                n = len(cols[name + "__offsets"]) - 1
-                break
-        steps = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
-        for step in range(steps):
+                return len(cols[name + "__offsets"]) - 1
+        return 0
+
+    def _cols_batches(self, cols: Dict[str, np.ndarray], drop_tail: bool):
+        n = self._num_rows(cols)
+        full = n // self.batch_size
+        for step in range(full):
             lo = step * self.batch_size
-            hi = min(lo + self.batch_size, n)
-            yield self._assemble(cols, lo, hi)
+            yield self._assemble(cols, lo, lo + self.batch_size)
+        tail = n - full * self.batch_size
+        if tail and not drop_tail:
+            yield self._assemble(cols, full * self.batch_size, n)
+
+    def _slice_cols(self, cols, lo, hi):
+        out = {}
+        for name in self._feature_cols + self._target_cols:
+            if name in self._list_cols:
+                offs = cols[name + "__offsets"]
+                v0, v1 = offs[lo], offs[hi]
+                out[name + "__values"] = cols[name + "__values"][v0:v1]
+                out[name + "__offsets"] = offs[lo : hi + 1] - v0
+            else:
+                out[name] = cols[name][lo:hi]
+        return out
+
+    def _batches(self) -> Iterator[Tuple[Dict[str, Any], Any]]:
+        files = self.dataset._files
+        if files is not None and len(files) > 1:
+            # streaming path for multi-file datasets: one partition in memory at
+            # a time (file order + within-partition rows shuffled per epoch;
+            # the reference's chunked-buffer strategy). Leftover rows carry over
+            # between partitions so batches stay full.
+            import pyarrow.parquet as pq
+
+            rng = np.random.default_rng(self.epoch_seed())
+            order = rng.permutation(len(files)) if self.shuffle else np.arange(len(files))
+            if self.global_size > 1:
+                order = order[self.global_rank :: self.global_size]
+            carry: Optional[Dict[str, np.ndarray]] = None
+            for fi in order:
+                cols = table_to_numpy(pq.read_table(files[fi]))
+                if self.shuffle:
+                    cols = self._shuffle_cols(cols, rng)
+                if carry is not None:
+                    cols = self._concat_cols(carry, cols)
+                    carry = None
+                n = self._num_rows(cols)
+                full = n // self.batch_size
+                yield from self._cols_batches(
+                    self._slice_cols(cols, 0, full * self.batch_size), drop_tail=True
+                )
+                if n > full * self.batch_size:
+                    carry = self._slice_cols(cols, full * self.batch_size, n)
+            if carry is not None and not self.drop_last:
+                yield from self._cols_batches(carry, drop_tail=False)
+            return
+
+        cols = self._materialize()
+        yield from self._cols_batches(cols, drop_tail=self.drop_last)
+
+    def _shuffle_cols(self, cols, rng) -> Dict[str, np.ndarray]:
+        n = self._num_rows(cols)
+        idx = rng.permutation(n)
+        out = {}
+        for name in self._feature_cols + self._target_cols:
+            if name in self._list_cols:
+                offs = cols[name + "__offsets"]
+                vals = cols[name + "__values"]
+                lengths = np.diff(offs)[idx]
+                new_offs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(lengths, out=new_offs[1:])
+                new_vals = np.empty(int(new_offs[-1]), dtype=vals.dtype)
+                for j, i in enumerate(idx):
+                    new_vals[new_offs[j] : new_offs[j + 1]] = vals[offs[i] : offs[i + 1]]
+                out[name + "__values"] = new_vals
+                out[name + "__offsets"] = new_offs
+            else:
+                out[name] = cols[name][idx]
+        return out
+
+    @staticmethod
+    def _concat_cols(a: Dict[str, np.ndarray], b: Dict[str, np.ndarray]):
+        out = {}
+        for name in a:
+            if name.endswith("__offsets"):
+                out[name] = np.concatenate([a[name], b[name][1:] + a[name][-1]])
+            else:
+                out[name] = np.concatenate([a[name], b[name]])
+        return out
 
     def __iter__(self):
         self._epoch += 1

@@ -107,6 +107,9 @@ class RetrievalModelV2(Model):
             self.query_encoder, candidates=cand_ds, k=k, item_id_name=item_id_name
         )
 
+    # reference V1 name (tf/models/base.py:2449)
+    to_top_k_recommender = to_top_k_encoder
+
 
 def MatrixFactorizationModel(
     schema: Schema,

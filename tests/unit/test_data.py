@@ -129,3 +129,37 @@ def test_native_pad_ragged_matches_numpy():
         exp_m[i, :n] = True
     np.testing.assert_array_equal(padded, exp_p)
     np.testing.assert_array_equal(mask, exp_m)
+
+
+def test_streaming_multifile_loader(tmp_path):
+    """Multi-file datasets stream one partition at a time with full batches and
+    cross-partition carry (the big-data path; single-file path materializes)."""
+    ds = generate_data("music-streaming", num_rows=230)
+    path = ds.to_parquet(str(tmp_path / "parts"), num_partitions=4)
+    streamed = Dataset.from_parquet(path)
+    assert streamed._files is not None and len(streamed._files) == 4
+
+    loader = Loader(streamed, batch_size=32, shuffle=False, drop_last=False)
+    batches = list(loader)
+    # 230 rows -> 7 full batches + padded tail
+    assert len(batches) == 8
+    total_valid = sum(int(b[0][ROW_VALID_KEY].sum()) for b in batches)
+    assert total_valid == 230
+    ids = np.concatenate(
+        [np.asarray(b[0]["item_id"])[np.asarray(b[0][ROW_VALID_KEY])] for b in batches]
+    )
+    # all rows covered exactly once
+    ref_ids = ds.to_numpy_dict()["item_id"]
+    np.testing.assert_array_equal(np.sort(ids), np.sort(ref_ids))
+    # list columns survive partition boundaries
+    assert all(isinstance(b[0]["item_genres"], SequenceFeature) for b in batches)
+
+
+def test_streaming_loader_shuffled_epochs_differ(tmp_path):
+    ds = generate_data("testing", num_rows=200)
+    path = ds.to_parquet(str(tmp_path / "p"), num_partitions=3)
+    loader = Loader(Dataset.from_parquet(path), batch_size=50, shuffle=True, seed=3)
+    e1 = np.concatenate([np.asarray(b[0]["item_id"]) for b in loader])
+    e2 = np.concatenate([np.asarray(b[0]["item_id"]) for b in loader])
+    assert not np.array_equal(e1, e2)
+    np.testing.assert_array_equal(np.sort(e1), np.sort(e2))

@@ -173,3 +173,28 @@ def test_topk_batch_predict_export(ecommerce_data):
     tp = TopKPrediction(jnp.ones((3, 5)), jnp.arange(15).reshape(3, 5))
     df = tp.to_df()
     assert df.num_rows == 3
+
+
+def test_eager_matches_jit_training():
+    """compile(jit=False) must reproduce the compiled path exactly (the
+    reference's run_eagerly=True/False dual testing, testing_utils.py:78)."""
+    from models_tpu.data import Dataset
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+
+    rng = np.random.default_rng(0)
+    users = rng.integers(0, 30, size=128).astype(np.int32)
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 29, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 29, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    ds = Dataset({"user_id": users, "item_id": users.copy()}, schema=schema)
+
+    def run(jit):
+        m = MatrixFactorizationModel(schema, dim=8)
+        m.compile(optimizer="adam", learning_rate=0.05, jit=jit)
+        h = m.fit(ds, epochs=2, batch_size=32, shuffle=False, verbose=0)
+        return h.history["loss"]
+
+    np.testing.assert_allclose(run(True), run(False), rtol=1e-4)

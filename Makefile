@@ -13,7 +13,7 @@ bench:
 	python bench.py
 
 graft-check:
-	XLA_FLAGS="--xla_force_host_platform_device_count=8" DRYRUN_DEVICES=8 python __graft_entry__.py
+	DRYRUN_DEVICES=8 python __graft_entry__.py
 
 clean:
 	rm -f models_tpu/data/native/fastbatch.so

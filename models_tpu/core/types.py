@@ -137,6 +137,22 @@ class TopKPrediction(NamedTuple):
         )
 
 
+MASK_KEY = "__sequence_prediction_mask__"
+
+
+def prediction_mask_from_targets(targets):
+    """Recover the sequence prediction mask from SequenceFeature targets (the
+    in-graph equivalent of the reference's ``ExtractMaskFromTargets``,
+    ``tf/transforms/sequence.py:1068``)."""
+    if isinstance(targets, SequenceFeature):
+        return targets.mask
+    if isinstance(targets, dict):
+        for v in targets.values():
+            if isinstance(v, SequenceFeature):
+                return v.mask
+    return None
+
+
 class ModelContext(dict):
     """Mutable shared context threaded through a forward pass.
 
@@ -145,7 +161,19 @@ class ModelContext(dict):
     (e.g. query embeddings for corpus eval). Mirrors the reference's
     ``ModelContext``/``PredictionContext`` (``tf/core/base.py:44``,
     ``tf/core/prediction.py:25``) without the Keras variable store.
+
+    Construction recovers the sequence prediction mask from SequenceFeature
+    targets: the jitted train/eval steps build a fresh context each call, so
+    masks stashed by a ``pre`` transform in the host-side context would
+    otherwise never reach in-graph consumers like ReplaceMaskedEmbeddings.
     """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if MASK_KEY not in self:
+            m = prediction_mask_from_targets(self.get("targets"))
+            if m is not None:
+                self[MASK_KEY] = m
 
     @property
     def features(self) -> TensorDict:

@@ -41,6 +41,8 @@ def pad_ragged(values: np.ndarray, offsets: np.ndarray, max_len: int):
     batch = len(lengths)
     pos = np.arange(max_len)[None, :]
     mask = pos < np.minimum(lengths, max_len)[:, None]
+    if len(values) == 0:  # all rows empty: clamp below would index -1
+        return np.zeros((batch, max_len), dtype=values.dtype), np.zeros_like(mask)
     idx = np.minimum(offsets[:-1, None] + pos, len(values) - 1)
     padded = values[idx]
     padded = np.where(mask, padded, np.zeros((), dtype=values.dtype))

@@ -597,10 +597,11 @@ class BaseModel(Block):
         global_step = 0
         for epoch in range(epochs):
             metric_states = self._init_metric_states(task_metrics)
-            loss_sum, loss_count = 0.0, 0
             t0 = time.perf_counter()
             n_examples = 0
-            last_logs = {}
+            # per-batch loss scalars stay on device; averaged once at epoch end
+            # (Keras History reports the running epoch mean, not the last batch)
+            log_acc: Dict[str, list] = {}
             for cb in callbacks:
                 getattr(cb, "on_epoch_begin", lambda *a, **k: None)(epoch)
             batch_iter = (
@@ -629,13 +630,16 @@ class BaseModel(Block):
                     params, rest, opt_state, metric_states, logs = fn(
                         params, rest, opt_state, metric_states, x, y, jnp.asarray(global_step)
                     )
-                last_logs = logs
+                for k, v in logs.items():
+                    log_acc.setdefault(k, []).append(v)
                 n_examples += loader.batch_size
                 global_step += 1
                 for cb in callbacks:
                     getattr(cb, "on_batch_end", lambda *a, **k: None)(step, logs)
-            # sync + collect epoch logs
-            epoch_logs = {k: float(v) for k, v in last_logs.items()}
+            # sync + collect epoch logs (one stack+transfer per key, not per step)
+            epoch_logs = {
+                k: float(jnp.mean(jnp.stack(vs))) for k, vs in log_acc.items()
+            }
             epoch_logs.update(self._metric_results(metric_states, task_metrics))
             dt = time.perf_counter() - t0
             epoch_logs["examples_per_sec"] = n_examples / max(dt, 1e-9)

@@ -107,6 +107,14 @@ class ContrastiveOutput(ModelOutput):
     def item_id_name(self) -> Optional[str]:
         return self.col_schema.name if self.col_schema is not None else self.target
 
+    def _row_valid(self, context):
+        from ..data.loader import ROW_VALID_KEY
+
+        if context is None:
+            return None
+        rv = context.features.get(ROW_VALID_KEY)
+        return None if rv is None else rv.astype(bool)
+
     def _resolve_positive_ids(self, context, targets):
         """Positive item ids: explicit targets beat batch features. Returns
         (ids, prediction_weights) — for sequence targets the ids are the target
@@ -133,10 +141,11 @@ class ContrastiveOutput(ModelOutput):
         from ..core.types import SequenceFeature
 
         pos_id, weights = self._resolve_positive_ids(context, targets)
+        row_valid = self._row_valid(context)
         if isinstance(inputs, dict):
             query = inputs[self.query_name]
             cand = inputs.get(self.candidate_name)
-            return query, Candidate(id=pos_id, embedding=cand), weights
+            return query, Candidate(id=pos_id, embedding=cand, valid=row_valid), weights
 
         query = inputs
         qmask = None
@@ -172,7 +181,13 @@ class ContrastiveOutput(ModelOutput):
                 "to identify positives"
             )
         emb = self.tying.embedding_lookup(pos_id, site="pos", context=context)
-        return query, Candidate(id=pos_id, embedding=emb), weights
+        if (
+            row_valid is not None
+            and pos_id.shape[0] != row_valid.shape[0]
+            and pos_id.shape[0] % row_valid.shape[0] == 0
+        ):
+            row_valid = jnp.repeat(row_valid, pos_id.shape[0] // row_valid.shape[0])
+        return query, Candidate(id=pos_id, embedding=emb, valid=row_valid), weights
 
     def _sample_negatives(self, positive: Candidate, training, step, context=None) -> Candidate:
         negs: List[Candidate] = []
@@ -193,7 +208,13 @@ class ContrastiveOutput(ModelOutput):
         probs = None
         if all(c.sampling_prob is not None for c in negs):
             probs = jnp.concatenate([c.sampling_prob for c in negs], axis=0)
-        return Candidate(id=ids, embedding=emb, sampling_prob=probs)
+        valid = None
+        if any(c.valid is not None for c in negs):
+            valid = jnp.concatenate(
+                [c.valid if c.valid is not None else jnp.ones(c.id.shape[0], bool) for c in negs],
+                axis=0,
+            )
+        return Candidate(id=ids, embedding=emb, sampling_prob=probs, valid=valid)
 
     def contrastive_logits(self, query, positive: Candidate, negatives: Candidate):
         pos_score = jnp.sum(query * positive.embedding, axis=-1, keepdims=True)  # (B,1)
@@ -205,6 +226,9 @@ class ContrastiveOutput(ModelOutput):
         if self.downscore_false_negatives and positive.id is not None and negatives.id is not None:
             false_neg = negatives.id[None, :] == positive.id[:, None]  # (B,N)
             neg_scores = jnp.where(false_neg, MIN_FLOAT, neg_scores)
+        if negatives.valid is not None:
+            # padded tail-batch rows must not act as negatives (drop_last=False)
+            neg_scores = jnp.where(negatives.valid[None, :], neg_scores, MIN_FLOAT)
         return jnp.concatenate([pos_score, neg_scores], axis=1)
 
     # ------------------------------------------------------------------
@@ -243,6 +267,9 @@ class ContrastiveOutput(ModelOutput):
                     neg_bias = None
                     if self.logq_sampling_correction and negatives.sampling_prob is not None:
                         neg_bias = -jnp.log(negatives.sampling_prob + LOGQ_EPS)
+                    if negatives.valid is not None:
+                        pad_pen = jnp.where(negatives.valid, 0.0, MIN_FLOAT)
+                        neg_bias = pad_pen if neg_bias is None else neg_bias + pad_pen
                     loss = sampled_softmax_loss(
                         query,
                         positive.embedding,

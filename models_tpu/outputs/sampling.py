@@ -18,12 +18,18 @@ from ..registry import sampler_registry
 
 
 class Candidate(NamedTuple):
-    """(reference ``outputs/sampling/base.py:26``)"""
+    """(reference ``outputs/sampling/base.py:26``)
+
+    ``valid`` marks real rows: with drop_last=False the loader pads the tail
+    batch, and padded rows must not act as in-batch negatives (they decode to
+    item id 0). Samplers that derive negatives from the batch propagate it;
+    catalog samplers leave it None (all valid)."""
 
     id: jnp.ndarray  # (N,)
     embedding: Optional[jnp.ndarray] = None  # (N, D)
     sampling_prob: Optional[jnp.ndarray] = None  # (N,)
     metadata: Optional[dict] = None
+    valid: Optional[jnp.ndarray] = None  # (N,) bool
 
 
 class CandidateSampler(Block):

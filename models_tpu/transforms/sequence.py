@@ -19,10 +19,8 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ..core.block import Block
-from ..core.types import ModelContext, SequenceFeature, TensorDict
+from ..core.types import MASK_KEY, ModelContext, SequenceFeature, TensorDict
 from ..schema import ColumnSchema, Schema, Tags
-
-MASK_KEY = "__sequence_prediction_mask__"
 
 
 def _as_seq(v) -> SequenceFeature:
@@ -199,7 +197,10 @@ class ReplaceMaskedEmbeddings(Block):
     """Replace embeddings at to-be-predicted positions with a learned [MASK]
     vector (reference ``:967``). Place after the input block, before the
     transformer. Reads the prediction mask stashed in context by the masking
-    transforms."""
+    transforms (or auto-recovered from SequenceFeature targets by
+    ModelContext). Replaces whenever a mask is present — in eval too, matching
+    the reference: the SequenceMaskLast protocol must hide the eval target from
+    a bidirectional encoder."""
 
     def __init__(self):
         super().__init__()
@@ -212,18 +213,19 @@ class ReplaceMaskedEmbeddings(Block):
             )
 
     def __call__(self, inputs, *, context=None, training=False, **kwargs):
-        pred_mask = context.get(MASK_KEY) if context is not None else None
-        if pred_mask is None or not training:
-            return inputs
         v = inputs
         mask = None
         if isinstance(v, SequenceFeature):
             v, mask = v.values, v.mask
+        # build eagerly even without a mask: the model's build pass runs without
+        # the masking pre-transform, but the param must exist before jit traces
         if not isinstance(v, jax.core.Tracer):
             self._ensure_built(v.shape[-1])
-        elif self.mask_embedding is None:
+        pred_mask = context.get(MASK_KEY) if context is not None else None
+        if pred_mask is None:
+            return inputs
+        if self.mask_embedding is None:
             raise RuntimeError("ReplaceMaskedEmbeddings not built; run an eager build pass")
-        self._ensure_built(v.shape[-1])
         replaced = jnp.where(
             pred_mask[..., None], self.mask_embedding.value[None, None, :], v
         )

@@ -122,6 +122,31 @@ def test_fused_contrastive_loss_matches_dense():
     np.testing.assert_allclose(fused, dense, rtol=1e-5)
 
 
+def test_padded_rows_excluded_from_inbatch_negatives():
+    """drop_last=False pads the tail batch; padded rows (item id 0) must not be
+    scored as in-batch negatives for the real queries."""
+    import jax.numpy as jnp
+
+    from models_tpu.core.types import ModelContext
+    from models_tpu.data.loader import ROW_VALID_KEY
+    from models_tpu.outputs.contrastive import MIN_FLOAT, ContrastiveOutput
+
+    B, D = 4, 8
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    ids = jnp.array([3, 5, 7, 0])  # last row is padding (decodes to id 0)
+    valid = jnp.array([True, True, True, False])
+    out = ContrastiveOutput(negative_samplers="in-batch", target="item_id")
+    ctx = ModelContext(features={"item_id": ids, ROW_VALID_KEY: valid})
+    pred = out({"query": q, "candidate": c}, training=True, context=ctx)
+    logits = np.asarray(pred.outputs)  # (B, 1+B): [pos | in-batch negs]
+    # negative column for the padded row (index 1+3) is downscored for everyone
+    assert (logits[:, 4] <= float(MIN_FLOAT) / 2).all()
+    # real negative columns survive (diagonal false-negatives aside)
+    assert logits[0, 2] > float(MIN_FLOAT) / 2
+
+
 def test_fused_matches_dense_with_popularity_logq(testing_data):
     """Fused path with popularity sampler (logQ correction) == dense head loss."""
     import jax.numpy as jnp

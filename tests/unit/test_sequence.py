@@ -102,6 +102,10 @@ def test_replace_masked_embeddings():
     arr = np.asarray(out.values)
     assert not np.allclose(arr[0, 0], 1.0)  # replaced
     np.testing.assert_allclose(arr[0, 1], 1.0)  # untouched
-    # inference: no replacement
+    # eval/inference with a mask present: replacement still fires (the reference
+    # replaces in eval too — SequenceMaskLast must hide the eval target)
     out2 = block(SequenceFeature(emb, jnp.ones((2, 4), bool)), context=ctx, training=False)
-    np.testing.assert_allclose(np.asarray(out2.values), 1.0)
+    assert not np.allclose(np.asarray(out2.values)[0, 0], 1.0)
+    # no mask in context: untouched
+    out3 = block(SequenceFeature(emb, jnp.ones((2, 4), bool)), context=ModelContext(), training=False)
+    np.testing.assert_allclose(np.asarray(out3.values), 1.0)

@@ -89,6 +89,59 @@ def test_session_model_masked_lm(seq_data):
     assert 0.0 <= res["recall_at_10"] <= 1.0
 
 
+def test_masked_lm_mask_reaches_jitted_step(seq_data):
+    """Regression: the prediction mask must flow into the jitted train step
+    (not just the throwaway pre-transform context) — the [MASK] embedding only
+    receives gradient if ReplaceMaskedEmbeddings actually fires in-graph."""
+    import jax.numpy as jnp
+
+    from models_tpu.core.block import iter_blocks
+    from models_tpu.transforms.sequence import ReplaceMaskedEmbeddings
+
+    model = SessionBasedTransformerModel(
+        seq_data.schema,
+        transformer=BertBlock(d_model=32, n_head=2, n_layer=1),
+        embedding_dim=16,
+        masked_lm=True,
+    )
+    model.compile(learning_rate=0.01)
+    pre = SequenceMaskRandom(seq_data.schema, target="item_id_seq", masking_prob=0.3)
+    model.build(generate_data("sequence-testing", num_rows=32))
+    rme = [b for b in iter_blocks(model) if isinstance(b, ReplaceMaskedEmbeddings)][0]
+    # force-build the mask embedding so we can snapshot it pre-fit
+    before = None
+    model.fit(seq_data, epochs=1, batch_size=16, pre=pre, verbose=0)
+    assert rme.mask_embedding is not None, "ReplaceMaskedEmbeddings never built"
+    after = np.asarray(rme.mask_embedding.value)
+    grad_moved = not np.allclose(after, 0.0) and np.std(after) > 0
+    assert grad_moved
+    # direct check: a second fit moves the mask embedding (nonzero gradient)
+    snap = after.copy()
+    model.fit(seq_data, epochs=1, batch_size=16, pre=pre, verbose=0)
+    assert not np.allclose(snap, np.asarray(rme.mask_embedding.value)), (
+        "[MASK] embedding got no gradient — mask did not reach the jitted step"
+    )
+
+
+def test_replace_masked_embeddings_fires_in_eval():
+    """The reference replaces masked embeddings in eval too (SequenceMaskLast
+    protocol): eval must hide the target position from a bidirectional encoder."""
+    import jax.numpy as jnp
+
+    from models_tpu.core.types import MASK_KEY, ModelContext, SequenceFeature
+    from models_tpu.transforms.sequence import ReplaceMaskedEmbeddings
+
+    block = ReplaceMaskedEmbeddings()
+    vals = jnp.ones((2, 4, 8))
+    seq = SequenceFeature(vals, jnp.ones((2, 4), bool))
+    mask = jnp.zeros((2, 4), bool).at[:, -1].set(True)
+    ctx = ModelContext()
+    ctx[MASK_KEY] = mask
+    out = block(seq, context=ctx, training=False)
+    assert not np.allclose(np.asarray(out.values[:, -1]), 1.0)
+    np.testing.assert_allclose(np.asarray(out.values[:, :-1]), 1.0)
+
+
 def test_session_model_sampled_softmax(seq_data):
     model = SessionBasedTransformerModel(
         seq_data.schema,

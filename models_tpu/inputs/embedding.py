@@ -138,7 +138,26 @@ class EmbeddingTable(Block):
         return Dataset(data)
 
     # ------------------------------------------------------------------
-    def _lookup(self, ids: jnp.ndarray) -> jnp.ndarray:
+    def _lookup(self, ids: jnp.ndarray, context=None) -> jnp.ndarray:
+        """Gather rows. Under ``fit(mesh=)`` with a model axis that divides this
+        table's (padded) rows — the same condition the placement rules use to
+        row-shard it — the lookup routes through :func:`sharded_lookup` so the
+        table is never all-gathered (the SOK-equivalent path, reference
+        ``tf/distributed/embedding.py:144``); otherwise it is XLA's dynamic
+        gather on the local/replicated table."""
+        mesh = context.get("mesh") if context is not None else None
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            n = dict(mesh.shape).get(MODEL_AXIS, 1)
+            if n > 1 and self.padded_rows % n == 0:
+                from ..ops.embedding_lookup import sharded_lookup
+
+                flat = ids.reshape(-1)
+                out = sharded_lookup(
+                    self.table.value, flat, mesh, axis=MODEL_AXIS, data_axis=DATA_AXIS
+                )
+                return out.reshape(tuple(ids.shape) + (self.dim,))
         return jnp.take(self.table.value, ids, axis=0)
 
     def _tap(self, emb, ids, feature, context):
@@ -159,14 +178,14 @@ class EmbeddingTable(Block):
 
     def _call_single(self, value, feature: Optional[str] = None, context=None):
         if isinstance(value, SequenceFeature):
-            emb = self._lookup(value.values)  # (B, L, D)
+            emb = self._lookup(value.values, context=context)  # (B, L, D)
             emb = self._tap(emb, value.values, feature, context)
             combiner = self.sequence_combiner
             if combiner is None:
                 return SequenceFeature(emb, value.mask)
             masked = SequenceFeature(emb, value.mask)
             return SEQUENCE_COMBINERS[combiner](masked)
-        emb = self._lookup(value)
+        emb = self._lookup(value, context=context)
         return self._tap(emb, value, feature, context)
 
     def __call__(self, inputs, *, context=None, **kwargs):

@@ -204,6 +204,7 @@ class BaseModel(Block):
         self._compiled = True
         self._step_cache: Dict[str, Any] = {}
         self._graphdef_cache = None
+        self._mesh = getattr(self, "_mesh", None)
         return self
 
     def _resolve_task_losses(self) -> Dict[str, Callable]:
@@ -343,7 +344,7 @@ class BaseModel(Block):
     def _split(self):
         return nnx.split(self, nnx.Param, ...)
 
-    def _make_train_step(self, loss_fns, task_metrics, with_metrics: bool):
+    def _make_train_step(self, loss_fns, task_metrics, with_metrics: bool, mesh=None):
         graphdef = self._graphdef
 
         def step_fn(params, rest, opt_state, metric_states, x, y, step):
@@ -351,6 +352,8 @@ class BaseModel(Block):
                 model = nnx.merge(graphdef, p, rest)
                 context = ModelContext(features=x, targets=y, step=step)
                 context["need_logits"] = with_metrics
+                if mesh is not None:
+                    context["mesh"] = mesh
                 preds = call_block(model, x, targets=y, training=True, context=context)
                 pred_dict = model._as_pred_dict(preds)
                 total, logs = model._compute_losses(pred_dict, x, loss_fns)
@@ -405,7 +408,9 @@ class BaseModel(Block):
             )
         return shapes
 
-    def _make_sparse_train_step(self, loss_fns, task_metrics, tap_shapes, sparse, with_metrics):
+    def _make_sparse_train_step(
+        self, loss_fns, task_metrics, tap_shapes, sparse, with_metrics, mesh=None
+    ):
         graphdef = self._graphdef
         emb_type = _embedding_param_type()
 
@@ -416,6 +421,8 @@ class BaseModel(Block):
                 model = nnx.merge(graphdef, emb_params, dp, rest)
                 context = ModelContext(features=x, targets=y, step=step)
                 context["need_logits"] = with_metrics
+                if mesh is not None:
+                    context["mesh"] = mesh
                 context["taps"] = taps
                 context["tap_ids"] = {}
                 preds = call_block(model, x, targets=y, training=True, context=context)
@@ -446,10 +453,11 @@ class BaseModel(Block):
             step_fn = jax.jit(step_fn, donate_argnums=(0, 1, 2, 3, 4))
         return step_fn
 
-    def _make_eval_step(self, loss_fns, task_metrics):
+    def _make_eval_step(self, loss_fns, task_metrics, mesh=None):
         # reuse the jitted step across epochs/calls (same graph structure):
         # re-jitting every evaluate() would retrace per validation epoch
-        cached = self._step_cache.get("eval")
+        cache_key = ("eval", mesh)
+        cached = self._step_cache.get(cache_key)
         if cached is not None and self._graphdef_cache == self._graphdef:
             return cached
         graphdef = self._graphdef
@@ -458,6 +466,8 @@ class BaseModel(Block):
             model = nnx.merge(graphdef, params, rest)
             context = ModelContext(features=x, targets=y, testing=True)
             context["need_logits"] = True
+            if mesh is not None:
+                context["mesh"] = mesh
             preds = call_block(model, x, targets=y, training=False, context=context)
             pred_dict = model._as_pred_dict(preds)
             total, logs = model._compute_losses(pred_dict, x, loss_fns)
@@ -470,7 +480,7 @@ class BaseModel(Block):
 
         if self._jit:
             step_fn = jax.jit(step_fn, donate_argnums=(2, 3))
-        self._step_cache["eval"] = step_fn
+        self._step_cache[cache_key] = step_fn
         self._graphdef_cache = self._graphdef
         return step_fn
 
@@ -563,23 +573,26 @@ class BaseModel(Block):
         self._graphdef = graphdef
         loss_fns = self._resolve_task_losses()
         task_metrics = self._resolve_task_metrics()
+        self._mesh = mesh
         if sparse is not None:
             train_step = self._make_sparse_train_step(
-                loss_fns, task_metrics, tap_shapes, sparse, with_metrics=True
+                loss_fns, task_metrics, tap_shapes, sparse, with_metrics=True, mesh=mesh
             )
             train_step_fast = (
                 train_step
                 if self.train_metrics_steps == 1
                 else self._make_sparse_train_step(
-                    loss_fns, task_metrics, tap_shapes, sparse, with_metrics=False
+                    loss_fns, task_metrics, tap_shapes, sparse, with_metrics=False, mesh=mesh
                 )
             )
         else:
-            train_step = self._make_train_step(loss_fns, task_metrics, with_metrics=True)
+            train_step = self._make_train_step(
+                loss_fns, task_metrics, with_metrics=True, mesh=mesh
+            )
             train_step_fast = (
                 train_step
                 if self.train_metrics_steps == 1
-                else self._make_train_step(loss_fns, task_metrics, with_metrics=False)
+                else self._make_train_step(loss_fns, task_metrics, with_metrics=False, mesh=mesh)
             )
         opt_state = self._tx.init(params)
         if mesh is not None:
@@ -700,7 +713,8 @@ class BaseModel(Block):
         self._graphdef = graphdef
         loss_fns = self._resolve_task_losses()
         task_metrics = self._resolve_task_metrics()
-        eval_step = self._make_eval_step(loss_fns, task_metrics)
+        mesh = getattr(self, "_mesh", None)
+        eval_step = self._make_eval_step(loss_fns, task_metrics, mesh=mesh)
         pre_block = as_block(pre) if pre is not None else None
 
         metric_states = self._init_metric_states(task_metrics)
@@ -711,6 +725,11 @@ class BaseModel(Block):
                 saved, self._pre_transform = getattr(self, "_pre_transform", None), pre_block
                 x, y = self._apply_pre(x, y, training=False, step=0)
                 self._pre_transform = saved
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                x = shard_batch(to_device_batch(x), mesh)
+                y = shard_batch(y, mesh)
             metric_states, loss_acc = eval_step(params, rest, metric_states, loss_acc, x, y)
         results = {"loss": float(loss_acc["total"] / jnp.maximum(loss_acc["count"], 1.0))}
         results.update(self._metric_results(metric_states, task_metrics))

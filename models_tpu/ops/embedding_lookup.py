@@ -94,16 +94,24 @@ def pallas_gather(
 
 def sharded_lookup(
     table: jnp.ndarray,  # (R, D) row-sharded over `axis`
-    ids: jnp.ndarray,    # (B,) replicated
+    ids: jnp.ndarray,    # (B,) — replicated or sharded over `data_axis`
     mesh,
     axis: str = "model",
+    data_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Lookup on a row-sharded table: local gather of owned rows + psum.
 
     Each device holds rows [s*R/n, (s+1)*R/n); ids outside the local range
     contribute zeros; one psum over ``axis`` assembles the full (B, D) result.
     The backward pass of this computation is automatically the row-local
-    scatter-add — gradients never leave the owning device.
+    scatter-add — gradients never leave the owning device; the table is never
+    all-gathered (the SOK ``lookup_sparse`` property, reference
+    ``tf/distributed/embedding.py:144``).
+
+    When ``data_axis`` is given and the id count divides it, the id list is
+    split over the data axis too (hybrid DP×MP): each data shard looks up only
+    its batch slice and the result comes back batch-sharded — the psum stays a
+    (B/dp, D) reduction over the model axis only.
     """
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
@@ -113,6 +121,14 @@ def sharded_lookup(
     if R % n != 0:
         raise ValueError(f"table rows {R} not divisible by mesh axis {axis}={n}")
     rows_per = R // n
+    use_data = (
+        data_axis is not None
+        and data_axis in mesh.shape
+        and mesh.shape[data_axis] > 1
+        and ids.shape[0] % mesh.shape[data_axis] == 0
+    )
+    ids_spec = P(data_axis) if use_data else P()
+    out_spec = P(data_axis, None) if use_data else P()
 
     def local(table_shard, ids):
         shard = jax.lax.axis_index(axis)
@@ -124,7 +140,7 @@ def sharded_lookup(
         return jax.lax.psum(rows, axis)
 
     fn = shard_map(
-        local, mesh=mesh, in_specs=(P(axis, None), P()), out_specs=P()
+        local, mesh=mesh, in_specs=(P(axis, None), ids_spec), out_specs=out_spec
     )
     return fn(table, ids)
 

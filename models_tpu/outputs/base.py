@@ -196,7 +196,7 @@ class EmbeddingTablePrediction(Block):
         )
 
     def embedding_lookup(self, ids, site: str = "tying", context=None):
-        emb = jnp.take(self.table.table.value, ids, axis=0)
+        emb = self.table._lookup(ids, context=context)
         return self.table._tap(emb, ids, site, context)
 
     @property

@@ -37,7 +37,7 @@ def _to_numpy_state(model):
 
 
 # engine attributes that hold closures / compiled functions — rebuilt by compile()
-_ENGINE_ATTRS = ("_tx", "_step_cache", "_graphdef", "_pre_transform", "_loss_spec", "_metrics_spec")
+_ENGINE_ATTRS = ("_tx", "_step_cache", "_graphdef", "_pre_transform", "_loss_spec", "_metrics_spec", "_mesh")
 
 
 def save_model(model, path: str) -> str:

@@ -95,16 +95,78 @@ def test_fit_on_mesh_matches_single_device():
     np.testing.assert_allclose(losses_single, losses_mesh, rtol=1e-4)
 
 
-def test_fit_on_model_sharded_mesh():
+def test_fit_on_model_sharded_mesh_matches_single_device():
+    """Hybrid DP×MP fit (tables row-sharded via sharded_lookup, batch over data)
+    must reproduce the single-device loss trajectory."""
     from models_tpu.data import generate_data
     from models_tpu.models import TwoTowerModel
 
     ds = generate_data("movielens-100k", num_rows=128)
+
+    def run(mesh):
+        m = TwoTowerModel(ds.schema, query_tower=(16, 8), embedding_dim=8)
+        m.compile(optimizer="adam", learning_rate=0.05)
+        h = m.fit(ds, epochs=2, batch_size=16, shuffle=False, verbose=0, mesh=mesh)
+        return h.history["loss"]
+
+    losses_single = run(None)
+    losses_mesh = run(cpu_mesh({"data": 2, "model": 2}))
+    np.testing.assert_allclose(losses_single, losses_mesh, rtol=2e-4)
+
+
+def test_sharded_train_step_never_allgathers_tables():
+    """Compile the model-sharded train step and assert the optimized HLO has no
+    all-gather with a table-sized result: the SOK-equivalent property — lookups
+    move (B, D) activations over ICI, never table rows."""
+    import re
+
+    from flax import nnx
+
+    from models_tpu.core.types import to_device_batch
+    from models_tpu.data import Loader, generate_data
+    from models_tpu.models import TwoTowerModel
+    from models_tpu.parallel.mesh import replicate, shard_batch, shard_state
+
+    ds = generate_data("movielens-100k", num_rows=128)
     mesh = cpu_mesh({"data": 2, "model": 2})
-    m = TwoTowerModel(ds.schema, query_tower=(16, 8), embedding_dim=8)
+    m = TwoTowerModel(ds.schema, query_tower=(32, 16), embedding_dim=32)
     m.compile()
-    h = m.fit(ds, epochs=1, batch_size=16, verbose=0, mesh=mesh)
-    assert np.isfinite(h.history["loss"][0])
+    loader = Loader(ds, 16, drop_last=True)
+    m.build(loader)
+    graphdef, params, rest = m._split()
+    params = shard_state(params, mesh)
+    rest = replicate(rest, mesh)
+    m._graphdef = graphdef
+    loss_fns = m._resolve_task_losses()
+    task_metrics = m._resolve_task_metrics()
+    step = m._make_train_step(loss_fns, task_metrics, with_metrics=False, mesh=mesh)
+    opt_state = shard_state(m._tx.init(params), mesh)
+    metric_states = m._init_metric_states(task_metrics)
+    x, y = loader.peek()
+    x = shard_batch(to_device_batch(x), mesh)
+    y = shard_batch({k: np.asarray(v) for k, v in y.items()}, mesh)
+    import jax.numpy as jnp
+
+    txt = step.lower(
+        params, rest, opt_state, metric_states, x, y, jnp.asarray(0)
+    ).compile().as_text()
+
+    # smallest *real* table (movielens-100k user/item, cardinality ≥ 900): tiny
+    # demographic tables (≤8 padded rows) are activation-sized and not the point
+    min_table_elems = min(
+        t.padded_rows * t.dim for t in m._embedding_tables() if t.padded_rows >= 128
+    )
+    assert min_table_elems > 4096  # well above any (B, D) activation in this model
+    offenders = []
+    for line in txt.splitlines():
+        if "all-gather" not in line:
+            continue
+        for shape in re.findall(r"[a-z0-9]+\[([\d,]+)\]", line):
+            elems = int(np.prod([int(d) for d in shape.split(",") if d]))
+            if elems >= min_table_elems:
+                offenders.append(line.strip()[:160])
+                break
+    assert not offenders, "table-sized all-gather found:\n" + "\n".join(offenders)
 
 
 def test_chief_guards():

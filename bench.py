@@ -1,23 +1,28 @@
-"""Benchmark: two-tower retrieval training throughput on one TPU chip.
+"""Benchmark suite: two-tower training (compute-only AND pipeline-included),
+Pallas top-k serving, and the row-sparse optimizer at catalog scale.
 
-Config mirrors the BASELINE.md north-star shape (MovieLens-25M-scale two-tower,
-in-batch sampled softmax over the global batch): 162k users x 62k items, 128-d
-embeddings, [256,128] MLP towers, batch 8192.
+Headline config mirrors the BASELINE.md north-star shape (MovieLens-25M-scale
+two-tower, in-batch sampled softmax over the global batch): 162k users x 62k
+items, 128-d embeddings, [256,128] MLP towers, batch 8192.
 
 Measurement notes: the axon tunnel to the TPU makes per-call timing unreliable
-(``block_until_ready`` can return before device completion and each call carries
-~25ms fixed RTT), so the training loop runs *inside* ``lax.scan`` in a single
-executable and we time the host fetch of the final loss scalar at two different
-step counts — the marginal time per step ((T2-T1)/(N2-N1)) cancels the fixed
-tunnel overhead.
+(``block_until_ready`` can return before device completion, repeated identical
+computations get memoized in the tunnel, and each call carries ~25ms fixed RTT),
+so compute loops run *inside* ``lax.scan`` in a single executable with
+step-dependent inputs, and we difference the host fetch time at two step counts
+((T2-T1)/(N2-N1) cancels the fixed overhead). The pipeline number is honest
+wall-clock through the engine: parquet → Loader (RAM-cached decode) → prefetch →
+per-step jit dispatch.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 ``vs_baseline`` divides by 100_000 examples/sec — a nominal order-of-magnitude
 figure for the reference's GPU two-tower pipeline (the reference publishes no
 absolute numbers, BASELINE.md).
 """
 
 import json
+from functools import partial
+import os
 import sys
 import time
 
@@ -29,14 +34,27 @@ REFERENCE_EXAMPLES_PER_SEC = 100_000.0
 
 BATCH = 8192
 N1, N2 = 10, 60
+PIPE_BATCHES = 32
+BENCH_DATA = "/root/.cache/models_tpu_bench_data/ml25m_262144"
 
 
-def main():
-    # persistent compile cache: repeat bench runs skip the ~60s TPU compiles
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_bench")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+def _marginal(run, n1, n2, repeats=3):
+    """Best-of marginal seconds/step between two step counts."""
+    times = {}
+    for n in (n1, n2):
+        _ = run(n)  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run(n)
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    return (times[n2] - times[n1]) / (n2 - n1)
 
+
+# ---------------------------------------------------------------------------
+def bench_two_tower_compute():
+    """Training step compute throughput: loop inside lax.scan on one batch."""
     import optax
     from flax import nnx
 
@@ -70,8 +88,7 @@ def main():
         def loss_fn(p):
             mod = nnx.merge(graphdef, p, rest)
             context = ModelContext(features=x, targets=y, step=0)
-            # fused blockwise CE path (no metrics on these steps)
-            context["need_logits"] = False
+            context["need_logits"] = False  # fused blockwise CE path
             preds = call_block(mod, x, targets=y, training=True, context=context)
             pred_dict = mod._as_pred_dict(preds)
             total, _ = mod._compute_losses(pred_dict, x, loss_fns)
@@ -82,42 +99,169 @@ def main():
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    def make_runner(n):
+    def run(n):
         @jax.jit
-        def run(params, opt_state):
-            (params, opt_state), losses = jax.lax.scan(
-                train_step, (params, opt_state), None, length=n
-            )
+        def go(params, opt_state):
+            (_, _), losses = jax.lax.scan(train_step, (params, opt_state), None, length=n)
             return losses[-1]
+
+        return float(go(params, opt_state))
+
+    step_time = _marginal(run, N1, N2)
+    return BATCH / step_time, step_time * 1000
+
+
+# ---------------------------------------------------------------------------
+def bench_two_tower_pipeline():
+    """End-to-end fit() throughput: parquet → Loader → prefetch → jitted steps."""
+    from models_tpu.data import Dataset, Loader, generate_data
+    from models_tpu.models import TwoTowerModel
+
+    if not os.path.isdir(BENCH_DATA):
+        os.makedirs(os.path.dirname(BENCH_DATA), exist_ok=True)
+        ds = generate_data("movielens-25m", num_rows=BATCH * PIPE_BATCHES, seed=3)
+        ds.to_parquet(BENCH_DATA, num_partitions=8)
+    ds = Dataset.from_parquet(BENCH_DATA)
+    model = TwoTowerModel(ds.schema, query_tower=(256, 128), embedding_dim=128)
+    # metrics off the hot path (reference MetricsComputeCallback semantics)
+    model.compile(optimizer="adagrad", learning_rate=0.05, train_metrics_steps=10_000)
+    loader = Loader(ds, batch_size=BATCH, drop_last=True, shuffle=False)
+    # epoch 1 pays compile + parquet decode (cached after); epoch 3 is steady-state
+    hist = model.fit(loader, epochs=3, verbose=0)
+    return float(hist.history["examples_per_sec"][-1])
+
+
+# ---------------------------------------------------------------------------
+def bench_topk():
+    """Pallas fused top-k over a 1M x 128 catalog, B=256, k=10 (+ index build)."""
+    from models_tpu.ops.topk import pallas_topk
+
+    C, D, B, K = 1_000_000, 128, 256, 10
+    cand = jax.random.normal(jax.random.key(0), (C, D), jnp.float32)
+    item_feats = jax.random.normal(jax.random.key(1), (C, 64), jnp.float32)
+    w1 = jax.random.normal(jax.random.key(2), (64, 128), jnp.float32) * 0.1
+    w2 = jax.random.normal(jax.random.key(3), (128, D), jnp.float32) * 0.1
+
+    def run_queries(n):
+        @jax.jit
+        def go(cand):
+            def body(carry, t):
+                # fresh queries each step (defeats tunnel memoization)
+                q = jax.random.normal(jax.random.fold_in(jax.random.key(7), t), (B, D))
+                s, i = pallas_topk(q, cand, K, tile=4096)
+                return carry + jnp.sum(s[:, 0]) * 0, i
+
+            c, ids = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
+            return ids[-1, 0, 0] + c
+
+        return float(go(cand))
+
+    q_time = _marginal(run_queries, 2, 22)
+
+    def run_build(n):
+        @jax.jit
+        def go(feats):
+            def body(carry, t):
+                emb = jnp.maximum(feats @ w1, 0.0) @ w2  # item-tower encode sweep
+                return carry + emb[0, 0] * 1e-9, ()
+
+            c, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
+            return c
+
+        return float(go(item_feats))
+
+    build_time = _marginal(run_build, 1, 4)
+    return B / q_time, q_time * 1000, build_time * 1000
+
+
+# ---------------------------------------------------------------------------
+def bench_sparse_optimizer():
+    """Row-sparse (Pallas scatter) vs dense adagrad at catalog scale.
+
+    Head-to-head at 4M x 128 (dense at 8M x 128 exceeds HBM: the dense path
+    needs table + slot + dense grad + temps ≈ 19G > 15.75G — the sparse path is
+    the only way to *train* an 8M-row table on one chip at all)."""
+    from models_tpu.ops.scatter import dedup_rows, pallas_row_scatter_add
+
+    D, B = 128, 8192
+    lr, eps = 0.05, 1e-8
+
+    def make(step_kind, R):
+        def sparse_step(carry, t):
+            w, acc = carry
+            ids = jax.random.randint(jax.random.fold_in(jax.random.key(5), t), (B,), 0, R)
+            g = jnp.full((B, D), 1e-6) * (1.0 + w[0, 0])
+            sids, gsum, valid = dedup_rows(ids, g)
+            acc_new_rows = jnp.take(acc, sids, axis=0) + gsum * gsum
+            acc = pallas_row_scatter_add(acc, sids, gsum * gsum, valid)
+            w = pallas_row_scatter_add(
+                w, sids, -lr * gsum / (jnp.sqrt(acc_new_rows) + eps), valid
+            )
+            return (w, acc), ()
+
+        def dense_step(carry, t):
+            w, acc = carry
+            ids = jax.random.randint(jax.random.fold_in(jax.random.key(5), t), (B,), 0, R)
+
+            def loss(w):
+                return jnp.sum(jnp.take(w, ids, axis=0)) * 1e-6
+
+            g = jax.grad(loss)(w)  # dense via gather-backward (the round-1 path)
+            acc = acc + g * g
+            w = w - lr * g / (jnp.sqrt(acc) + eps)
+            return (w, acc), ()
+
+        step_fn = sparse_step if step_kind == "sparse" else dense_step
+
+        def run(n):
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def go(w, acc):
+                (w, acc), _ = jax.lax.scan(step_fn, (w, acc), jnp.arange(n))
+                return w[0, 0]
+
+            return float(go(jnp.zeros((R, D)), jnp.full((R, D), 0.1)))
 
         return run
 
-    timings = {}
-    for n in (N1, N2):
-        run = make_runner(n)
-        _ = float(run(params, opt_state))  # warmup + compile
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            loss = float(run(params, opt_state))
-            best = min(best, time.perf_counter() - t0)
-        timings[n] = best
+    sparse_4m = _marginal(make("sparse", 4_000_000), 2, 10) * 1000
+    dense_4m = _marginal(make("dense", 4_000_000), 2, 10) * 1000
+    sparse_8m = _marginal(make("sparse", 8_000_000), 2, 10) * 1000
+    return sparse_4m, dense_4m, sparse_8m
 
-    step_time = (timings[N2] - timings[N1]) / (N2 - N1)
-    examples_per_sec = BATCH / step_time
+
+# ---------------------------------------------------------------------------
+def main():
+    # persistent compile cache: repeat bench runs skip the ~60s TPU compiles
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_bench")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    examples_per_sec, step_ms = bench_two_tower_compute()
+    pipeline_eps = bench_two_tower_pipeline()
+    topk_qps, topk_ms, build_ms = bench_topk()
+    sparse_4m, dense_4m, sparse_8m = bench_sparse_optimizer()
+
     result = {
         "metric": "two_tower_train_examples_per_sec",
         "value": round(examples_per_sec, 1),
         "unit": "examples/sec",
         "vs_baseline": round(examples_per_sec / REFERENCE_EXAMPLES_PER_SEC, 3),
+        "extra": {
+            "compute_step_ms": round(step_ms, 3),
+            "pipeline_examples_per_sec": round(pipeline_eps, 1),
+            "pipeline_vs_compute": round(pipeline_eps / examples_per_sec, 3),
+            "topk_qps_1M_catalog": round(topk_qps, 1),
+            "topk_ms_per_256q": round(topk_ms, 3),
+            "index_encode_1M_ms": round(build_ms, 2),
+            "sparse_adagrad_step_ms_4Mx128": round(sparse_4m, 3),
+            "dense_adagrad_step_ms_4Mx128": round(dense_4m, 3),
+            "sparse_vs_dense_speedup": round(dense_4m / sparse_4m, 2),
+            "sparse_adagrad_step_ms_8Mx128": round(sparse_8m, 3),
+            "dense_adagrad_8Mx128": "OOM (needs 19.1G of 15.75G HBM)",
+        },
     }
     print(json.dumps(result))
-    print(
-        f"# device={jax.devices()[0].device_kind} batch={BATCH} "
-        f"marginal_step_ms={step_time*1000:.3f} t[{N1}]={timings[N1]*1000:.1f}ms "
-        f"t[{N2}]={timings[N2]*1000:.1f}ms final_loss={loss:.4f}",
-        file=sys.stderr,
-    )
+    print(f"# device={jax.devices()[0].device_kind} batch={BATCH}", file=sys.stderr)
 
 
 if __name__ == "__main__":

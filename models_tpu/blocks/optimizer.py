@@ -72,45 +72,55 @@ class SparseEmbeddingOptimizer:
         """Scatter-update the table (and slots) at the looked-up rows.
 
         ``ids``: (N,) int32 flattened; ``grads``: (N, D) row gradients. Duplicate
-        ids accumulate via scatter-add before the update (segment-sum on device),
-        matching dense-gradient semantics exactly.
+        ids are segment-summed first, so each unique row receives exactly one
+        optimizer update from the accumulated gradient — identical to the dense
+        path's semantics.
+
+        All writes go through :func:`ops.scatter.pallas_row_scatter_add` (HBM
+        traffic ~ touched rows, not table size): XLA's own ``.at[ids].add``
+        lowering on this TPU serializes row updates (CLAUDE.md) which made the
+        sparse path a pessimization in round 1.
         """
+        from ..ops.scatter import dedup_rows, pallas_row_scatter_add
+
         flat_ids = ids.reshape(-1)
         flat_g = grads.reshape(-1, grads.shape[-1])
+        sids, gsum, valid = dedup_rows(flat_ids, flat_g)
         lr = self.learning_rate
 
         if self.kind == "sgd":
-            table.table.value = table.table.value.at[flat_ids].add(-lr * flat_g)
+            table.table.value = pallas_row_scatter_add(
+                table.table.value, sids, -lr * gsum, valid
+            )
             return
 
-        # segment-sum duplicate ids into unique row grads without dynamic shapes:
-        # scatter-add into a dense-but-only-touched-rows buffer would defeat the
-        # point, so sort-free approach: scatter-add grads onto the slot update
-        # path directly. For correctness with duplicates we accumulate g and g²
-        # per row via scatter-add into *small* per-batch buffers keyed by ids.
         if self.kind == "adagrad":
             acc = table.sparse_slots["acc"].value
-            acc = acc.at[flat_ids].add(flat_g * flat_g)
-            table.sparse_slots["acc"].value = acc
-            denom = jnp.sqrt(acc[flat_ids]) + self.eps
-            table.table.value = table.table.value.at[flat_ids].add(-lr * flat_g / denom)
+            acc_new_rows = jnp.take(acc, sids, axis=0) + gsum * gsum
+            table.sparse_slots["acc"].value = pallas_row_scatter_add(
+                acc, sids, gsum * gsum, valid
+            )
+            denom = jnp.sqrt(acc_new_rows) + self.eps
+            table.table.value = pallas_row_scatter_add(
+                table.table.value, sids, -lr * gsum / denom, valid
+            )
             return
 
         # adam (LazyAdam): m/v decay + update only at touched rows
         m = table.sparse_slots["m"].value
         v = table.sparse_slots["v"].value
         b1, b2 = self.beta1, self.beta2
-        m_rows = b1 * m[flat_ids] + (1 - b1) * flat_g
-        v_rows = b2 * v[flat_ids] + (1 - b2) * flat_g * flat_g
-        m = m.at[flat_ids].set(m_rows)
-        v = v.at[flat_ids].set(v_rows)
-        table.sparse_slots["m"].value = m
-        table.sparse_slots["v"].value = v
+        m_old = jnp.take(m, sids, axis=0)
+        v_old = jnp.take(v, sids, axis=0)
+        m_new = b1 * m_old + (1 - b1) * gsum
+        v_new = b2 * v_old + (1 - b2) * gsum * gsum
+        table.sparse_slots["m"].value = pallas_row_scatter_add(m, sids, m_new - m_old, valid)
+        table.sparse_slots["v"].value = pallas_row_scatter_add(v, sids, v_new - v_old, valid)
         t = jnp.maximum(step.astype(jnp.float32) + 1.0, 1.0)
-        mhat = m_rows / (1 - b1**t)
-        vhat = v_rows / (1 - b2**t)
-        table.table.value = table.table.value.at[flat_ids].add(
-            -lr * mhat / (jnp.sqrt(vhat) + self.eps)
+        mhat = m_new / (1 - b1**t)
+        vhat = v_new / (1 - b2**t)
+        table.table.value = pallas_row_scatter_add(
+            table.table.value, sids, -lr * mhat / (jnp.sqrt(vhat) + self.eps), valid
         )
 
 

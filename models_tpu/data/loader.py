@@ -74,6 +74,8 @@ class Loader:
         transform=None,
         prefetch: int = 2,
         schema: Optional[Schema] = None,
+        cache: Union[bool, str] = "auto",
+        cache_limit_bytes: int = 4 << 30,
     ):
         if not isinstance(dataset, Dataset):
             dataset = Dataset(dataset)
@@ -88,6 +90,15 @@ class Loader:
         self.transform = transform
         self.prefetch = prefetch
         self._epoch = 0
+        # decoded-column RAM cache: parquet decode runs once, later epochs only
+        # permute + slice numpy (the reference dataloader similarly keeps chunks
+        # resident when they fit). "auto"/True caches until cache_limit_bytes,
+        # then falls back to streaming; False always re-decodes.
+        self._cache_mode = cache
+        self._cache_limit = int(cache_limit_bytes)
+        self._cache_bytes = 0
+        self._col_cache: Optional[Dict[str, np.ndarray]] = None
+        self._file_cache: Dict[int, Dict[str, np.ndarray]] = {}
 
         self._target_cols = [c.name for c in self.schema.targets]
         self._feature_cols = [
@@ -113,10 +124,47 @@ class Loader:
         return self.seed + self._epoch * 9973
 
     # ------------------------------------------------------------------
+    def _cache_add(self, key, cols: Dict[str, np.ndarray]) -> None:
+        if self._cache_mode is False:
+            return
+        nbytes = sum(a.nbytes for a in cols.values())
+        if self._cache_bytes + nbytes > self._cache_limit:
+            return
+        self._cache_bytes += nbytes
+        if key is None:
+            self._col_cache = cols
+        else:
+            self._file_cache[key] = cols
+
+    def _take_cols(self, cols: Dict[str, np.ndarray], idx: np.ndarray) -> Dict[str, np.ndarray]:
+        """Row-permute columns (vectorized for ragged list columns)."""
+        out = {}
+        for name in self._feature_cols + self._target_cols:
+            if name in self._list_cols:
+                offs = cols[name + "__offsets"]
+                vals = cols[name + "__values"]
+                lengths = np.diff(offs)[idx]
+                new_offs = np.zeros(len(idx) + 1, dtype=np.int64)
+                np.cumsum(lengths, out=new_offs[1:])
+                total = int(new_offs[-1])
+                # element i of the output maps to src_start(row) + (i - dst_start(row))
+                shift = np.repeat(offs[:-1][idx] - new_offs[:-1], lengths)
+                out[name + "__values"] = vals[np.arange(total, dtype=np.int64) + shift]
+                out[name + "__offsets"] = new_offs
+            else:
+                out[name] = cols[name][idx]
+        return out
+
     def _materialize(self) -> Dict[str, np.ndarray]:
-        """Load (possibly shuffled) full columns for this epoch, host-sharded."""
-        table = self.dataset.to_table()
-        n = table.num_rows
+        """Decoded full columns for this epoch (cached across epochs),
+        shuffled/host-sharded via one vectorized permutation."""
+        cols = self._col_cache
+        if cols is None:
+            cols = table_to_numpy(self.dataset.to_table())
+            self._cache_add(None, cols)
+        n = self._num_rows(cols)
+        if not self.shuffle and self.global_size == 1:
+            return cols
         if self.shuffle:
             rng = np.random.default_rng(self.epoch_seed())
             idx = rng.permutation(n)
@@ -124,9 +172,7 @@ class Loader:
             idx = np.arange(n)
         if self.global_size > 1:
             idx = idx[self.global_rank :: self.global_size]
-        import pyarrow as pa
-
-        return table_to_numpy(table.take(pa.array(idx)))
+        return self._take_cols(cols, idx)
 
     def _assemble(self, cols: Dict[str, np.ndarray], lo: int, hi: int):
         feats: Dict[str, Any] = {}
@@ -209,7 +255,10 @@ class Loader:
                 order = order[self.global_rank :: self.global_size]
             carry: Optional[Dict[str, np.ndarray]] = None
             for fi in order:
-                cols = table_to_numpy(pq.read_table(files[fi]))
+                cols = self._file_cache.get(int(fi))
+                if cols is None:
+                    cols = table_to_numpy(pq.read_table(files[fi]))
+                    self._cache_add(int(fi), cols)
                 if self.shuffle:
                     cols = self._shuffle_cols(cols, rng)
                 if carry is not None:
@@ -230,24 +279,7 @@ class Loader:
         yield from self._cols_batches(cols, drop_tail=self.drop_last)
 
     def _shuffle_cols(self, cols, rng) -> Dict[str, np.ndarray]:
-        n = self._num_rows(cols)
-        idx = rng.permutation(n)
-        out = {}
-        for name in self._feature_cols + self._target_cols:
-            if name in self._list_cols:
-                offs = cols[name + "__offsets"]
-                vals = cols[name + "__values"]
-                lengths = np.diff(offs)[idx]
-                new_offs = np.zeros(n + 1, dtype=np.int64)
-                np.cumsum(lengths, out=new_offs[1:])
-                new_vals = np.empty(int(new_offs[-1]), dtype=vals.dtype)
-                for j, i in enumerate(idx):
-                    new_vals[new_offs[j] : new_offs[j + 1]] = vals[offs[i] : offs[i + 1]]
-                out[name + "__values"] = new_vals
-                out[name + "__offsets"] = new_offs
-            else:
-                out[name] = cols[name][idx]
-        return out
+        return self._take_cols(cols, rng.permutation(self._num_rows(cols)))
 
     @staticmethod
     def _concat_cols(a: Dict[str, np.ndarray], b: Dict[str, np.ndarray]):

@@ -175,3 +175,41 @@ def test_sampled_softmax_logq_bias_matches_dense():
     g = jax.grad(lambda qq: sampled_softmax_loss(qq, pos, neg, None, None, None, bias, 0.7, 16))(q)
     g_ref = jax.grad(lambda qq: dense_loss(qq, pos, neg))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-6)
+
+
+def test_dedup_rows_segment_sums_duplicates():
+    import jax.numpy as jnp
+
+    from models_tpu.ops.scatter import dedup_rows
+
+    ids = jnp.array([5, 2, 5, 9, 2, 2], jnp.int32)
+    rows = jnp.arange(12, dtype=jnp.float32).reshape(6, 2)
+    sids, summed, valid = dedup_rows(ids, rows)
+    out = {}
+    for i in range(6):
+        if bool(valid[i]):
+            out[int(sids[i])] = np.asarray(summed[i])
+    np.testing.assert_allclose(out[2], rows[1] + rows[4] + rows[5])
+    np.testing.assert_allclose(out[5], rows[0] + rows[2])
+    np.testing.assert_allclose(out[9], rows[3])
+    assert int(valid.sum()) == 3
+
+
+def test_pallas_row_scatter_add_interpret_matches_numpy():
+    import jax.numpy as jnp
+
+    from models_tpu.ops.scatter import dedup_rows, pallas_row_scatter_add
+
+    rng = np.random.default_rng(1)
+    R, D, B = 64, 8, 37
+    table = jnp.asarray(rng.standard_normal((R, D)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, R, B), jnp.int32)
+    upd = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    sids, summed, valid = dedup_rows(ids, upd)
+    expect = np.asarray(table).copy()
+    np.add.at(expect, np.asarray(ids), np.asarray(upd))
+    got = pallas_row_scatter_add(table, sids, summed, valid, block=16, n_buf=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-5, atol=1e-5)
+    # XLA fallback path agrees too
+    got2 = pallas_row_scatter_add(table, sids, summed, valid, force_xla=True)
+    np.testing.assert_allclose(np.asarray(got2), expect, rtol=1e-5, atol=1e-5)

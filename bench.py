@@ -123,8 +123,14 @@ def bench_two_tower_pipeline():
         ds.to_parquet(BENCH_DATA, num_partitions=8)
     ds = Dataset.from_parquet(BENCH_DATA)
     model = TwoTowerModel(ds.schema, query_tower=(256, 128), embedding_dim=128)
-    # metrics off the hot path (reference MetricsComputeCallback semantics)
-    model.compile(optimizer="adagrad", learning_rate=0.05, train_metrics_steps=10_000)
+    # metrics off the hot path (reference MetricsComputeCallback semantics);
+    # 8 steps per dispatch amortizes the tunnel RTT (Keras steps_per_execution)
+    model.compile(
+        optimizer="adagrad",
+        learning_rate=0.05,
+        train_metrics_steps=10_000,
+        steps_per_execution=32,
+    )
     loader = Loader(ds, batch_size=BATCH, drop_last=True, shuffle=False)
     # epoch 1 pays compile + parquet decode (cached after); epoch 3 is steady-state
     hist = model.fit(loader, epochs=3, verbose=0)
@@ -223,9 +229,11 @@ def bench_sparse_optimizer():
 
         return run
 
-    sparse_4m = _marginal(make("sparse", 4_000_000), 2, 10) * 1000
-    dense_4m = _marginal(make("dense", 4_000_000), 2, 10) * 1000
-    sparse_8m = _marginal(make("sparse", 8_000_000), 2, 10) * 1000
+    # sparse steps are sub-ms: spread the step counts far apart so the marginal
+    # rises above tunnel jitter
+    sparse_4m = _marginal(make("sparse", 4_000_000), 2, 202) * 1000
+    dense_4m = _marginal(make("dense", 4_000_000), 2, 12) * 1000
+    sparse_8m = _marginal(make("sparse", 8_000_000), 2, 202) * 1000
     return sparse_4m, dense_4m, sparse_8m
 
 

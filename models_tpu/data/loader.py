@@ -281,6 +281,54 @@ class Loader:
     def _shuffle_cols(self, cols, rng) -> Dict[str, np.ndarray]:
         return self._take_cols(cols, rng.permutation(self._num_rows(cols)))
 
+    def dense_columns(self):
+        """Whole-dataset assembled columns for the device-resident fast path:
+        (features, targets, n_rows) with ragged lists pre-padded to
+        (n, L)+mask SequenceFeatures, UNshuffled — the engine uploads these to
+        HBM once and gathers per-batch rows on device (the role of the
+        reference dataloader's GPU-resident chunks). Raises ValueError for
+        datasets this loader streams (multi-file beyond the RAM cache)."""
+        files = self.dataset._files
+        if files is not None and len(files) > 1:
+            # decode all partitions once (they land in the RAM cache if small)
+            import pyarrow.parquet as pq
+
+            parts = []
+            for fi in range(len(files)):
+                cols = self._file_cache.get(fi)
+                if cols is None:
+                    cols = table_to_numpy(pq.read_table(files[fi]))
+                    self._cache_add(fi, cols)
+                parts.append(cols)
+            cols = parts[0]
+            for p in parts[1:]:
+                cols = self._concat_cols(cols, p)
+        else:
+            cols = self._col_cache
+            if cols is None:
+                cols = table_to_numpy(self.dataset.to_table())
+                self._cache_add(None, cols)
+        n = self._num_rows(cols)
+        feats: Dict[str, Any] = {}
+        targets: Dict[str, np.ndarray] = {}
+        for name in self._feature_cols + self._target_cols:
+            dest = targets if name in self._target_cols else feats
+            if name in self._list_cols:
+                padded, mask = pad_ragged(
+                    cols[name + "__values"], cols[name + "__offsets"], self._list_cols[name]
+                )
+                dest[name] = SequenceFeature(padded, mask)
+            else:
+                dest[name] = cols[name]
+        if self.transform is not None:
+            raise ValueError("dense_columns() does not support per-batch transforms")
+        t = targets
+        if isinstance(t, dict) and len(t) == 1:
+            t = next(iter(t.values()))
+        elif isinstance(t, dict) and not t:
+            t = None
+        return feats, t, n
+
     @staticmethod
     def _concat_cols(a: Dict[str, np.ndarray], b: Dict[str, np.ndarray]):
         out = {}

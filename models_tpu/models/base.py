@@ -104,6 +104,16 @@ def _merge_row_valid(sw, row_valid, lead_dim):
     return sw
 
 
+def _fetch_scalars(values: Dict[str, Any]) -> Dict[str, float]:
+    """Fetch a dict of (device or host) scalars in a single transfer."""
+    if not values:
+        return {}
+    names = list(values)
+    stacked = jnp.stack([jnp.asarray(values[n], jnp.float32).reshape(()) for n in names])
+    host = np.asarray(stacked)
+    return {n: float(v) for n, v in zip(names, host)}
+
+
 def _device_prefetch(iterator, depth: int = 1):
     """Keep ``depth`` batches in flight to the device: ``jax.device_put`` is
     async, so the next batch's host→device transfer overlaps the current step's
@@ -183,6 +193,7 @@ class BaseModel(Block):
         train_metrics_steps: int = 1,
         embedding_optimizer=None,
         jit: bool = True,
+        steps_per_execution: int = 1,
     ) -> "BaseModel":
         from ..blocks.optimizer import MultiOptimizer, SparseEmbeddingOptimizer
 
@@ -200,6 +211,7 @@ class BaseModel(Block):
         self._metrics_spec = metrics
         self._loss_weights = loss_weights or {}
         self.train_metrics_steps = train_metrics_steps
+        self._steps_per_execution = max(int(steps_per_execution), 1)
         self._jit = jit
         self._compiled = True
         self._step_cache: Dict[str, Any] = {}
@@ -328,26 +340,32 @@ class BaseModel(Block):
             new_states[name] = updated
         return new_states
 
-    def _metric_results(self, states, task_metrics) -> Dict[str, float]:
+    def _metric_results(self, states, task_metrics, fetch: bool = True) -> Dict[str, Any]:
+        """Metric results — fetched in ONE host transfer (a float() per metric
+        costs one tunnel RTT each, ~40ms; batching is the difference between
+        epoch overhead and epoch noise). ``fetch=False`` returns device scalars
+        so the caller can merge them into a larger single transfer."""
         multi = len(task_metrics) > 1
-        out: Dict[str, float] = {}
+        out: Dict[str, Any] = {}
         for name, ms in task_metrics.items():
             for m, s in zip(ms, states[name]):
                 res = m.result(s)
                 if isinstance(res, dict):
                     for k, v in res.items():
-                        out[f"{name}/{k}" if multi else k] = float(v)
+                        out[f"{name}/{k}" if multi else k] = v
                 else:
-                    out[f"{name}/{m.name}" if multi and "/" not in m.name else m.name] = float(res)
-        return out
+                    out[f"{name}/{m.name}" if multi and "/" not in m.name else m.name] = res
+        return _fetch_scalars(out) if fetch else out
 
     def _split(self):
         return nnx.split(self, nnx.Param, ...)
 
-    def _make_train_step(self, loss_fns, task_metrics, with_metrics: bool, mesh=None):
+    def _train_body(self, loss_fns, task_metrics, with_metrics: bool, mesh=None):
+        """One un-jitted training step: the body shared by the single-step and
+        multi-step (steps_per_execution scan) compiled variants."""
         graphdef = self._graphdef
 
-        def step_fn(params, rest, opt_state, metric_states, x, y, step):
+        def body(params, rest, opt_state, metric_states, x, y, step):
             def loss_fn(p):
                 model = nnx.merge(graphdef, p, rest)
                 context = ModelContext(features=x, targets=y, step=step)
@@ -370,6 +388,65 @@ class BaseModel(Block):
                     metric_states, pred_dict, x, task_metrics
                 )
             return params, new_rest, opt_state, metric_states, logs
+
+        return body
+
+    def _make_train_step(self, loss_fns, task_metrics, with_metrics: bool, mesh=None):
+        step_fn = self._train_body(loss_fns, task_metrics, with_metrics, mesh)
+        if self._jit:
+            step_fn = jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
+        return step_fn
+
+    def _make_device_chunk_step(self, loss_fns, task_metrics, with_metrics, k: int, batch_size: int):
+        """k training steps in one executable over DEVICE-RESIDENT data: the
+        full dataset's columns live in HBM (uploaded once by fit) and each step
+        gathers its batch rows on device from a permutation index — zero
+        host→device traffic per step. This is the TPU answer to the reference
+        dataloader's GPU-resident chunk strategy (merlin-dataloader), and the
+        difference between tunnel-bandwidth-bound and compute-bound training."""
+        body = self._train_body(loss_fns, task_metrics, with_metrics, mesh=None)
+
+        def chunk_fn(params, rest, opt_state, metric_states, cols, targets, perm, step0, local0):
+            def scan_body(carry, i):
+                p, r, o, m = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, (local0 + i) * batch_size, batch_size)
+                x = jax.tree_util.tree_map(lambda c: jnp.take(c, idx, axis=0), cols)
+                x[ROW_VALID_KEY] = jnp.ones((batch_size,), bool)
+                y = jax.tree_util.tree_map(lambda c: jnp.take(c, idx, axis=0), targets)
+                p, r, o, m, logs = body(p, r, o, m, x, y, step0 + i)
+                return (p, r, o, m), logs
+
+            (params, rest, opt_state, metric_states), logs = jax.lax.scan(
+                scan_body,
+                (params, rest, opt_state, metric_states),
+                jnp.arange(k),
+            )
+            return params, rest, opt_state, metric_states, logs
+
+        if self._jit:
+            chunk_fn = jax.jit(chunk_fn, donate_argnums=(0, 1, 2, 3))
+        return chunk_fn
+
+    def _make_multi_train_step(self, loss_fns, task_metrics, with_metrics, mesh, k: int):
+        """k training steps in ONE executable (Keras ``steps_per_execution``):
+        batches arrive stacked on a leading (k, ...) axis and a ``lax.scan``
+        consumes them — per-step dispatch/RTT overhead is paid once per k steps
+        (decisive through the TPU tunnel; also trims host overhead on pods)."""
+        body = self._train_body(loss_fns, task_metrics, with_metrics, mesh)
+
+        def step_fn(params, rest, opt_state, metric_states, xs, ys, step0):
+            def scan_body(carry, inp):
+                p, r, o, m = carry
+                x, y, i = inp
+                p, r, o, m, logs = body(p, r, o, m, x, y, step0 + i)
+                return (p, r, o, m), logs
+
+            (params, rest, opt_state, metric_states), logs = jax.lax.scan(
+                scan_body,
+                (params, rest, opt_state, metric_states),
+                (xs, ys, jnp.arange(k)),
+            )
+            return params, rest, opt_state, metric_states, logs
 
         if self._jit:
             step_fn = jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
@@ -594,6 +671,69 @@ class BaseModel(Block):
                 if self.train_metrics_steps == 1
                 else self._make_train_step(loss_fns, task_metrics, with_metrics=False, mesh=mesh)
             )
+        # steps_per_execution: k batches per dispatch (single-device dense path)
+        spe = self._steps_per_execution if (sparse is None and mesh is None) else 1
+        multi_step = multi_step_fast = None
+        if spe > 1:
+            multi_step = self._make_multi_train_step(loss_fns, task_metrics, True, mesh, spe)
+            multi_step_fast = (
+                multi_step
+                if self.train_metrics_steps == 1
+                else self._make_multi_train_step(loss_fns, task_metrics, False, mesh, spe)
+            )
+        # device-resident data: upload the dataset's columns to HBM once and
+        # gather batches on device — host→device traffic drops to one upload +
+        # one permutation per epoch (merlin-dataloader's GPU-resident strategy)
+        device_data = None
+        if (
+            spe > 1
+            and sparse is None
+            and mesh is None
+            and self._pre_transform is None
+            and loader.transform is None
+            and loader.global_size == 1
+            and loader.drop_last
+        ):
+            try:
+                feats_h, targs_h, n_rows = loader.dense_columns()
+            except ValueError:
+                feats_h = None
+            if feats_h is not None:
+                nbytes = sum(
+                    a.nbytes
+                    for a in jax.tree_util.tree_leaves((feats_h, targs_h))
+                    if hasattr(a, "nbytes")
+                )
+                if nbytes <= (2 << 30):
+                    device_data = (
+                        to_device_batch(feats_h),
+                        jax.tree_util.tree_map(jnp.asarray, targs_h),
+                        n_rows,
+                    )
+        chunk_fns: Dict[Tuple[int, bool], Any] = {}
+
+        def device_chunk_fn(k: int, with_metrics: bool):
+            key = (k, with_metrics)
+            if key not in chunk_fns:
+                chunk_fns[key] = self._make_device_chunk_step(
+                    loss_fns, task_metrics, with_metrics, k, loader.batch_size
+                )
+            return chunk_fns[key]
+
+        perms_dev = None
+        if device_data is not None:
+            # all epochs' permutations in ONE upload (a per-epoch 1MB transfer
+            # costs ~50ms through the tunnel); seeds mirror loader.epoch_seed()
+            n_rows_dd = device_data[2]
+            base_epoch = loader._epoch
+            perms = []
+            for e in range(epochs):
+                seed = loader.seed + (base_epoch + 1 + e) * 9973
+                rng_e = np.random.default_rng(seed)
+                perms.append(
+                    rng_e.permutation(n_rows_dd) if loader.shuffle else np.arange(n_rows_dd)
+                )
+            perms_dev = jnp.asarray(np.stack(perms), jnp.int32)
         opt_state = self._tx.init(params)
         if mesh is not None:
             from ..parallel.mesh import shard_state
@@ -617,21 +757,45 @@ class BaseModel(Block):
             log_acc: Dict[str, list] = {}
             for cb in callbacks:
                 getattr(cb, "on_epoch_begin", lambda *a, **k: None)(epoch)
-            batch_iter = (
-                iter(loader)
-                if (self._pre_transform is not None or mesh is not None)
-                else _device_prefetch(iter(loader))
-            )
-            for step, (x, y) in enumerate(batch_iter):
-                if steps_per_epoch is not None and step >= steps_per_epoch:
-                    break
-                if self._pre_transform is not None:
-                    x, y = self._apply_pre(x, y, training=True, step=global_step)
-                if mesh is not None:
-                    from ..parallel.mesh import shard_batch
+            if device_data is not None:
+                feats_dev, targs_dev, n_rows = device_data
+                loader._epoch += 1  # keep shuffle-seed bookkeeping identical
+                n_batches = n_rows // loader.batch_size
+                if steps_per_epoch is not None:
+                    n_batches = min(n_batches, steps_per_epoch)
+                perm_dev = perms_dev[epoch]
+                local = 0
+                while local < n_batches:
+                    k = min(spe, n_batches - local)
+                    hits_metrics = any(
+                        (global_step + i) % self.train_metrics_steps == 0 for i in range(k)
+                    )
+                    fn = device_chunk_fn(k, hits_metrics)
+                    params, rest, opt_state, metric_states, logs = fn(
+                        params, rest, opt_state, metric_states,
+                        feats_dev, targs_dev, perm_dev,
+                        jnp.asarray(global_step), jnp.asarray(local),
+                    )
+                    for key, v in logs.items():
+                        log_acc.setdefault(key, []).append(v)
+                    n_examples += loader.batch_size * k
+                    global_step += k
+                    local += k
+                    for cb in callbacks:
+                        getattr(cb, "on_batch_end", lambda *a, **kw: None)(
+                            local - 1, {key: v[-1] for key, v in logs.items()}
+                        )
+                batch_iter = iter(())
+            else:
+                batch_iter = (
+                    iter(loader)
+                    if (self._pre_transform is not None or mesh is not None or spe > 1)
+                    else _device_prefetch(iter(loader))
+                )
 
-                    x = shard_batch(x, mesh)
-                    y = shard_batch(y, mesh)
+            def run_single(step, x, y):
+                nonlocal params, emb_params, rest, opt_state, metric_states
+                nonlocal global_step, n_examples
                 use_metrics = (global_step % self.train_metrics_steps) == 0
                 fn = train_step if use_metrics else train_step_fast
                 if sparse is not None:
@@ -649,11 +813,62 @@ class BaseModel(Block):
                 global_step += 1
                 for cb in callbacks:
                     getattr(cb, "on_batch_end", lambda *a, **k: None)(step, logs)
-            # sync + collect epoch logs (one stack+transfer per key, not per step)
-            epoch_logs = {
-                k: float(jnp.mean(jnp.stack(vs))) for k, vs in log_acc.items()
+
+            def run_chunk(step, chunk):
+                nonlocal params, rest, opt_state, metric_states, global_step, n_examples
+                xs = jax.tree_util.tree_map(lambda *a: np.stack(a), *[c[0] for c in chunk])
+                y0 = chunk[0][1]
+                ys = (
+                    None
+                    if y0 is None
+                    else jax.tree_util.tree_map(lambda *a: np.stack(a), *[c[1] for c in chunk])
+                )
+                hits_metrics = any(
+                    (global_step + i) % self.train_metrics_steps == 0 for i in range(spe)
+                )
+                fn = multi_step if hits_metrics else multi_step_fast
+                params, rest, opt_state, metric_states, logs = fn(
+                    params, rest, opt_state, metric_states, xs, ys, jnp.asarray(global_step)
+                )
+                for k, v in logs.items():
+                    log_acc.setdefault(k, []).append(v)
+                n_examples += loader.batch_size * spe
+                global_step += spe
+                for cb in callbacks:
+                    getattr(cb, "on_batch_end", lambda *a, **k: None)(
+                        step, {k: v[-1] for k, v in logs.items()}
+                    )
+
+            chunk: list = []
+            for step, (x, y) in enumerate(batch_iter):
+                if steps_per_epoch is not None and step >= steps_per_epoch:
+                    break
+                if self._pre_transform is not None:
+                    x, y = self._apply_pre(
+                        x, y, training=True, step=global_step + len(chunk)
+                    )
+                if mesh is not None:
+                    from ..parallel.mesh import shard_batch
+
+                    x = shard_batch(x, mesh)
+                    y = shard_batch(y, mesh)
+                if spe > 1:
+                    chunk.append((x, y))
+                    if len(chunk) == spe:
+                        run_chunk(step, chunk)
+                        chunk = []
+                else:
+                    run_single(step, x, y)
+            # leftover batches that didn't fill a chunk run one step at a time
+            for i, (x, y) in enumerate(chunk):
+                run_single(i, x, y)
+            # sync + collect epoch logs (ONE stacked transfer for all scalars)
+            combined = {
+                k: jnp.mean(jnp.concatenate([jnp.atleast_1d(v) for v in vs]))
+                for k, vs in log_acc.items()
             }
-            epoch_logs.update(self._metric_results(metric_states, task_metrics))
+            combined.update(self._metric_results(metric_states, task_metrics, fetch=False))
+            epoch_logs = _fetch_scalars(combined)
             dt = time.perf_counter() - t0
             epoch_logs["examples_per_sec"] = n_examples / max(dt, 1e-9)
 

@@ -182,3 +182,48 @@ def test_chief_guards():
 
     assert record() == "ran"
     assert shared_seed(7) == 7
+
+
+def test_steps_per_execution_matches_single_step():
+    """k-batches-per-dispatch (steps_per_execution) must reproduce the
+    single-step trajectory, including a leftover partial chunk."""
+    from models_tpu.data import Dataset
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+
+    rng = np.random.default_rng(0)
+    users = rng.integers(0, 49, size=7 * 32).astype(np.int32)  # 7 batches: 4+3
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 49, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 49, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    ds = Dataset({"user_id": users, "item_id": users.copy()}, schema=schema)
+
+    def run(spe):
+        m = MatrixFactorizationModel(schema, dim=8)
+        m.compile(optimizer="adam", learning_rate=0.05, steps_per_execution=spe,
+                  train_metrics_steps=100)
+        h = m.fit(ds, epochs=2, batch_size=32, shuffle=False, verbose=0)
+        return h.history["loss"]
+
+    np.testing.assert_allclose(run(1), run(4), rtol=1e-4)
+
+
+def test_device_resident_path_matches_host_path_shuffled():
+    """The device-resident data path (upload once, gather on device) must
+    reproduce the host-loader trajectory exactly, including shuffling."""
+    from models_tpu.data import generate_data
+    from models_tpu.models import TwoTowerModel
+
+    ds = generate_data("movielens-100k", num_rows=160)
+
+    def run(spe):
+        m = TwoTowerModel(ds.schema, query_tower=(16, 8), embedding_dim=8)
+        m.compile(optimizer="adam", learning_rate=0.05, steps_per_execution=spe,
+                  train_metrics_steps=100)
+        h = m.fit(ds, epochs=2, batch_size=16, shuffle=True, verbose=0)
+        return h.history["loss"]
+
+    np.testing.assert_allclose(run(1), run(3), rtol=1e-4)

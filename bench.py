@@ -53,10 +53,14 @@ def _marginal(run, n1, n2, repeats=3):
 
 
 # ---------------------------------------------------------------------------
-def bench_two_tower_compute():
+def bench_two_tower_compute(policy: str = "float32"):
     """Training step compute throughput: loop inside lax.scan on one batch."""
     import optax
     from flax import nnx
+
+    from models_tpu.core.policy import set_dtype_policy
+
+    set_dtype_policy(policy)
 
     from models_tpu.core.block import call_block
     from models_tpu.core.types import ModelContext, to_device_batch
@@ -107,7 +111,10 @@ def bench_two_tower_compute():
 
         return float(go(params, opt_state))
 
-    step_time = _marginal(run, N1, N2)
+    try:
+        step_time = _marginal(run, N1, N2)
+    finally:
+        set_dtype_policy("float32")
     return BATCH / step_time, step_time * 1000
 
 
@@ -245,6 +252,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     examples_per_sec, step_ms = bench_two_tower_compute()
+    eps_bf16, step_ms_bf16 = bench_two_tower_compute("mixed_bfloat16")
     pipeline_eps = bench_two_tower_pipeline()
     topk_qps, topk_ms, build_ms = bench_topk()
     sparse_4m, dense_4m, sparse_8m = bench_sparse_optimizer()
@@ -256,6 +264,8 @@ def main():
         "vs_baseline": round(examples_per_sec / REFERENCE_EXAMPLES_PER_SEC, 3),
         "extra": {
             "compute_step_ms": round(step_ms, 3),
+            "compute_examples_per_sec_bf16": round(eps_bf16, 1),
+            "compute_step_ms_bf16": round(step_ms_bf16, 3),
             "pipeline_examples_per_sec": round(pipeline_eps, 1),
             "pipeline_vs_compute": round(pipeline_eps / examples_per_sec, 3),
             "topk_qps_1M_catalog": round(topk_qps, 1),

@@ -39,6 +39,7 @@ from .core import (
     WithShortcut,
 )
 from .core.encoder import EmbeddingEncoder, Encoder, TopKEncoder
+from .core.policy import get_dtype_policy, set_dtype_policy
 
 # data plane
 from .data import Dataset, Loader, generate_data, sample_batch

@@ -92,7 +92,13 @@ class Dense(Block, LazyMixin):
             mask = inputs.mask
             inputs = inputs.values
         self._ensure_built(inputs)
-        out = jnp.matmul(inputs, self.kernel.value, preferred_element_type=jnp.float32)
+        from ..core.policy import cast_compute
+
+        out = jnp.matmul(
+            cast_compute(inputs),
+            cast_compute(self.kernel.value),
+            preferred_element_type=jnp.float32,
+        )
         if self.bias is not None:
             out = out + self.bias.value
         act = get_activation(self.activation)

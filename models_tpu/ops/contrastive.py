@@ -77,7 +77,9 @@ def _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, tempera
     Q, D = query.shape
     xs = _tile_inputs(neg_emb, neg_id, neg_bias, tile)
 
-    pos_logit = jnp.sum(query * pos_emb, axis=-1) / temperature  # (Q,)
+    pos_logit = jnp.einsum(
+        "qd,qd->q", query, pos_emb, preferred_element_type=jnp.float32
+    ) / temperature  # (Q,)
 
     def body(carry, t):
         m, s = carry  # running max (Q,), running sum of exp (Q,)
@@ -118,11 +120,13 @@ def _bwd(temperature, tile, res, g):
     gw = g * w  # (Q,)
 
     # d loss_i / d logit_ij = softmax_ij ; d loss_i / d pos_logit_i = softmax_pos - 1
-    pos_logit = jnp.sum(query * pos_emb, axis=-1) / temperature
+    pos_logit = jnp.einsum(
+        "qd,qd->q", query, pos_emb, preferred_element_type=jnp.float32
+    ) / temperature
     p_pos = jnp.exp(pos_logit - lse)
     coef_pos = gw * (p_pos - 1.0) / temperature  # (Q,)
-    d_query = coef_pos[:, None] * pos_emb
-    d_pos = coef_pos[:, None] * query
+    d_query = coef_pos[:, None] * pos_emb.astype(jnp.float32)
+    d_pos = (coef_pos[:, None] * query.astype(jnp.float32)).astype(pos_emb.dtype)
 
     xs = _tile_inputs(neg_emb, neg_id, neg_bias, tile)
 
@@ -137,7 +141,13 @@ def _bwd(temperature, tile, res, g):
 
     d_query, d_neg_tiles = jax.lax.scan(body, d_query, xs)
     d_neg = d_neg_tiles.reshape(-1, D)[:N]
-    return (d_query, d_pos, d_neg, None, None, None, None)
+    # cotangent dtypes must match the primals (bf16 under mixed policy)
+    return (
+        d_query.astype(query.dtype),
+        d_pos,
+        d_neg.astype(neg_emb.dtype),
+        None, None, None, None,
+    )
 
 
 sampled_softmax_loss.defvjp(_fwd, _bwd)

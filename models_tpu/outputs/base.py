@@ -191,8 +191,12 @@ class EmbeddingTablePrediction(Block):
                 "incompatible with the row-sparse embedding optimizer. Use sampled "
                 "softmax (ContrastiveOutput) or a dense optimizer for this table."
             )
+        from ..core.policy import cast_compute
+
         return jnp.matmul(
-            inputs, self.table.embeddings.T, preferred_element_type=jnp.float32
+            cast_compute(inputs),
+            cast_compute(self.table.embeddings).T,
+            preferred_element_type=jnp.float32,
         )
 
     def embedding_lookup(self, ids, site: str = "tying", context=None):

@@ -217,9 +217,17 @@ class ContrastiveOutput(ModelOutput):
         return Candidate(id=ids, embedding=emb, sampling_prob=probs, valid=valid)
 
     def contrastive_logits(self, query, positive: Candidate, negatives: Candidate):
-        pos_score = jnp.sum(query * positive.embedding, axis=-1, keepdims=True)  # (B,1)
+        from ..core.policy import cast_compute
+
+        pos_score = jnp.einsum(
+            "bd,bd->b",
+            cast_compute(query),
+            cast_compute(positive.embedding),
+            preferred_element_type=jnp.float32,
+        )[:, None]  # (B,1)
         neg_scores = jnp.matmul(
-            query, negatives.embedding.T, preferred_element_type=jnp.float32
+            cast_compute(query), cast_compute(negatives.embedding).T,
+            preferred_element_type=jnp.float32,
         )  # (B,N)
         if self.logq_sampling_correction and negatives.sampling_prob is not None:
             neg_scores = neg_scores - jnp.log(negatives.sampling_prob + LOGQ_EPS)[None, :]
@@ -270,10 +278,12 @@ class ContrastiveOutput(ModelOutput):
                     if negatives.valid is not None:
                         pad_pen = jnp.where(negatives.valid, 0.0, MIN_FLOAT)
                         neg_bias = pad_pen if neg_bias is None else neg_bias + pad_pen
+                    from ..core.policy import cast_compute as _cc
+
                     loss = sampled_softmax_loss(
-                        query,
-                        positive.embedding,
-                        negatives.embedding,
+                        _cc(query),
+                        _cc(positive.embedding),
+                        _cc(negatives.embedding),
                         positive.id if self.downscore_false_negatives else None,
                         negatives.id if self.downscore_false_negatives else None,
                         w,

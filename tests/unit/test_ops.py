@@ -213,3 +213,56 @@ def test_pallas_row_scatter_add_interpret_matches_numpy():
     # XLA fallback path agrees too
     got2 = pallas_row_scatter_add(table, sids, summed, valid, force_xla=True)
     np.testing.assert_allclose(np.asarray(got2), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_mixed_bfloat16_policy_trajectory_close():
+    """bf16 matmuls with fp32 accumulation must track the fp32 loss trajectory."""
+    from models_tpu.core.policy import get_dtype_policy, set_dtype_policy
+    from models_tpu.data import generate_data
+    from models_tpu.models import TwoTowerModel
+
+    ds = generate_data("movielens-100k", num_rows=256)
+
+    def run():
+        m = TwoTowerModel(ds.schema, query_tower=(32, 16), embedding_dim=16)
+        m.compile(optimizer="adam", learning_rate=0.05)
+        h = m.fit(ds, epochs=3, batch_size=32, shuffle=False, verbose=0)
+        return np.asarray(h.history["loss"])
+
+    assert get_dtype_policy() == "float32"
+    base = run()
+    set_dtype_policy("mixed_bfloat16")
+    try:
+        mixed = run()
+    finally:
+        set_dtype_policy("float32")
+    assert base[-1] < base[0]  # both learn
+    assert mixed[-1] < mixed[0]
+    np.testing.assert_allclose(mixed, base, rtol=5e-2)
+
+
+def test_fused_loss_matches_dense_under_bf16():
+    from models_tpu.core.policy import set_dtype_policy
+    from models_tpu.ops.contrastive import sampled_softmax_loss
+
+    rng = np.random.default_rng(0)
+    Q, N, D = 8, 32, 16
+    q = jnp.asarray(rng.standard_normal((Q, D)), jnp.bfloat16)
+    pos = jnp.asarray(rng.standard_normal((Q, D)), jnp.bfloat16)
+    neg = jnp.asarray(rng.standard_normal((N, D)), jnp.bfloat16)
+
+    def fused(q, pos, neg):
+        return sampled_softmax_loss(q, pos, neg, None, None, None, None, 1.0, 16)
+
+    loss, grads = jax.value_and_grad(fused, argnums=(0, 1, 2))(q, pos, neg)
+    assert grads[0].dtype == jnp.bfloat16  # cotangents match primal dtype
+
+    def dense(q, pos, neg):
+        qf, pf, nf = (a.astype(jnp.float32) for a in (q, pos, neg))
+        logits = jnp.concatenate(
+            [jnp.sum(qf * pf, axis=1, keepdims=True), qf @ nf.T], axis=1
+        )
+        return jnp.mean(jax.nn.logsumexp(logits, axis=1) - logits[:, 0])
+
+    ref = dense(q, pos, neg)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=2e-2)

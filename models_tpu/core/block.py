@@ -63,9 +63,33 @@ class Block(nnx.Module):
     Subclasses implement ``__call__(self, inputs, *, training=False, context=None)``
     (only the kwargs they need). ``inputs`` is either a tensor or a
     ``Dict[str, tensor | SequenceFeature]``.
+
+    Constructor calls are captured (see ``core/config.py``) so any composed
+    model serializes to a declarative config tree — the reference's
+    ``get_config/from_config`` contract without per-class boilerplate.
     """
 
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        if "__init__" in cls.__dict__:
+            orig = cls.__dict__["__init__"]
+            if not getattr(orig, "_captures_config", False):
+                import functools
+
+                from .config import record_init
+
+                @functools.wraps(orig)
+                def wrapped(self, *args, __orig=orig, **kwargs):
+                    record_init(self, args, kwargs)
+                    __orig(self, *args, **kwargs)
+
+                wrapped._captures_config = True
+                cls.__init__ = wrapped
+
     def __init__(self, schema: Optional[Schema] = None, block_name: Optional[str] = None):
+        from .config import record_init
+
+        record_init(self, (), {"schema": schema, "block_name": block_name})
         self.schema = schema
         self.block_name = block_name or type(self).__name__
 

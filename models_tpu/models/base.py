@@ -176,6 +176,9 @@ class BaseModel(Block):
         else:
             x, y = data if isinstance(data, tuple) else (data, None)
         x = to_device_batch(x)
+        from ..utils.io import spec_of
+
+        self._build_spec = spec_of((x, y))  # replayed by declarative load
         self(x, targets=y, training=False)
         self._built = True
         return self

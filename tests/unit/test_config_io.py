@@ -1,0 +1,82 @@
+"""Declarative (get_config/from_config-style) save/load.
+
+Reference contract: every block reconstructs from config
+(``tf/models/base.py:1719-1728``); saving must not require unpickling the
+module graph in the loading process."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import models_tpu as mm
+from models_tpu.core.config import from_config, to_config
+from models_tpu.data import generate_data
+
+
+def test_zoo_models_save_declaratively(tmp_path):
+    ecom = generate_data("e-commerce", num_rows=64)
+    m = mm.DCNModel(ecom.schema, depth=1, deep_block=(8,))
+    m.compile()
+    m.fit(ecom, epochs=1, batch_size=16, verbose=0)
+    p = str(tmp_path / "dcn")
+    m.save(p)
+    assert os.path.exists(os.path.join(p, "config.json"))
+    assert not os.path.exists(os.path.join(p, "model.pkl"))  # no graph pickle
+    doc = json.load(open(os.path.join(p, "config.json")))
+    assert doc["format"] == "config"
+    m2 = mm.load_model(p)
+    x, _ = mm.sample_batch(ecom, batch_size=16)
+    p1, p2 = m.predict(dict(x)), m2.predict(dict(x))
+    import jax
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6),
+        p1, p2,
+    )
+
+
+def test_config_roundtrip_preserves_weight_tying():
+    testing = generate_data("testing", num_rows=64)
+    m = mm.YoutubeDNNRetrievalModel(testing.schema, num_sampled=10, embedding_dim=8)
+    m.compile()
+    m.build(testing)
+    tree, arrays = to_config(m)
+    m2 = from_config(tree, arrays)
+    from models_tpu.core.block import iter_blocks
+    from models_tpu.outputs.contrastive import ContrastiveOutput
+    from models_tpu.inputs.embedding import EmbeddingTable
+
+    out2 = [b for b in iter_blocks(m2) if isinstance(b, ContrastiveOutput)][0]
+    tables2 = [b for b in iter_blocks(m2) if isinstance(b, EmbeddingTable)]
+    # the tied item table inside the head must BE one of the input tables
+    assert any(out2.table is t for t in tables2)
+
+
+def test_shared_ref_encoding():
+    from models_tpu.blocks.mlp import Dense
+    from models_tpu.core.combinators import ParallelBlock
+
+    d = Dense(4)
+    block = ParallelBlock({"a": d, "b": d})
+    tree, arrays = to_config(block)
+    text = json.dumps(tree)
+    assert text.count("mlp:Dense") == 1  # class node serialized once, then __ref__
+    block2 = from_config(tree, arrays)
+    assert block2["a"] is block2["b"]
+
+
+def test_save_load_after_fit_matches_sequence_model(tmp_path):
+    seq = generate_data("sequence-testing", num_rows=64)
+    m = mm.SessionBasedTransformerModel(seq.schema, embedding_dim=8)
+    m.compile()
+    from models_tpu.transforms.sequence import SequencePredictNext
+
+    m.fit(seq, epochs=1, batch_size=16, verbose=0,
+          pre=SequencePredictNext(seq.schema, target="item_id_seq"))
+    p = str(tmp_path / "session")
+    m.save(p)
+    assert os.path.exists(os.path.join(p, "config.json"))
+    m2 = mm.load_model(p)
+    assert m2.block_name == "session_transformer"  # post-init name preserved

@@ -35,17 +35,25 @@ def extract_topk(
     scores are equal (e.g. untrained models).
     """
     if shuffle_ties:
-        noise = jax.random.uniform(jax.random.key(seed), scores.shape, dtype=scores.dtype)
-        # span must ignore MIN_FLOAT sentinel scores (false-negative downscoring,
-        # outputs/contrastive.py) or the noise swamps every real score difference
-        finite = scores > -1e30
-        smax = jnp.max(jnp.where(finite, scores, -jnp.inf))
-        smin = jnp.min(jnp.where(finite, scores, jnp.inf))
-        span = jnp.clip(smax - smin, 1e-3, 1e6)
-        sort_scores = scores + noise * (1e-6 * span)
+        # EXACT tie shuffling: permute the candidate axis before top_k (which
+        # breaks ties by position) and map indices back — no additive noise,
+        # which can underflow float32 resolution and silently do nothing.
+        # The key is salted per batch from score+target bits (the reference
+        # reshuffles per call, tf_utils.py:157-210; a fixed key biases
+        # constant-score evaluation; targets are folded in because an untrained
+        # model's scores can be identical across batches).
+        tgt = targets.astype(jnp.float32)
+        ranks = jnp.arange(1, tgt.shape[-1] + 1, dtype=jnp.float32)
+        salt = jnp.bitwise_xor(
+            jnp.sum(jax.lax.bitcast_convert_type(scores, jnp.int32) & 0x7FFFFF),
+            jax.lax.bitcast_convert_type(jnp.sum(tgt * ranks), jnp.int32),
+        )
+        key = jax.random.fold_in(jax.random.key(seed), salt)
+        perm = jax.random.permutation(key, scores.shape[-1])
+        topk_scores, pidx = jax.lax.top_k(jnp.take(scores, perm, axis=-1), k)
+        topk_idx = jnp.take(perm, pidx)
     else:
-        sort_scores = scores
-    topk_scores, topk_idx = jax.lax.top_k(sort_scores, k)
+        topk_scores, topk_idx = jax.lax.top_k(scores, k)
     topk_rel = jnp.take_along_axis(targets.astype(jnp.float32), topk_idx, axis=-1)
     return topk_scores, topk_rel, topk_idx
 

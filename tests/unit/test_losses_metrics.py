@@ -82,3 +82,27 @@ def test_weighted_mean_broadcasting():
     w = jnp.array([1.0, 1.0, 0.0, 0.0])
     got = float(losses._weighted_mean(vals * jnp.arange(3), w))
     np.testing.assert_allclose(got, 1.0)  # mean of [0,1,2] rows 0-1
+
+
+def test_extract_topk_tie_shuffle_unbiased_across_batches():
+    """Constant scores + target always at column 0: per-call tie shuffling must
+    give recall@k ~= k/N on average, not 0 or 1 deterministically (a fixed
+    tie-break key makes every batch reuse one permutation)."""
+    import jax.numpy as jnp
+
+    from models_tpu.metrics.topk import extract_topk, recall_at
+
+    N, k, batches = 100, 10, 80
+    rng = np.random.default_rng(0)
+    hits = []
+    for b in range(batches):
+        scores = jnp.ones((4, N))  # identical constant scores across batches
+        cols = rng.integers(0, N, size=4)  # realistic: targets differ per batch
+        targets = jnp.zeros((4, N)).at[np.arange(4), cols].set(1.0)
+        _, rel, _ = extract_topk(k, scores, targets)
+        hits.append(np.asarray(recall_at(k, rel, jnp.ones(4))))
+    mean_recall = float(np.mean(hits))
+    # per-batch shuffling → mean ~ k/N = 0.1 (a fixed permutation pins each
+    # target column to recall 0 or 1 and drifts the mean arbitrarily)
+    assert 0.04 < mean_recall < 0.2, f"biased tie handling: {mean_recall}"
+    assert len({float(h.mean()) for h in hits}) > 1

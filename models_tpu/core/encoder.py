@@ -121,15 +121,18 @@ def TopKEncoder(
     k: int = 10,
     topk_layer: str = "brute-force-topk",
     item_id_name: Optional[str] = None,
+    mesh=None,
 ):
     """Query-encoder + indexed top-k head, as an evaluable model
     (reference ``TopKEncoder:427`` — it *is* a BaseModel so ``.evaluate()`` gives
-    Recall@k/NDCG@k against the corpus)."""
+    Recall@k/NDCG@k against the corpus). ``mesh`` row-shards the candidate
+    matrix over the model axis and serves queries via sharded_topk."""
     from ..models.base import Model
     from ..outputs.topk import TopKOutput
 
     output = TopKOutput(
-        to_call=topk_layer, k=k, candidates=candidates, item_id_name=item_id_name
+        to_call=topk_layer, k=k, candidates=candidates, item_id_name=item_id_name,
+        mesh=mesh,
     )
     model = Model(query_encoder, output)
     model.block_name = "topk_encoder"

@@ -62,29 +62,68 @@ class TopKLayer(Block):
 
 @topk_registry.register_with_multiple_names("brute-force-topk", "brute-force")
 class BruteForce(TopKLayer):
-    """Exact top-k over the full candidate matrix (reference ``topk.py:129``)."""
+    """Exact top-k over the full candidate matrix (reference ``topk.py:129``).
+
+    With a mesh (``index(mesh=...)`` or an engine-provided ``context["mesh"]``)
+    the candidate matrix is row-sharded over the ``model`` axis and queries run
+    through :func:`sharded_topk`: per-shard partial k-lists are all-gathered
+    and merged, so only (B, k) rides ICI — catalogs can exceed one chip's HBM
+    (SURVEY §5's "long axis"; reference equivalent ``tf/outputs/topk.py:129``).
+    """
 
     def __init__(self, k: int = 10):
         super().__init__(k=k)
         self.candidates = nnx.data(None)
         self.ids = nnx.data(None)
+        self.mesh = None
 
-    def index(self, candidates: jnp.ndarray, ids: Optional[jnp.ndarray] = None) -> "BruteForce":
+    def index(
+        self, candidates: jnp.ndarray, ids: Optional[jnp.ndarray] = None, mesh=None
+    ) -> "BruteForce":
+        from ..parallel.mesh import MODEL_AXIS
+
         candidates = jnp.asarray(candidates, dtype=jnp.float32)
         if ids is None:
             ids = jnp.arange(candidates.shape[0], dtype=jnp.int32)
+        ids = jnp.asarray(ids)
+        mesh = mesh if mesh is not None else self.mesh
+        if mesh is not None and self._mesh_fits(mesh, candidates.shape[0]):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.mesh = mesh
+            candidates = jax.device_put(candidates, NamedSharding(mesh, P(MODEL_AXIS, None)))
+            ids = jax.device_put(ids, NamedSharding(mesh, P(MODEL_AXIS)))
         self.candidates = nnx.Variable(candidates)
         self.ids = nnx.Variable(jnp.asarray(ids))
         return self
+
+    @staticmethod
+    def _mesh_fits(mesh, n_candidates: int) -> bool:
+        from ..parallel.mesh import MODEL_AXIS
+
+        n = dict(mesh.shape).get(MODEL_AXIS, 1)
+        return n > 1 and n_candidates % n == 0
 
     @property
     def num_candidates(self) -> int:
         return self.candidates.value.shape[0]
 
-    def __call__(self, queries, *, k: Optional[int] = None, **kwargs) -> TopKPrediction:
+    def __call__(self, queries, *, k: Optional[int] = None, context=None, **kwargs) -> TopKPrediction:
         if self.candidates is None:
             raise ValueError("BruteForce index is empty; call index() first")
         k = k or self.k
+        mesh = self.mesh
+        if mesh is None and context is not None:
+            mesh = context.get("mesh")
+        if mesh is not None and self._mesh_fits(mesh, self.num_candidates):
+            from ..ops.topk import sharded_topk
+            from ..parallel.mesh import MODEL_AXIS
+
+            top_scores, top_ids = sharded_topk(
+                queries, self.candidates.value, k, mesh, axis=MODEL_AXIS,
+                ids=self.ids.value,
+            )
+            return TopKPrediction(top_scores, top_ids)
         from ..ops.topk import topk_scores
 
         # tiled kernel for big catalogs (never materializes (B, C) in HBM);
@@ -113,11 +152,13 @@ class TopKOutput(ModelOutput):
 
     def __init__(self, to_call: Union[str, TopKLayer] = "brute-force-topk", k: int = 10,
                  candidates=None, item_id_name: Optional[str] = None,
-                 default_metrics_top_ks=(10,)):
+                 default_metrics_top_ks=(10,), mesh=None):
         ModelOutput.__init__(self, to_call=None, target=item_id_name, task_name="topk_output")
         if isinstance(to_call, str):
             to_call = topk_registry.parse(to_call, k=k)
         self.topk_layer = to_call
+        if mesh is not None:
+            self.topk_layer.mesh = mesh
         self.k = k
         self.item_id_name = item_id_name
         self.top_ks = tuple(default_metrics_top_ks)
@@ -136,7 +177,7 @@ class TopKOutput(ModelOutput):
 
     def __call__(self, inputs, *, training=False, context=None, targets=None, **kwargs):
         queries = inputs["query"] if isinstance(inputs, dict) else inputs
-        topk = self.topk_layer(queries, k=self.k)
+        topk = self.topk_layer(queries, k=self.k, context=context)
         # eval mode ONLY with explicit targets or under the engine's testing flag —
         # a batch merely containing the item-id feature is still a serving request
         testing = bool(context.get("testing", False)) if context is not None else False

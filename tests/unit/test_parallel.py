@@ -227,3 +227,45 @@ def test_device_resident_path_matches_host_path_shuffled():
         return h.history["loss"]
 
     np.testing.assert_allclose(run(1), run(3), rtol=1e-4)
+
+
+def test_brute_force_sharded_topk_matches_single_device():
+    """BruteForce over a model-sharded candidate matrix must agree exactly with
+    single-device top-k, including id tie-handling (contiguous row shards keep
+    global index order, so tie winners match lax.top_k's lowest-index rule)."""
+    from models_tpu.outputs.topk import BruteForce
+
+    rng = np.random.default_rng(3)
+    C, D, B, k = 64, 8, 6, 5
+    cand = rng.standard_normal((C, D)).astype(np.float32)
+    # plant exact score ties: duplicate some candidate rows
+    cand[17] = cand[3]
+    cand[40] = cand[3]
+    q = rng.standard_normal((B, D)).astype(np.float32)
+
+    single = BruteForce(k=k).index(jnp.asarray(cand))
+    s1 = single(jnp.asarray(q))
+
+    mesh = cpu_mesh({"data": 1, "model": 4})
+    sharded = BruteForce(k=k).index(jnp.asarray(cand), mesh=mesh)
+    assert sharded.candidates.value.sharding.spec == jax.sharding.PartitionSpec("model", None)
+    s2 = sharded(jnp.asarray(q))
+
+    np.testing.assert_allclose(np.asarray(s1.scores), np.asarray(s2.scores), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s1.identifiers), np.asarray(s2.identifiers))
+
+
+def test_to_top_k_encoder_with_mesh(ecommerce_data):
+    """End-to-end: retrieval model → mesh-sharded top-k encoder → evaluate."""
+    from models_tpu.models import TwoTowerModel
+
+    m = TwoTowerModel(ecommerce_data.schema, query_tower=(16, 8))
+    m.compile()
+    m.fit(ecommerce_data, epochs=1, batch_size=16, verbose=0)
+    mesh = cpu_mesh({"data": 1, "model": 2})
+    topk = m.to_top_k_encoder(ecommerce_data, k=5, mesh=mesh)
+    res_mesh = topk.evaluate(ecommerce_data, batch_size=16)
+    topk1 = m.to_top_k_encoder(ecommerce_data, k=5)
+    res_single = topk1.evaluate(ecommerce_data, batch_size=16)
+    for key in res_single:
+        np.testing.assert_allclose(res_mesh[key], res_single[key], rtol=1e-5)

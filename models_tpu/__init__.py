@@ -179,12 +179,16 @@ from .models import (
 from .models.session import SessionBasedTransformerModel
 
 # transformers
+from .outputs import NextItemPredictionTask
 from .transformer.block import (
     AlbertBlock,
     BertBlock,
     GPT2Block,
     LastHiddenState,
     RobertaBlock,
+    AttentionWeights,
+    HiddenStates,
+    PoolerOutput,
     SequenceSummary,
     TransformerBlock,
     TransformerInferenceHiddenState,

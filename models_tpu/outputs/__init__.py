@@ -22,3 +22,4 @@ from .base import CategoricalOutput as MultiClassClassificationTask
 from .base import OutputBlock as PredictionTasks
 from .base import RegressionOutput as RegressionTask
 from .contrastive import ContrastiveOutput as ItemRetrievalTask
+from .tasks import NextItemPredictionTask

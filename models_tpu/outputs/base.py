@@ -193,6 +193,8 @@ class EmbeddingTablePrediction(Block):
             )
         from ..core.policy import cast_compute
 
+        if isinstance(inputs, SequenceFeature):
+            inputs = inputs.values
         return jnp.matmul(
             cast_compute(inputs),
             cast_compute(self.table.embeddings).T,

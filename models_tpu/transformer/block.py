@@ -61,6 +61,19 @@ class TransformerLayer(Block):
         h = self.drop2(h, training=training, context=context)
         return x + h
 
+    def attention_weights(self, x, attn_mask):
+        """Explicit (B, H, L, L) softmax attention weights for introspection
+        (recomputed from the layer's own q/k projections — only runs when
+        ``output_attentions`` is requested)."""
+        h = self.ln1(x)
+        q = self.attn.query(h)  # (B, L, H, Dh)
+        k = self.attn.key(h)
+        scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(q.dtype)
+        logits = jnp.einsum("blhd,bmhd->bhlm", q, k) * scale
+        if attn_mask is not None:
+            logits = jnp.where(attn_mask, logits, jnp.finfo(logits.dtype).min)
+        return jax.nn.softmax(logits, axis=-1)
+
 
 class TransformerBlock(Block):
     """Pre-norm transformer over (B, L, D) session representations."""
@@ -77,8 +90,14 @@ class TransformerBlock(Block):
         share_layers: bool = False,
         seed: int = 0,
         block_name: str = "transformer",
+        output_hidden_states: bool = False,
+        output_attentions: bool = False,
     ):
         super().__init__(block_name=block_name)
+        # introspection taps (reference transforms.py:126 HiddenStates /
+        # :143 AttentionWeights): collected into context when requested
+        self.output_hidden_states = output_hidden_states
+        self.output_attentions = output_attentions
         d_ff = d_ff or 4 * d_model
         self.d_model = d_model
         self.causal = causal
@@ -127,10 +146,21 @@ class TransformerBlock(Block):
             tri = jnp.tril(jnp.ones((L, L), dtype=bool))
             attn = attn & tri[None, None, :, :]
 
+        hidden_states = [x] if self.output_hidden_states else None
+        attentions = [] if self.output_attentions else None
         for i in range(self.n_layers):
             layer = self.layers[i % len(self.layers)]
+            if attentions is not None:
+                attentions.append(layer.attention_weights(x, attn))
             x = layer(x, attn, training=training, context=context)
+            if hidden_states is not None:
+                hidden_states.append(x)
         x = self.final_ln(x)
+        if context is not None:
+            if hidden_states is not None:
+                context["hidden_states"] = hidden_states
+            if attentions is not None:
+                context["attentions"] = attentions
         return SequenceFeature(x, pad_mask)
 
 
@@ -184,6 +214,59 @@ class TransformerInferenceHiddenState(Block):
         if not training and isinstance(inputs, SequenceFeature):
             return sequence_last(inputs)
         return inputs
+
+
+class PoolerOutput(Block):
+    """BERT-style pooler: tanh(Dense(first-position hidden state))
+    (reference ``transforms.py:109`` — extracts HF's ``pooler_output``)."""
+
+    def __init__(self, seed: int = 0):
+        super().__init__()
+        from ..blocks.mlp import Dense
+
+        self.dense = nnx.data(None)
+        self.seed = seed
+
+    def __call__(self, inputs, **kwargs):
+        from ..blocks.mlp import Dense
+
+        v = inputs.values if isinstance(inputs, SequenceFeature) else inputs
+        first = v[:, 0]
+        if self.dense is None:
+            if isinstance(first, jax.core.Tracer):
+                raise RuntimeError("PoolerOutput not built; run an eager build pass")
+            self.dense = Dense(first.shape[-1], activation="tanh", seed=self.seed)
+        return self.dense(first)
+
+
+class HiddenStates(Block):
+    """All per-layer hidden states (reference ``transforms.py:126``): reads the
+    taps a ``TransformerBlock(output_hidden_states=True)`` stashed in context
+    and returns ``{"last_hidden_state", "hidden_states"}``."""
+
+    def __call__(self, inputs, *, context=None, **kwargs):
+        states = context.get("hidden_states") if context is not None else None
+        if states is None:
+            raise ValueError(
+                "No hidden states in context; build the encoder with "
+                "TransformerBlock(output_hidden_states=True)"
+            )
+        return {"last_hidden_state": inputs, "hidden_states": states}
+
+
+class AttentionWeights(Block):
+    """Per-layer (B, H, L, L) attention weights (reference ``transforms.py:143``):
+    reads the taps a ``TransformerBlock(output_attentions=True)`` stashed in
+    context and returns ``{"last_hidden_state", "attentions"}``."""
+
+    def __call__(self, inputs, *, context=None, **kwargs):
+        attn = context.get("attentions") if context is not None else None
+        if attn is None:
+            raise ValueError(
+                "No attention weights in context; build the encoder with "
+                "TransformerBlock(output_attentions=True)"
+            )
+        return {"last_hidden_state": inputs, "attentions": attn}
 
 
 class SequenceSummary(Block):

@@ -189,3 +189,65 @@ def test_session_model_learns_constant_next_item():
     hist = model.fit(ds, epochs=6, batch_size=32, pre=pre, verbose=0)
     losses = hist.history["loss"]
     assert losses[-1] < losses[0] * 0.8, f"no learning: {losses}"
+
+
+def test_transformer_introspection_adapters():
+    """PoolerOutput / HiddenStates / AttentionWeights (reference
+    transformers/transforms.py:109-197)."""
+    import jax.numpy as jnp
+
+    from models_tpu.core.types import ModelContext, SequenceFeature
+    from models_tpu.transformer.block import (
+        AttentionWeights,
+        HiddenStates,
+        PoolerOutput,
+        TransformerBlock,
+    )
+
+    block = TransformerBlock(
+        d_model=16, n_heads=2, n_layers=2, output_hidden_states=True,
+        output_attentions=True,
+    )
+    x = SequenceFeature(jnp.ones((3, 5, 16)), jnp.ones((3, 5), bool))
+    ctx = ModelContext()
+    out = block(x, context=ctx)
+
+    hs = HiddenStates()(out, context=ctx)
+    assert len(hs["hidden_states"]) == 3  # input + 2 layers
+    assert hs["hidden_states"][0].shape == (3, 5, 16)
+
+    aw = AttentionWeights()(out, context=ctx)
+    assert len(aw["attentions"]) == 2
+    assert aw["attentions"][0].shape == (3, 2, 5, 5)
+    # rows are probability distributions
+    np.testing.assert_allclose(np.asarray(aw["attentions"][0].sum(-1)), 1.0, rtol=1e-5)
+
+    pooled = PoolerOutput()(out)
+    assert pooled.shape == (3, 16)
+    assert (np.abs(np.asarray(pooled)) <= 1.0).all()  # tanh range
+
+
+def test_next_item_prediction_task(seq_data):
+    """V1 NextItemPredictionTask: weight-tied next-item head + causal pre."""
+    import models_tpu as mm
+    from models_tpu.core.combinators import SequentialBlock
+    from models_tpu.inputs.base import InputBlockV2
+    from models_tpu.models.session import _SequenceConcat, _find_item_table
+    from models_tpu.schema import Tags
+
+    schema = seq_data.schema
+    item_col = schema.select_by_tag(Tags.ITEM_ID).first
+    inputs = SequentialBlock(
+        [InputBlockV2(schema.excluding_by_tag(Tags.TARGET), dim=16, aggregation=None),
+         _SequenceConcat()]
+    )
+    table = _find_item_table(inputs, item_col.domain_name)
+    body = SequentialBlock([inputs, GPT2Block(d_model=16, n_head=2, n_layer=1)])
+    from models_tpu.models.session import _ProjectToTableDim
+
+    task = mm.NextItemPredictionTask(schema, weight_tying=True, table=table)
+    model = mm.Model(body, _ProjectToTableDim(table.dim), task)
+    model.compile(learning_rate=0.01)
+    pre = SequencePredictNext(schema, target="item_id_seq")
+    h = model.fit(seq_data, epochs=1, batch_size=16, pre=pre, verbose=0)
+    assert np.isfinite(h.history["loss"][0])

@@ -39,20 +39,22 @@ class _TabularEmbedding:
             self.out_dim += d
         self.out_dim += len(self.cont_cols)
 
-    def __call__(self, batch: Dict[str, np.ndarray]):
+    def _embed_one(self, col, batch):
+        torch = _torch()
+
+        v = batch[col.name]
+        if isinstance(v, SequenceFeature):
+            ids = torch.as_tensor(np.asarray(v.values), dtype=torch.long)
+            mask = torch.as_tensor(np.asarray(v.mask), dtype=torch.float32)
+            emb = self.tables[col.name](ids)
+            return (emb * mask.unsqueeze(-1)).sum(1) / mask.sum(1).clamp(min=1).unsqueeze(-1)
+        return self.tables[col.name](torch.as_tensor(np.asarray(v), dtype=torch.long))
+
+    def continuous(self, batch):
+        """(B, n_cont) float tensor (empty second dim when no continuous cols)."""
         torch = _torch()
 
         parts = []
-        for col in self.cat_cols:
-            v = batch[col.name]
-            if isinstance(v, SequenceFeature):
-                ids = torch.as_tensor(np.asarray(v.values), dtype=torch.long)
-                mask = torch.as_tensor(np.asarray(v.mask), dtype=torch.float32)
-                emb = self.tables[col.name](ids)
-                emb = (emb * mask.unsqueeze(-1)).sum(1) / mask.sum(1).clamp(min=1).unsqueeze(-1)
-            else:
-                emb = self.tables[col.name](torch.as_tensor(np.asarray(v), dtype=torch.long))
-            parts.append(emb)
         for col in self.cont_cols:
             v = batch[col.name]
             arr = np.asarray(v.values if isinstance(v, SequenceFeature) else v, dtype=np.float32)
@@ -62,6 +64,26 @@ class _TabularEmbedding:
             if t.dim() == 3:
                 t = t.mean(1)
             parts.append(t)
+        if not parts:
+            n = len(np.atleast_1d(np.asarray(batch[self.cat_cols[0].name])))
+            return torch.zeros((n, 0))
+        return torch.cat(parts, dim=-1)
+
+    def stacked(self, batch):
+        """Per-feature embeddings stacked to (B, F, D) — requires a uniform dim
+        (the DLRM contract)."""
+        torch = _torch()
+
+        embs = [self._embed_one(col, batch) for col in self.cat_cols]
+        return torch.stack(embs, dim=1)
+
+    def __call__(self, batch: Dict[str, np.ndarray]):
+        torch = _torch()
+
+        parts = [self._embed_one(col, batch) for col in self.cat_cols]
+        cont = self.continuous(batch)
+        if cont.shape[-1]:
+            parts.append(cont)
         return torch.cat(parts, dim=-1)
 
 
@@ -116,21 +138,39 @@ class TorchModel:
         return history
 
     def evaluate(self, data: Union[Dataset, Loader], batch_size: int = 256) -> Dict[str, float]:
+        """Binary accuracy + AUC + logloss per task (the reference torch stack
+        evaluates with torchmetrics AUROC; AUC here is the exact rank statistic)."""
         torch = _torch()
 
         loader = data if isinstance(data, Loader) else Loader(data, batch_size)
-        correct = {t: 0.0 for t in self.targets}
-        seen = 0
+        probs = {t: [] for t in self.targets}
+        labels = {t: [] for t in self.targets}
         with torch.no_grad():
             for x, y in loader:
                 valid = np.asarray(x[ROW_VALID_KEY])
                 logits = self.forward(x)
                 for t in self.targets:
                     target = np.asarray(y[t] if isinstance(y, dict) else y)
-                    pred = (torch.sigmoid(logits[t]).numpy() > 0.5).astype(np.float32)
-                    correct[t] += float(((pred == target) * valid).sum())
-                seen += int(valid.sum())
-        return {f"{t}/binary_accuracy": correct[t] / max(seen, 1) for t in self.targets}
+                    p = torch.sigmoid(logits[t]).numpy()
+                    probs[t].append(p[valid])
+                    labels[t].append(target[valid])
+        out: Dict[str, float] = {}
+        for t in self.targets:
+            p = np.concatenate(probs[t])
+            lab = np.concatenate(labels[t]).astype(np.float64)
+            out[f"{t}/binary_accuracy"] = float(((p > 0.5) == lab).mean())
+            pos, neg = int(lab.sum()), int((1 - lab).sum())
+            if pos and neg:
+                ranks = np.argsort(np.argsort(p)) + 1.0  # average-free rank AUC
+                out[f"{t}/auc"] = float(
+                    (ranks[lab > 0.5].sum() - pos * (pos + 1) / 2) / (pos * neg)
+                )
+            eps = 1e-7
+            pc = np.clip(p, eps, 1 - eps)
+            out[f"{t}/logloss"] = float(
+                -(lab * np.log(pc) + (1 - lab) * np.log(1 - pc)).mean()
+            )
+        return out
 
     def predict(self, data: Union[Dataset, Loader, dict], batch_size: int = 256):
         torch = _torch()
@@ -179,35 +219,61 @@ def TorchMLPModel(schema: Schema, dims: Sequence[int] = (64, 32)) -> TorchModel:
     return TorchModel(schema, body, head_dim=dims[-1])
 
 
-def TorchDLRMModel(schema: Schema, embedding_dim: int = 16, top: Sequence[int] = (64, 32)):
-    """DLRM-style: shared-dim embeddings + pairwise interactions + top MLP
-    (reference ``torch/models/ranking.py:18``)."""
-    import torch
-    import torch.nn as nn
+class TorchDLRMModel(TorchModel):
+    """True DLRM (reference ``torch/models/ranking.py:18``): one embedding
+    table per categorical feature (shared dim), bottom MLP over continuous
+    features projected to the same dim, pairwise dot interactions of the
+    stacked feature vectors (+ bottom shortcut), top MLP."""
 
-    cat = schema.categorical.excluding_by_tag(Tags.TARGET)
-    F = len(cat)
+    def __init__(
+        self,
+        schema: Schema,
+        embedding_dim: int = 16,
+        bottom: Sequence[int] = (32,),
+        top: Sequence[int] = (64, 32),
+    ):
+        torch = _torch()
+        import torch.nn as nn
 
-    class Body(nn.Module):
-        def __init__(self, in_dim):
-            super().__init__()
-            self.proj = nn.Linear(in_dim, F * embedding_dim)
-            dims = list(top)
+        def mlp(prev, dims):
             layers: List = []
-            prev = F * (F - 1) // 2
             for d in dims:
                 layers += [nn.Linear(prev, d), nn.ReLU()]
                 prev = d
-            self.top = nn.Sequential(*layers)
+            return nn.Sequential(*layers)
 
-        def forward(self, x):
-            z = self.proj(x).reshape(x.shape[0], F, embedding_dim)
-            gram = torch.einsum("bfd,bgd->bfg", z, z)
-            iu = torch.triu_indices(F, F, offset=1)
-            inter = gram[:, iu[0], iu[1]]
-            return self.top(inter)
+        self.schema = schema
+        self.embedding = _TabularEmbedding(schema, dim=embedding_dim)
+        n_cont = len(self.embedding.cont_cols)
+        self.bottom = mlp(n_cont, list(bottom) + [embedding_dim]) if n_cont else None
+        F = len(self.embedding.cat_cols) + (1 if self.bottom is not None else 0)
+        in_top = F * (F - 1) // 2 + (embedding_dim if self.bottom is not None else 0)
+        self.top = mlp(in_top, top)
+        self.targets = schema.targets.column_names
+        self.heads = nn.ModuleDict({t: nn.Linear(top[-1], 1) for t in self.targets})
+        mods = [self.embedding.tables, self.top, self.heads]
+        if self.bottom is not None:
+            mods.append(self.bottom)
+        self._modules = nn.ModuleList(mods)
 
-    return TorchModel(schema, Body, head_dim=top[-1])
+    def forward(self, batch):
+        torch = _torch()
+
+        z = self.embedding.stacked(batch)  # (B, F_cat, D)
+        parts = [z]
+        bottom_out = None
+        if self.bottom is not None:
+            bottom_out = self.bottom(self.embedding.continuous(batch))  # (B, D)
+            parts.append(bottom_out.unsqueeze(1))
+        z = torch.cat(parts, dim=1)  # (B, F, D)
+        gram = torch.einsum("bfd,bgd->bfg", z, z)
+        F = z.shape[1]
+        iu = torch.triu_indices(F, F, offset=1)
+        inter = gram[:, iu[0], iu[1]]
+        if bottom_out is not None:
+            inter = torch.cat([inter, bottom_out], dim=-1)  # bottom shortcut
+        h = self.top(inter)
+        return {t: self.heads[t](h).squeeze(-1) for t in self.targets}
 
 
 def TorchDCNModel(schema: Schema, depth: int = 2, deep: Sequence[int] = (64, 32)):

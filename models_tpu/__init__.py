@@ -197,6 +197,7 @@ from .transformer.block import (
 
 # distribution
 from .parallel.mesh import make_mesh
+from .parallel import distributed
 
 # persistence
 from .utils.io import load_model, save_model

@@ -114,6 +114,23 @@ def _fetch_scalars(values: Dict[str, Any]) -> Dict[str, float]:
     return {n: float(v) for n, v in zip(names, host)}
 
 
+def _mesh_prefetch(iterator, mesh, depth: int = 1):
+    """Device prefetch for mesh training: shard_batch one batch ahead so the
+    host→device placement overlaps the current step (fit(mesh=) previously ran
+    transfers synchronously)."""
+    import collections
+
+    from ..parallel.mesh import shard_batch
+
+    queue = collections.deque()
+    for x, y in iterator:
+        queue.append((shard_batch(to_device_batch(x), mesh), shard_batch(y, mesh)))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def _device_prefetch(iterator, depth: int = 1):
     """Keep ``depth`` batches in flight to the device: ``jax.device_put`` is
     async, so the next batch's host→device transfer overlaps the current step's
@@ -789,12 +806,12 @@ class BaseModel(Block):
                             local - 1, {key: v[-1] for key, v in logs.items()}
                         )
                 batch_iter = iter(())
+            elif self._pre_transform is not None or spe > 1:
+                batch_iter = iter(loader)
+            elif mesh is not None:
+                batch_iter = _mesh_prefetch(iter(loader), mesh)
             else:
-                batch_iter = (
-                    iter(loader)
-                    if (self._pre_transform is not None or mesh is not None or spe > 1)
-                    else _device_prefetch(iter(loader))
-                )
+                batch_iter = _device_prefetch(iter(loader))
 
             def run_single(step, x, y):
                 nonlocal params, emb_params, rest, opt_state, metric_states

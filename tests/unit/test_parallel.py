@@ -269,3 +269,19 @@ def test_to_top_k_encoder_with_mesh(ecommerce_data):
     res_single = topk1.evaluate(ecommerce_data, batch_size=16)
     for key in res_single:
         np.testing.assert_allclose(res_mesh[key], res_single[key], rtol=1e-5)
+
+
+def test_distributed_initialize_single_process_noop():
+    """Degenerate single-process init is a no-op (the reference's strategy for
+    testing Horovod paths without a cluster, SURVEY §4)."""
+    from models_tpu.parallel import distributed
+
+    distributed.initialize()  # must not raise or hang
+    kw = distributed.local_loader_kwargs()
+    assert kw == {"global_size": 1, "global_rank": 0}
+
+    from models_tpu.data import Loader, generate_data
+
+    ds = generate_data("e-commerce", num_rows=64)
+    loader = Loader(ds, 16, **kw)
+    assert len(loader) == 4

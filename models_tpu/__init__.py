@@ -56,6 +56,13 @@ from .inputs import (
 )
 
 # blocks
+from .blocks.retrieval import (
+    DualEncoderBlock,
+    ItemRetrievalScorer,
+    MatrixFactorizationBlock,
+    TowerBlock,
+    TwoTowerBlock,
+)
 from .blocks import (
     BatchNorm,
     CGCBlock,

@@ -16,3 +16,10 @@ from .mlp import (
     LayerNorm,
     MLPBlock,
 )
+from .retrieval import (
+    DualEncoderBlock,
+    ItemRetrievalScorer,
+    MatrixFactorizationBlock,
+    TowerBlock,
+    TwoTowerBlock,
+)

@@ -91,4 +91,8 @@ def get_aliccp(path: Optional[str] = None, num_rows: int = 100_000) -> Tuple[Dat
 
 
 def get_booking(path: Optional[str] = None, num_rows: int = 50_000) -> Tuple[Dataset, Dataset]:
-    return _from_path_or_synthetic(path, "e-commerce", num_rows)
+    """Booking.com next-destination dataset (reference
+    ``merlin/datasets/ecommerce/booking``): per-trip city sequences. With no
+    ``path`` (no egress in this environment) a synthetic dataset with the real
+    schema layout is generated."""
+    return _from_path_or_synthetic(path, "booking", num_rows)

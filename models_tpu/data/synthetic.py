@@ -222,6 +222,28 @@ def _criteo_small_schema() -> Schema:
     return Schema(cols)
 
 
+def _booking_schema() -> Schema:
+    """Booking.com next-destination challenge layout (reference
+    ``merlin/datasets/ecommerce/booking``): per-trip city sequences plus trip
+    context — a session dataset, NOT the e-commerce CTR layout."""
+    return Schema(
+        [
+            cat("utrip_id", 217686, tags=Tags.SESSION_ID),
+            cat(
+                "city_id", 39901, tags=(Tags.ITEM, Tags.ITEM_ID, Tags.SEQUENCE),
+                is_list=True, max_seq_length=10,
+            ),
+            cat(
+                "booker_country", 5, tags=(Tags.USER, Tags.SEQUENCE),
+                is_list=True, max_seq_length=10,
+            ),
+            cat("device_class", 3, tags=Tags.USER),
+            cat("affiliate_id", 3254, tags=Tags.CONTEXT),
+            cat("month_checkin", 12, tags=Tags.CONTEXT),
+        ]
+    )
+
+
 KNOWN_DATASETS: Dict[str, Callable[[], Schema]] = {
     "e-commerce": _ecommerce_schema,
     "music-streaming": _music_streaming_schema,
@@ -235,6 +257,7 @@ KNOWN_DATASETS: Dict[str, Callable[[], Schema]] = {
     "aliccp-small": _aliccp_small_schema,
     "criteo": _criteo_schema,
     "criteo-small": _criteo_small_schema,
+    "booking": _booking_schema,
 }
 
 

@@ -112,6 +112,18 @@ class RetrievalModelV2(Model):
     # reference V1 name (tf/models/base.py:2449)
     to_top_k_recommender = to_top_k_encoder
 
+    def evaluate(self, data, batch_size: Optional[int] = None, item_corpus=None,
+                 k: int = 10, mesh=None, **kwargs):
+        """V1 parity: ``evaluate(item_corpus=...)`` scores queries against the
+        FULL corpus via a brute-force index built from the item tower
+        (reference ``RetrievalModel.evaluate``, ``tf/models/base.py:2266``),
+        instead of in-batch negatives."""
+        if item_corpus is None:
+            return super().evaluate(data, batch_size=batch_size, **kwargs)
+        corpus = None if item_corpus is True else item_corpus
+        topk = self.to_top_k_encoder(corpus, k=k, mesh=mesh)
+        return topk.evaluate(data, batch_size=batch_size, **kwargs)
+
 
 def MatrixFactorizationModel(
     schema: Schema,

@@ -163,3 +163,16 @@ def test_streaming_loader_shuffled_epochs_differ(tmp_path):
     e2 = np.concatenate([np.asarray(b[0]["item_id"]) for b in loader])
     assert not np.array_equal(e1, e2)
     np.testing.assert_array_equal(np.sort(e1), np.sort(e2))
+
+
+def test_get_booking_session_schema():
+    """get_booking must return the booking session layout (city sequences), not
+    a relabeled e-commerce CTR schema."""
+    from models_tpu.data.datasets import get_booking
+    from models_tpu.schema import Tags
+
+    train, valid = get_booking(num_rows=128)
+    assert "city_id" in train.schema
+    city = train.schema["city_id"]
+    assert city.is_list and city.has_tag(Tags.ITEM_ID) and city.has_tag(Tags.SEQUENCE)
+    assert "utrip_id" in train.schema

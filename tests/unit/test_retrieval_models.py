@@ -223,3 +223,42 @@ def test_eager_matches_jit_training():
         return h.history["loss"]
 
     np.testing.assert_allclose(run(True), run(False), rtol=1e-4)
+
+
+def test_v1_retrieval_blocks_and_item_corpus_eval(ecommerce_data):
+    """V1 vocabulary: TwoTowerBlock + ItemRetrievalScorer compose into a
+    trainable retrieval model; evaluate(item_corpus=) runs full-corpus top-k
+    (reference RetrievalModel.evaluate, tf/models/base.py:2266)."""
+    import models_tpu as mm
+    from models_tpu.models.retrieval import RetrievalModelV2
+
+    towers = mm.TwoTowerBlock(
+        ecommerce_data.schema, query_tower=mm.MLPBlock((16, 8)), embedding_dim=8
+    )
+    scorer = mm.ItemRetrievalScorer(
+        samplers="in-batch", item_id_feature_name="item_id"
+    )
+    model = RetrievalModelV2(
+        query=towers["query"], candidate=towers["candidate"], output=scorer,
+        schema=ecommerce_data.schema,
+    )
+    model.compile()
+    h = model.fit(ecommerce_data, epochs=1, batch_size=16, verbose=0)
+    assert np.isfinite(h.history["loss"][0])
+    res = model.evaluate(ecommerce_data, batch_size=16, item_corpus=ecommerce_data)
+    assert "recall_at_10" in res
+
+
+def test_v1_matrix_factorization_block(ml100k):
+    import models_tpu as mm
+    from models_tpu.models.retrieval import RetrievalModelV2
+
+    mf = mm.MatrixFactorizationBlock(ml100k.schema, dim=8)
+    model = RetrievalModelV2(
+        query=mf["query"], candidate=mf["candidate"],
+        output=mm.ItemRetrievalScorer(item_id_feature_name="movieId"),
+        schema=ml100k.schema,
+    )
+    model.compile()
+    h = model.fit(ml100k, epochs=1, batch_size=32, verbose=0)
+    assert np.isfinite(h.history["loss"][0])

@@ -58,6 +58,11 @@ class ConfigError(ValueError):
 
 
 def _class_path(cls) -> str:
+    if "<locals>" in cls.__qualname__:
+        raise ConfigError(
+            f"{cls.__qualname__} is defined inside a function and cannot be "
+            "imported by path; move it to module level to make it serializable"
+        )
     return f"{cls.__module__}:{cls.__qualname__}"
 
 

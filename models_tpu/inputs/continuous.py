@@ -79,16 +79,21 @@ class ContinuousEmbedding(Block):
         return self._embed(inputs)
 
 
+class ConcatDict(Block):
+    """Concat a feature dict along the last axis (module-level so it config-
+    serializes; used by ContinuousProjection)."""
+
+    def __call__(self, inputs, **kwargs):
+        from ..core.aggregation import ConcatFeatures
+
+        return ConcatFeatures()(inputs)
+
+
 def ContinuousProjection(schema: Schema, projection) -> "Block":
     """Concat continuous features then project through a block (reference
     ``continuous.py:54``)."""
     from ..core.combinators import SequentialBlock
-    from ..core.aggregation import ConcatFeatures
-
-    class _Concat(Block):
-        def __call__(self, inputs, **kwargs):
-            return ConcatFeatures()(inputs)
 
     return SequentialBlock(
-        [Continuous(schema), _Concat(), projection], block_name="continuous_projection"
+        [Continuous(schema), ConcatDict(), projection], block_name="continuous_projection"
     )

@@ -297,28 +297,36 @@ class AverageEmbeddingsByWeightFeature(Block):
         return out
 
 
+class PretrainedEmbeddingsBlock(Block):
+    """Pass through pre-computed embedding columns (``Tags.EMBEDDING``),
+    optionally pooled/normalized (reference ``embedding.py:717``)."""
+
+    def __init__(
+        self,
+        schema: Schema,
+        sequence_combiner: Optional[str] = "mean",
+        normalizer: Optional[Callable] = None,
+    ):
+        emb_schema = schema.select_by_tag(Tags.EMBEDDING) if schema is not None else None
+        super().__init__(schema=emb_schema, block_name="pretrained_embeddings")
+        self.sequence_combiner = sequence_combiner
+        self.normalizer = normalizer
+
+    def __call__(self, inputs: TensorDict, **kwargs):
+        out = {}
+        for name, v in inputs.items():
+            if isinstance(v, SequenceFeature) and self.sequence_combiner:
+                v = SEQUENCE_COMBINERS[self.sequence_combiner](v)
+            if self.normalizer is not None:
+                v = self.normalizer(v)
+            out[name] = v
+        return out
+
+
 def PretrainedEmbeddings(
     schema: Schema,
     sequence_combiner: Optional[str] = "mean",
     normalizer: Optional[Callable] = None,
 ) -> Block:
-    """Pass through pre-computed embedding columns (``Tags.EMBEDDING``), optionally
-    pooled/normalized (reference ``embedding.py:717``)."""
-    emb_schema = schema.select_by_tag(Tags.EMBEDDING)
-
-    class _Pretrained(Block):
-        def __init__(self):
-            super().__init__(schema=emb_schema, block_name="pretrained_embeddings")
-            self.sequence_combiner = sequence_combiner
-
-        def __call__(self, inputs: TensorDict, **kwargs):
-            out = {}
-            for name, v in inputs.items():
-                if isinstance(v, SequenceFeature) and self.sequence_combiner:
-                    v = SEQUENCE_COMBINERS[self.sequence_combiner](v)
-                if normalizer is not None:
-                    v = normalizer(v)
-                out[name] = v
-            return out
-
-    return _Pretrained()
+    """Factory kept for reference-name parity."""
+    return PretrainedEmbeddingsBlock(schema, sequence_combiner, normalizer)

@@ -35,3 +35,20 @@ def _assert_tree_close(a, b, rtol=1e-5):
     jax.tree_util.tree_map(
         lambda x, y: np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=rtol), a, b
     )
+
+
+def assert_serialization(block):
+    """Config round-trip for a single block (the reference's
+    ``assert_serialization``, ``tf/utils/testing_utils.py:44``): encode to the
+    declarative config tree, decode in-place, and compare class + captured
+    hyperparameters."""
+    import json
+
+    from models_tpu.core.config import from_config, to_config
+
+    tree, arrays = to_config(block)
+    json.dumps(tree)  # must be pure JSON
+    rebuilt = from_config(tree, arrays)
+    assert type(rebuilt) is type(block)
+    assert rebuilt.block_name == block.block_name
+    return rebuilt

@@ -46,6 +46,8 @@ from .data import Dataset, Loader, generate_data, sample_batch
 
 # inputs
 from .inputs import (
+    EmbeddingFeatures,
+    SequenceEmbeddingFeatures,
     Continuous,
     ContinuousProjection,
     Embeddings,

@@ -2,7 +2,9 @@ from .base import InputBlock, InputBlockV2
 from .continuous import Continuous, ContinuousEmbedding, ContinuousProjection
 from .embedding import (
     AverageEmbeddingsByWeightFeature,
+    EmbeddingFeatures,
     Embeddings,
     EmbeddingTable,
     PretrainedEmbeddings,
+    SequenceEmbeddingFeatures,
 )

@@ -64,3 +64,34 @@ def InputBlockV2(
 
 # The framework only ships V2 semantics; keep the familiar name as an alias.
 InputBlock = InputBlockV2
+
+
+def InputBlock(
+    schema: Schema,
+    aggregation: Optional[str] = "concat",
+    continuous_projection=None,
+    embedding_dims=None,
+    embedding_dim_default: Optional[int] = None,
+    seed: int = 0,
+    **kwargs,
+) -> ParallelBlock:
+    """V1-flavored input constructor (reference ``tf/inputs/base.py:40``):
+    thin adapter over :func:`InputBlockV2` accepting V1 argument names
+    (``continuous_projection``, ``embedding_dims``/``embedding_dim_default``)."""
+    from .continuous import ContinuousProjection
+
+    dim = embedding_dims if embedding_dims is not None else embedding_dim_default
+    continuous = None
+    if continuous_projection is not None:
+        cont_schema = schema.continuous
+        if len(cont_schema):
+            from ..blocks.mlp import MLPBlock
+
+            proj = continuous_projection
+            if isinstance(proj, (tuple, list)):
+                proj = MLPBlock(tuple(proj))
+            continuous = ContinuousProjection(cont_schema, proj)
+    return InputBlockV2(
+        schema, continuous=continuous, aggregation=aggregation, dim=dim,
+        seed=seed, **kwargs,
+    )

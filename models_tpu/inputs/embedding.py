@@ -330,3 +330,17 @@ def PretrainedEmbeddings(
 ) -> Block:
     """Factory kept for reference-name parity."""
     return PretrainedEmbeddingsBlock(schema, sequence_combiner, normalizer)
+
+
+def EmbeddingFeatures(schema: Schema, dim: Union[int, Dict[str, int], None] = None,
+                      seed: int = 0, **kwargs) -> ParallelBlock:
+    """V1 multi-table lookup block (reference ``embedding.py:950``): one table
+    per categorical domain, scalar features → (B, D)."""
+    return Embeddings(schema, dim=dim, sequence_combiner=None, seed=seed, **kwargs)
+
+
+def SequenceEmbeddingFeatures(schema: Schema, dim: Union[int, Dict[str, int], None] = None,
+                              seed: int = 0, **kwargs) -> ParallelBlock:
+    """V1 3-D sequence lookups (reference ``embedding.py:1309``): list features
+    stay (B, L, D) SequenceFeatures (combiner=None)."""
+    return Embeddings(schema, dim=dim, sequence_combiner=None, seed=seed, **kwargs)

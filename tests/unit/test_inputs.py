@@ -139,3 +139,32 @@ def test_continuous_embedding():
     assert out.shape == (8, 4)
     # different scalar values map to different soft embeddings
     assert not np.allclose(np.asarray(out[0]), np.asarray(out[-1]))
+
+
+def test_v1_input_block_names(ecommerce_data):
+    """V1 constructors: InputBlock(continuous_projection=...), EmbeddingFeatures,
+    SequenceEmbeddingFeatures (reference tf/inputs/base.py:40, embedding.py:950/1309)."""
+    import jax.numpy as jnp
+
+    import models_tpu as mm
+    from models_tpu.core.types import to_device_batch
+    from models_tpu.data import Loader
+    from models_tpu.inputs.base import InputBlock
+
+    schema = ecommerce_data.schema
+    block = InputBlock(schema, continuous_projection=(16,), embedding_dim_default=8)
+    x, _ = Loader(ecommerce_data, 8).peek()
+    out = block(to_device_batch(x))
+    assert out.ndim == 2 and out.shape[0] == 8
+
+    emb = mm.EmbeddingFeatures(schema, dim=8)
+    out2 = emb(to_device_batch(x))
+    assert isinstance(out2, dict)
+
+    seq_schema = __import__("models_tpu").data.generate_data("sequence-testing", num_rows=8).schema
+    seq_emb = mm.SequenceEmbeddingFeatures(seq_schema, dim=8)
+    xs, _ = Loader(__import__("models_tpu").data.generate_data("sequence-testing", num_rows=8), 8).peek()
+    out3 = seq_emb(to_device_batch(xs))
+    from models_tpu.core.types import SequenceFeature
+
+    assert any(isinstance(v, SequenceFeature) and v.values.ndim == 3 for v in out3.values())

@@ -38,8 +38,9 @@ PIPE_BATCHES = 32
 BENCH_DATA = "/root/.cache/models_tpu_bench_data/ml25m_262144"
 
 
-def _marginal(run, n1, n2, repeats=3):
-    """Best-of marginal seconds/step between two step counts."""
+def _marginal(run, n1, n2, repeats=5):
+    """Best-of marginal seconds/step between two step counts (best-of-N guards
+    against tunnel/device contention windows, which show 2-3x swings)."""
     times = {}
     for n in (n1, n2):
         _ = run(n)  # compile + warm

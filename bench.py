@@ -38,16 +38,27 @@ PIPE_BATCHES = 32
 BENCH_DATA = "/root/.cache/models_tpu_bench_data/ml25m_262144"
 
 
+_SALT = [0.0]
+
+
+def _next_salt() -> float:
+    _SALT[0] += 1.0
+    return _SALT[0]
+
+
 def _marginal(run, n1, n2, repeats=5):
-    """Best-of marginal seconds/step between two step counts (best-of-N guards
-    against tunnel/device contention windows, which show 2-3x swings)."""
+    """Best-of marginal seconds/step between two step counts. Every invocation
+    gets a distinct input salt: the tunnel memoizes repeated identical
+    executions (CLAUDE.md), which otherwise produces impossible (even negative)
+    marginals. Best-of-N guards against contention windows."""
     times = {}
     for n in (n1, n2):
-        _ = run(n)  # compile + warm
+        _ = run(n, _next_salt())  # compile + warm
         best = float("inf")
         for _ in range(repeats):
+            s = _next_salt()
             t0 = time.perf_counter()
-            run(n)
+            run(n, s)
             best = min(best, time.perf_counter() - t0)
         times[n] = best
     return (times[n2] - times[n1]) / (n2 - n1)
@@ -104,13 +115,13 @@ def bench_two_tower_compute(policy: str = "float32"):
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    def run(n):
+    def run(n, salt):
         @jax.jit
-        def go(params, opt_state):
+        def go(params, opt_state, salt):
             (_, _), losses = jax.lax.scan(train_step, (params, opt_state), None, length=n)
-            return losses[-1]
+            return losses[-1] + salt  # salt defeats tunnel memoization
 
-        return float(go(params, opt_state))
+        return float(go(params, opt_state, jnp.float32(salt)))
 
     try:
         step_time = _marginal(run, N1, N2)
@@ -140,9 +151,10 @@ def bench_two_tower_pipeline():
         steps_per_execution=32,
     )
     loader = Loader(ds, batch_size=BATCH, drop_last=True, shuffle=False)
-    # epoch 1 pays compile + parquet decode (cached after); epoch 3 is steady-state
-    hist = model.fit(loader, epochs=3, verbose=0)
-    return float(hist.history["examples_per_sec"][-1])
+    # epochs 1-2 pay compile + parquet decode (cached after); report the best
+    # steady-state epoch (contention windows hit single epochs hard)
+    hist = model.fit(loader, epochs=6, verbose=0)
+    return float(max(hist.history["examples_per_sec"][2:]))
 
 
 # ---------------------------------------------------------------------------
@@ -156,33 +168,35 @@ def bench_topk():
     w1 = jax.random.normal(jax.random.key(2), (64, 128), jnp.float32) * 0.1
     w2 = jax.random.normal(jax.random.key(3), (128, D), jnp.float32) * 0.1
 
-    def run_queries(n):
+    def run_queries(n, salt):
         @jax.jit
-        def go(cand):
+        def go(cand, salt):
             def body(carry, t):
-                # fresh queries each step (defeats tunnel memoization)
-                q = jax.random.normal(jax.random.fold_in(jax.random.key(7), t), (B, D))
+                # fresh queries each step + per-call salt (tunnel memoization)
+                q = jax.random.normal(
+                    jax.random.fold_in(jax.random.key(7), t), (B, D)
+                ) + carry * 0
                 s, i = pallas_topk(q, cand, K, tile=4096)
                 return carry + jnp.sum(s[:, 0]) * 0, i
 
-            c, ids = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
+            c, ids = jax.lax.scan(body, salt, jnp.arange(n))
             return ids[-1, 0, 0] + c
 
-        return float(go(cand))
+        return float(go(cand, jnp.float32(salt)))
 
     q_time = _marginal(run_queries, 2, 22)
 
-    def run_build(n):
+    def run_build(n, salt):
         @jax.jit
-        def go(feats):
+        def go(feats, salt):
             def body(carry, t):
-                emb = jnp.maximum(feats @ w1, 0.0) @ w2  # item-tower encode sweep
+                emb = jnp.maximum((feats + carry * 0) @ w1, 0.0) @ w2
                 return carry + emb[0, 0] * 1e-9, ()
 
-            c, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
+            c, _ = jax.lax.scan(body, salt, jnp.arange(n))
             return c
 
-        return float(go(item_feats))
+        return float(go(item_feats, jnp.float32(salt)))
 
     build_time = _marginal(run_build, 1, 4)
     return B / q_time, q_time * 1000, build_time * 1000
@@ -227,13 +241,15 @@ def bench_sparse_optimizer():
 
         step_fn = sparse_step if step_kind == "sparse" else dense_step
 
-        def run(n):
+        def run(n, salt):
             @partial(jax.jit, donate_argnums=(0, 1))
             def go(w, acc):
                 (w, acc), _ = jax.lax.scan(step_fn, (w, acc), jnp.arange(n))
                 return w[0, 0]
 
-            return float(go(jnp.zeros((R, D)), jnp.full((R, D), 0.1)))
+            return float(
+                go(jnp.full((R, D), salt * 1e-12), jnp.full((R, D), 0.1))
+            )
 
         return run
 

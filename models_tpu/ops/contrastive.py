@@ -73,8 +73,46 @@ def _tile_inputs(neg_emb, neg_id, neg_bias, tile):
     return xs
 
 
+_FORCE_SCAN = False  # test hook: disable the Pallas path
+
+
+def _use_flash(query=None, neg_emb=None) -> bool:
+    if _FORCE_SCAN:
+        return False
+    if query is not None:
+        D = query.shape[-1]
+        # conservative Mosaic shape envelope; odd dims use the scan path
+        if D < 32 or D % 8 != 0 or query.shape[0] < 8 or neg_emb.shape[0] < 8:
+            return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _loss_from_lse(pos_logit, m, s, weights):
+    per = (m + jnp.log(s)) - pos_logit
+    if weights is None:
+        return jnp.mean(per)
+    w = weights.astype(per.dtype)
+    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-9)
+
+
 def _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, temperature, tile):
     Q, D = query.shape
+
+    if _use_flash(query, neg_emb):
+        from . import flash_ce
+
+        pos_logit = jnp.einsum(
+            "qd,qd->q", query, pos_emb, preferred_element_type=jnp.float32
+        ) / temperature
+        m, s = flash_ce.lse_forward(
+            query, pos_logit, neg_emb, pos_id, neg_id, neg_bias, temperature,
+            downscore=(pos_id is not None and neg_id is not None),
+        )
+        return _loss_from_lse(pos_logit, m, s, weights), (m, s)
+
     xs = _tile_inputs(neg_emb, neg_id, neg_bias, tile)
 
     pos_logit = jnp.einsum(
@@ -127,6 +165,23 @@ def _bwd(temperature, tile, res, g):
     coef_pos = gw * (p_pos - 1.0) / temperature  # (Q,)
     d_query = coef_pos[:, None] * pos_emb.astype(jnp.float32)
     d_pos = (coef_pos[:, None] * query.astype(jnp.float32)).astype(pos_emb.dtype)
+
+    if _use_flash(query, neg_emb):
+        from . import flash_ce
+
+        downscore = pos_id is not None and neg_id is not None
+        d_query = d_query + flash_ce.grad_query(
+            query, neg_emb, lse, gw, pos_id, neg_id, neg_bias, temperature, downscore
+        )
+        d_neg = flash_ce.grad_neg(
+            query, neg_emb, lse, gw, pos_id, neg_id, neg_bias, temperature, downscore
+        )
+        return (
+            d_query.astype(query.dtype),
+            d_pos,
+            d_neg.astype(neg_emb.dtype),
+            None, None, None, None,
+        )
 
     xs = _tile_inputs(neg_emb, neg_id, neg_bias, tile)
 

@@ -266,3 +266,46 @@ def test_fused_loss_matches_dense_under_bf16():
 
     ref = dense(q, pos, neg)
     np.testing.assert_allclose(float(loss), float(ref), rtol=2e-2)
+
+
+def test_flash_ce_kernels_match_scan_interpret():
+    """Pallas flash-CE forward/backward == the XLA-scan reference path
+    (interpret mode; the TPU run is covered by the bench + dispatch)."""
+    import models_tpu.ops.contrastive as oc
+    from models_tpu.ops import flash_ce
+
+    rng = np.random.default_rng(0)
+    Q, N, D = 20, 40, 16
+    q = jnp.asarray(rng.standard_normal((Q, D)) * 0.3, jnp.float32)
+    pos = jnp.asarray(rng.standard_normal((Q, D)) * 0.3, jnp.float32)
+    neg = jnp.asarray(rng.standard_normal((N, D)) * 0.3, jnp.float32)
+    pid = jnp.asarray(rng.integers(0, 50, Q), jnp.int32)
+    nid = jnp.asarray(rng.integers(0, 50, N), jnp.int32)
+    bias = jnp.asarray(rng.standard_normal(N) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.uniform(0.3, 1.0, Q), jnp.float32)
+    T = 0.7
+
+    def f(q, pos, neg):
+        return oc.sampled_softmax_loss(q, pos, neg, pid, nid, w, bias, T, 16)
+
+    loss_ref, grads_ref = jax.value_and_grad(f, argnums=(0, 1, 2))(q, pos, neg)
+
+    pos_logit = jnp.einsum("qd,qd->q", q, pos) / T
+    m, s = flash_ce.lse_forward(
+        q, pos_logit, neg, pid, nid, bias, T, True, tq=8, tn=16, interpret=True
+    )
+    loss_flash = oc._loss_from_lse(pos_logit, m, s, w)
+    np.testing.assert_allclose(float(loss_flash), float(loss_ref), rtol=1e-5)
+
+    lse = m + jnp.log(s)
+    gw = w / jnp.sum(w)
+    dq_neg = flash_ce.grad_query(q, neg, lse, gw, pid, nid, bias, T, True,
+                                 tq=8, tn=16, interpret=True)
+    p_pos = jnp.exp(pos_logit - lse)
+    coef_pos = gw * (p_pos - 1.0) / T
+    dq = coef_pos[:, None] * pos + dq_neg
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(grads_ref[0]), rtol=2e-4, atol=1e-7)
+
+    dn = flash_ce.grad_neg(q, neg, lse, gw, pid, nid, bias, T, True,
+                           tq=8, tn=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(grads_ref[2]), rtol=2e-4, atol=1e-7)

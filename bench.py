@@ -158,6 +158,67 @@ def bench_two_tower_pipeline():
 
 
 # ---------------------------------------------------------------------------
+def bench_dlrm_compute():
+    """DLRM CTR training step on the criteo layout (13 dense + 26 categorical,
+    dot interactions, batch 8192) — the reference's main ranking workload."""
+    import optax
+    from flax import nnx
+
+    from models_tpu.core.block import call_block
+    from models_tpu.core.types import ModelContext, to_device_batch
+    from models_tpu.data import Loader, generate_data
+    from models_tpu.models import DLRMModel
+
+    ds = generate_data("criteo-small", num_rows=BATCH, seed=5)
+    model = DLRMModel(
+        ds.schema, embedding_dim=64, bottom_block=(256, 64), top_block=(256, 128)
+    )
+    model.compile(optimizer="adagrad", learning_rate=0.05)
+    loader = Loader(ds, batch_size=BATCH, drop_last=True)
+    model.build(loader)
+
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    tx = model._tx
+    opt_state = tx.init(params)
+    loss_fns = model._resolve_task_losses()
+    x_host, y_host = loader.peek()
+    x = to_device_batch(x_host)
+    y = (
+        {k: jnp.asarray(v) for k, v in y_host.items()}
+        if isinstance(y_host, dict)
+        else jnp.asarray(y_host)
+    )
+
+    def train_step(carry, _):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            mod = nnx.merge(graphdef, p, rest)
+            context = ModelContext(features=x, targets=y, step=0)
+            context["need_logits"] = False
+            preds = call_block(mod, x, targets=y, training=True, context=context)
+            pred_dict = mod._as_pred_dict(preds)
+            total, _ = mod._compute_losses(pred_dict, x, loss_fns)
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    def run(n, salt):
+        @jax.jit
+        def go(params, opt_state, salt):
+            (_, _), losses = jax.lax.scan(train_step, (params, opt_state), None, length=n)
+            return losses[-1] + salt
+
+        return float(go(params, opt_state, jnp.float32(salt)))
+
+    step_time = _marginal(run, N1, N2)
+    return BATCH / step_time, step_time * 1000
+
+
+# ---------------------------------------------------------------------------
 def bench_topk():
     """Pallas fused top-k over a 1M x 128 catalog, B=256, k=10 (+ index build)."""
     from models_tpu.ops.topk import pallas_topk
@@ -270,6 +331,7 @@ def main():
 
     examples_per_sec, step_ms = bench_two_tower_compute()
     eps_bf16, step_ms_bf16 = bench_two_tower_compute("mixed_bfloat16")
+    dlrm_eps, dlrm_ms = bench_dlrm_compute()
     pipeline_eps = bench_two_tower_pipeline()
     topk_qps, topk_ms, build_ms = bench_topk()
     sparse_4m, dense_4m, sparse_8m = bench_sparse_optimizer()
@@ -283,6 +345,8 @@ def main():
             "compute_step_ms": round(step_ms, 3),
             "compute_examples_per_sec_bf16": round(eps_bf16, 1),
             "compute_step_ms_bf16": round(step_ms_bf16, 3),
+            "dlrm_criteo_examples_per_sec": round(dlrm_eps, 1),
+            "dlrm_criteo_step_ms": round(dlrm_ms, 3),
             "pipeline_examples_per_sec": round(pipeline_eps, 1),
             "pipeline_vs_compute": round(pipeline_eps / examples_per_sec, 3),
             "topk_qps_1M_catalog": round(topk_qps, 1),

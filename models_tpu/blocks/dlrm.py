@@ -38,7 +38,11 @@ class DLRMBlock(Block):
         cont = self.schema.continuous
         if not len(cat):
             raise ValueError("DLRM needs categorical features")
-        self.embeddings = Embeddings(cat, dim=embedding_dim, sequence_combiner="mean", seed=seed)
+        # fused=True: one gather for all scalar categorical features (a DLRM with
+        # 26 criteo features is otherwise op-count-bound, not MXU-bound)
+        self.embeddings = Embeddings(
+            cat, dim=embedding_dim, sequence_combiner="mean", seed=seed, fused=True
+        )
         self.continuous = Continuous(cont) if len(cont) else None
         if self.continuous is not None and bottom_block is None:
             bottom_block = MLPBlock([embedding_dim * 2, embedding_dim], seed=seed)

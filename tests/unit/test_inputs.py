@@ -168,3 +168,59 @@ def test_v1_input_block_names(ecommerce_data):
     from models_tpu.core.types import SequenceFeature
 
     assert any(isinstance(v, SequenceFeature) and v.values.ndim == 3 for v in out3.values())
+
+
+def test_fused_embedding_tables_match_individual_lookup():
+    """FusedEmbeddingTables: one offset gather == per-feature table lookups,
+    and the one-hot-matmul custom VJP == plain gather autodiff."""
+    import jax
+    import jax.numpy as jnp
+
+    from models_tpu.inputs.embedding import FusedEmbeddingTables
+    from models_tpu.schema import create_categorical_column
+
+    cols = [
+        create_categorical_column("a", 9),    # padded 16
+        create_categorical_column("b", 99),   # padded 104 → stride 104
+        create_categorical_column("c", 49),
+    ]
+    fused = FusedEmbeddingTables(cols, dim=8, seed=3)
+    assert fused.stride is not None
+    rng = np.random.default_rng(0)
+    batch = {
+        "a": jnp.asarray(rng.integers(0, 10, 16)),
+        "b": jnp.asarray(rng.integers(0, 100, 16)),
+        "c": jnp.asarray(rng.integers(0, 50, 16)),
+    }
+    out = fused(batch)
+    table = np.asarray(fused.table.value)
+    stride = fused.stride
+    for i, name in enumerate(["a", "b", "c"]):
+        expect = table[np.asarray(batch[name]) + i * stride]
+        np.testing.assert_allclose(np.asarray(out[name]), expect, rtol=1e-6)
+
+    # custom-VJP gradient == plain-gather autodiff gradient
+    from models_tpu.inputs.embedding import _onehot_grad_lookup
+
+    local = jnp.stack([batch["a"], batch["b"], batch["c"]], axis=1).astype(jnp.int32)
+
+    def loss_custom(t):
+        return jnp.sum(jnp.sin(_onehot_grad_lookup(t, local, stride)))
+
+    def loss_plain(t):
+        gids = local + (jnp.arange(3, dtype=jnp.int32) * stride)[None, :]
+        return jnp.sum(jnp.sin(jnp.take(t, gids, axis=0)))
+
+    g1 = jax.grad(loss_custom)(fused.table.value)
+    g2 = jax.grad(loss_plain)(fused.table.value)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-7)
+
+
+def test_embeddings_factory_fuses_scalar_domains(ecommerce_data):
+    from models_tpu.inputs.embedding import Embeddings, FusedEmbeddingTables
+
+    block = Embeddings(ecommerce_data.schema.categorical, dim=8, fused=True)
+    fused = [b for _, b in block.items() if isinstance(b, FusedEmbeddingTables)]
+    assert len(fused) == 1
+    # all scalar single-column domains live in the fused table
+    assert len(fused[0].features) > 1

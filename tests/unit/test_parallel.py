@@ -285,3 +285,21 @@ def test_distributed_initialize_single_process_noop():
     ds = generate_data("e-commerce", num_rows=64)
     loader = Loader(ds, 16, **kw)
     assert len(loader) == 4
+
+def test_dlrm_fit_on_mesh_matches_single_device():
+    """DLRM (fused embedding table) under a DP x MP mesh must reproduce the
+    single-device trajectory — covers the fused table's mesh lookup branch."""
+    from models_tpu.data import generate_data
+    from models_tpu.models import DLRMModel
+
+    ds = generate_data("e-commerce", num_rows=128)
+
+    def run(mesh):
+        m = DLRMModel(ds.schema, embedding_dim=8, bottom_block=(8,), top_block=(8,))
+        m.compile(optimizer="adam", learning_rate=0.05)
+        h = m.fit(ds, epochs=2, batch_size=16, shuffle=False, verbose=0, mesh=mesh)
+        return h.history["loss"]
+
+    losses_single = run(None)
+    losses_mesh = run(cpu_mesh({"data": 2, "model": 2}))
+    np.testing.assert_allclose(losses_single, losses_mesh, rtol=2e-4)

@@ -15,6 +15,16 @@ EXAMPLES = sorted(
 
 
 @pytest.fixture(autouse=True)
+def restore_dtype_policy():
+    """Example 07 flips the global dtype policy; don't leak it into later tests."""
+    from models_tpu.core.policy import get_dtype_policy, set_dtype_policy
+
+    before = get_dtype_policy()
+    yield
+    set_dtype_policy(before)
+
+
+@pytest.fixture(autouse=True)
 def shrink_datasets(monkeypatch):
     import models_tpu.data.datasets as dsets
     import models_tpu.data.synthetic as synth

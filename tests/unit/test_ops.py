@@ -229,6 +229,7 @@ def test_mixed_bfloat16_policy_trajectory_close():
         h = m.fit(ds, epochs=3, batch_size=32, shuffle=False, verbose=0)
         return np.asarray(h.history["loss"])
 
+    set_dtype_policy("float32")
     assert get_dtype_policy() == "float32"
     base = run()
     set_dtype_policy("mixed_bfloat16")

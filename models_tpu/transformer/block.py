@@ -28,36 +28,111 @@ from ..core.types import SequenceFeature
 
 
 class TransformerLayer(Block):
+    """Pre-norm attention + FFN sublayers with dtype-policy-aware matmuls.
+
+    All six matmuls (q/k/v/out projections, two FFN layers, plus the two
+    attention einsums) run their inputs through :func:`cast_compute` with
+    ``preferred_element_type=float32`` — under ``mixed_bfloat16`` the MXU
+    consumes bf16 operands at ~5x fp32 peak while accumulating fp32; master
+    weights, LayerNorm, softmax and residuals stay float32.
+    """
+
     def __init__(self, d_model: int, n_heads: int, d_ff: int, dropout: float, seed: int):
         from ..blocks.mlp import Dropout
 
         super().__init__()
+        if d_model % n_heads:
+            raise ValueError(f"d_model={d_model} not divisible by n_heads={n_heads}")
         rngs = nnx.Rngs(seed)
+        self.n_heads = n_heads
+        self.d_head = d_model // n_heads
+        init = nnx.initializers.glorot_uniform()
+        key = jax.random.key(seed + 101)
+        kq, kk, kv, ko, k1, k2 = jax.random.split(key, 6)
+        self.wq = nnx.Param(init(kq, (d_model, d_model), jnp.float32))
+        self.wk = nnx.Param(init(kk, (d_model, d_model), jnp.float32))
+        self.wv = nnx.Param(init(kv, (d_model, d_model), jnp.float32))
+        self.wo = nnx.Param(init(ko, (d_model, d_model), jnp.float32))
+        self.bq = nnx.Param(jnp.zeros((d_model,), jnp.float32))
+        self.bk = nnx.Param(jnp.zeros((d_model,), jnp.float32))
+        self.bv = nnx.Param(jnp.zeros((d_model,), jnp.float32))
+        self.bo = nnx.Param(jnp.zeros((d_model,), jnp.float32))
+        self.w1 = nnx.Param(init(k1, (d_model, d_ff), jnp.float32))
+        self.b1 = nnx.Param(jnp.zeros((d_ff,), jnp.float32))
+        self.w2 = nnx.Param(init(k2, (d_ff, d_model), jnp.float32))
+        self.b2 = nnx.Param(jnp.zeros((d_model,), jnp.float32))
+        self.ln1 = nnx.LayerNorm(d_model, rngs=rngs)
+        self.ln2 = nnx.LayerNorm(d_model, rngs=rngs)
         # attention-internal dropout disabled: dropout is applied statelessly on
         # the sublayer outputs (NNX's stateful rng counter cannot mutate inside
         # the grad trace of the compiled train step)
-        self.attn = nnx.MultiHeadAttention(
-            num_heads=n_heads,
-            in_features=d_model,
-            qkv_features=d_model,
-            dropout_rate=0.0,
-            decode=False,
-            rngs=rngs,
-        )
-        self.ln1 = nnx.LayerNorm(d_model, rngs=rngs)
-        self.ln2 = nnx.LayerNorm(d_model, rngs=rngs)
-        self.ff1 = nnx.Linear(d_model, d_ff, rngs=rngs)
-        self.ff2 = nnx.Linear(d_ff, d_model, rngs=rngs)
         self.drop1 = Dropout(dropout, seed=seed + 21)
         self.drop2 = Dropout(dropout, seed=seed + 22)
 
+    def _proj(self, x, w, b):
+        from ..core.policy import cast_compute
+
+        B, L, _ = x.shape
+        y = jnp.matmul(
+            cast_compute(x), cast_compute(w.value), preferred_element_type=jnp.float32
+        ) + b.value
+        return y.reshape(B, L, self.n_heads, self.d_head)
+
+    def _attn_logits(self, h, attn_mask):
+        from ..core.policy import cast_compute
+
+        q = self._proj(h, self.wq, self.bq)
+        k = self._proj(h, self.wk, self.bk)
+        scale = 1.0 / jnp.sqrt(jnp.float32(self.d_head))
+        logits = (
+            jnp.einsum(
+                "blhd,bmhd->bhlm",
+                cast_compute(q),
+                cast_compute(k),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        if attn_mask is not None:
+            logits = jnp.where(attn_mask, logits, jnp.finfo(logits.dtype).min)
+        return logits
+
+    def _attention(self, h, attn_mask):
+        from ..core.policy import cast_compute
+
+        B, L, _ = h.shape
+        p = jax.nn.softmax(self._attn_logits(h, attn_mask), axis=-1)
+        v = self._proj(h, self.wv, self.bv)
+        ctx = jnp.einsum(
+            "bhlm,bmhd->blhd",
+            cast_compute(p),
+            cast_compute(v),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, L, -1)
+        return jnp.matmul(
+            cast_compute(ctx), cast_compute(self.wo.value),
+            preferred_element_type=jnp.float32,
+        ) + self.bo.value
+
     def __call__(self, x, attn_mask, *, training: bool = False, context=None):
+        from ..core.policy import cast_compute
+
         h = self.ln1(x)
-        h = self.attn(h, mask=attn_mask, deterministic=True)
+        h = self._attention(h, attn_mask)
         h = self.drop1(h, training=training, context=context)
         x = x + h
         h = self.ln2(x)
-        h = self.ff2(jax.nn.gelu(self.ff1(h)))
+        h1 = jax.nn.gelu(
+            jnp.matmul(
+                cast_compute(h), cast_compute(self.w1.value),
+                preferred_element_type=jnp.float32,
+            )
+            + self.b1.value
+        )
+        h = jnp.matmul(
+            cast_compute(h1), cast_compute(self.w2.value),
+            preferred_element_type=jnp.float32,
+        ) + self.b2.value
         h = self.drop2(h, training=training, context=context)
         return x + h
 
@@ -65,14 +140,7 @@ class TransformerLayer(Block):
         """Explicit (B, H, L, L) softmax attention weights for introspection
         (recomputed from the layer's own q/k projections — only runs when
         ``output_attentions`` is requested)."""
-        h = self.ln1(x)
-        q = self.attn.query(h)  # (B, L, H, Dh)
-        k = self.attn.key(h)
-        scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(q.dtype)
-        logits = jnp.einsum("blhd,bmhd->bhlm", q, k) * scale
-        if attn_mask is not None:
-            logits = jnp.where(attn_mask, logits, jnp.finfo(logits.dtype).min)
-        return jax.nn.softmax(logits, axis=-1)
+        return jax.nn.softmax(self._attn_logits(self.ln1(x), attn_mask), axis=-1)
 
 
 class TransformerBlock(Block):
@@ -124,7 +192,9 @@ class TransformerBlock(Block):
         if self.in_proj is None:
             if isinstance(x, jax.core.Tracer):
                 raise RuntimeError("TransformerBlock not built; run an eager build pass")
-            self.in_proj = nnx.Linear(x.shape[-1], self.d_model, rngs=nnx.Rngs(5))
+            from ..blocks.mlp import Dense
+
+            self.in_proj = Dense(self.d_model, seed=5)
         return self.in_proj(x)
 
     def __call__(self, inputs, *, training: bool = False, context=None, **kwargs):

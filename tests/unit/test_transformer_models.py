@@ -251,3 +251,51 @@ def test_next_item_prediction_task(seq_data):
     pre = SequencePredictNext(schema, target="item_id_seq")
     h = model.fit(seq_data, epochs=1, batch_size=16, pre=pre, verbose=0)
     assert np.isfinite(h.history["loss"][0])
+
+
+def test_transformer_mixed_bfloat16_trajectory_close(seq_data):
+    """With the mixed_bfloat16 policy, the transformer's matmuls run bf16 with
+    fp32 accumulation; the loss trajectory must track fp32 closely."""
+    from models_tpu.core.policy import set_dtype_policy
+
+    def run():
+        model = SessionBasedTransformerModel(
+            seq_data.schema,
+            transformer=GPT2Block(d_model=32, n_head=2, n_layer=2, dropout=0.0),
+            embedding_dim=16,
+        )
+        model.compile(learning_rate=0.01)
+        pre = SequencePredictNext(seq_data.schema, target="item_id_seq")
+        h = model.fit(seq_data, epochs=3, batch_size=32, pre=pre, shuffle=False, verbose=0)
+        return np.asarray(h.history["loss"])
+
+    set_dtype_policy("float32")
+    base = run()
+    set_dtype_policy("mixed_bfloat16")
+    try:
+        mixed = run()
+    finally:
+        set_dtype_policy("float32")
+    assert base[-1] < base[0]
+    assert mixed[-1] < mixed[0]
+    np.testing.assert_allclose(mixed, base, rtol=5e-2)
+
+
+def test_transformer_bf16_policy_actually_casts():
+    """Under mixed_bfloat16 the attention/FFN matmul operands are bf16 (the
+    policy must reach inside TransformerLayer, not just the towers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from models_tpu.core.policy import set_dtype_policy
+    from models_tpu.core.types import SequenceFeature
+
+    block = TransformerBlock(d_model=32, n_heads=2, n_layers=1, dropout=0.0)
+    x = SequenceFeature(jnp.ones((2, 4, 32)), jnp.ones((2, 4), bool))
+    set_dtype_policy("mixed_bfloat16")
+    try:
+        lowered = jax.jit(lambda v: block(SequenceFeature(v, jnp.ones((2, 4), bool))).values)
+        text = lowered.lower(x.values).as_text()
+    finally:
+        set_dtype_policy("float32")
+    assert "bf16" in text

@@ -240,25 +240,50 @@ class Loader:
                 out[name] = cols[name][lo:hi]
         return out
 
-    def _batches(self) -> Iterator[Tuple[Dict[str, Any], Any]]:
+    def _chunk_list(self):
+        """Parquet chunks as (file, row_group) pairs, or None when in-memory.
+
+        Chunking at row-group granularity means a SINGLE large parquet file
+        written with many row groups streams one group at a time — it never has
+        to fit in host RAM (the reference dataloader's chunked-buffer strategy,
+        merlin-dataloader; here the "long axis" is rows, not files)."""
         files = self.dataset._files
-        if files is not None and len(files) > 1:
-            # streaming path for multi-file datasets: one partition in memory at
-            # a time (file order + within-partition rows shuffled per epoch;
-            # the reference's chunked-buffer strategy). Leftover rows carry over
-            # between partitions so batches stay full.
+        if files is None:
+            return None
+        if getattr(self, "_chunks", None) is None:
             import pyarrow.parquet as pq
 
+            self._chunks = [
+                (f, g)
+                for f in files
+                for g in range(pq.ParquetFile(f).metadata.num_row_groups)
+            ]
+        return self._chunks
+
+    def _read_chunk(self, chunks, ci: int) -> Dict[str, np.ndarray]:
+        cols = self._file_cache.get(int(ci))
+        if cols is None:
+            import pyarrow.parquet as pq
+
+            f, g = chunks[ci]
+            cols = table_to_numpy(pq.ParquetFile(f).read_row_group(g))
+            self._cache_add(int(ci), cols)
+        return cols
+
+    def _batches(self) -> Iterator[Tuple[Dict[str, Any], Any]]:
+        chunks = self._chunk_list()
+        if chunks is not None and len(chunks) > 1:
+            # streaming path: one chunk (parquet row group) in memory at a time
+            # (chunk order + within-chunk rows shuffled per epoch; the
+            # reference's chunked-buffer strategy). Leftover rows carry over
+            # between chunks so batches stay full.
             rng = np.random.default_rng(self.epoch_seed())
-            order = rng.permutation(len(files)) if self.shuffle else np.arange(len(files))
+            order = rng.permutation(len(chunks)) if self.shuffle else np.arange(len(chunks))
             if self.global_size > 1:
                 order = order[self.global_rank :: self.global_size]
             carry: Optional[Dict[str, np.ndarray]] = None
-            for fi in order:
-                cols = self._file_cache.get(int(fi))
-                if cols is None:
-                    cols = table_to_numpy(pq.read_table(files[fi]))
-                    self._cache_add(int(fi), cols)
+            for ci in order:
+                cols = self._read_chunk(chunks, int(ci))
                 if self.shuffle:
                     cols = self._shuffle_cols(cols, rng)
                 if carry is not None:
@@ -288,18 +313,10 @@ class Loader:
         HBM once and gathers per-batch rows on device (the role of the
         reference dataloader's GPU-resident chunks). Raises ValueError for
         datasets this loader streams (multi-file beyond the RAM cache)."""
-        files = self.dataset._files
-        if files is not None and len(files) > 1:
-            # decode all partitions once (they land in the RAM cache if small)
-            import pyarrow.parquet as pq
-
-            parts = []
-            for fi in range(len(files)):
-                cols = self._file_cache.get(fi)
-                if cols is None:
-                    cols = table_to_numpy(pq.read_table(files[fi]))
-                    self._cache_add(fi, cols)
-                parts.append(cols)
+        chunks = self._chunk_list()
+        if chunks is not None and len(chunks) > 1:
+            # decode all chunks once (they land in the RAM cache if small)
+            parts = [self._read_chunk(chunks, ci) for ci in range(len(chunks))]
             cols = parts[0]
             for p in parts[1:]:
                 cols = self._concat_cols(cols, p)

@@ -176,3 +176,40 @@ def test_get_booking_session_schema():
     city = train.schema["city_id"]
     assert city.is_list and city.has_tag(Tags.ITEM_ID) and city.has_tag(Tags.SEQUENCE)
     assert "utrip_id" in train.schema
+
+
+def test_streaming_single_file_row_groups(tmp_path):
+    """A SINGLE parquet file written with many row groups streams one group at
+    a time (never materializing the whole file), with cross-chunk carry."""
+    ds = generate_data("music-streaming", num_rows=230)
+    path = ds.to_parquet(str(tmp_path / "one"), row_group_size=48, num_partitions=1)
+    streamed = Dataset.from_parquet(path)
+    assert streamed._files is not None and len(streamed._files) == 1
+
+    loader = Loader(streamed, batch_size=32, shuffle=False, drop_last=False)
+    assert len(loader._chunk_list()) == 5  # ceil(230/48)
+    batches = list(loader)
+    total_valid = sum(int(b[0][ROW_VALID_KEY].sum()) for b in batches)
+    assert total_valid == 230
+    ids = np.concatenate(
+        [np.asarray(b[0]["item_id"])[np.asarray(b[0][ROW_VALID_KEY])] for b in batches]
+    )
+    ref_ids = ds.to_numpy_dict()["item_id"]
+    np.testing.assert_array_equal(np.sort(ids), np.sort(ref_ids))
+    assert all(isinstance(b[0]["item_genres"], SequenceFeature) for b in batches)
+
+    # the whole-file column cache must stay empty (nothing materialized it)
+    assert loader._col_cache is None
+
+    # shuffled epochs differ but cover the same rows
+    sloader = Loader(streamed, batch_size=32, shuffle=True, seed=7, drop_last=False)
+
+    def epoch_ids(loader):
+        return np.concatenate(
+            [np.asarray(b[0]["item_id"])[np.asarray(b[0][ROW_VALID_KEY])] for b in loader]
+        )
+
+    e1 = epoch_ids(sloader)
+    e2 = epoch_ids(sloader)
+    assert not np.array_equal(e1, e2)
+    np.testing.assert_array_equal(np.sort(e1), np.sort(e2))

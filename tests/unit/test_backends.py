@@ -162,3 +162,65 @@ def test_torch_auc_matches_closed_form():
     pos, neg = 2, 2
     auc = (ranks[lab > 0.5].sum() - pos * (pos + 1) / 2) / (pos * neg)
     assert auc == 1.0
+
+
+def _blocky_interactions(n_users=60, n_items=80, per_user=12, seed=0):
+    """Planted structure: user u likes only items in its block (two blocks)."""
+    from models_tpu.data import Dataset
+    from models_tpu.schema import Schema, create_categorical_column
+
+    rng = np.random.default_rng(seed)
+    users, items = [], []
+    half_u, half_i = n_users // 2, n_items // 2
+    for u in range(n_users):
+        lo, hi = (0, half_i) if u < half_u else (half_i, n_items)
+        its = rng.choice(np.arange(lo, hi), size=per_user, replace=False)
+        users.extend([u] * per_user)
+        items.extend(its.tolist())
+    schema = Schema(
+        [
+            create_categorical_column("user_id", n_users, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", n_items, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    return Dataset(
+        {"user_id": np.asarray(users, np.int64), "item_id": np.asarray(items, np.int64)},
+        schema=schema,
+    )
+
+
+@pytest.mark.parametrize("algo", ["als", "bpr"])
+def test_implicit_numpy_fallback_learns(algo):
+    """Without the 'implicit' library installed, the adapter trains via the
+    built-in numpy engine and recovers planted block structure."""
+    from models_tpu.baselines import ImplicitModel
+
+    ds = _blocky_interactions()
+    with pytest.warns(UserWarning, match="pure-numpy"):
+        model = ImplicitModel(ds.schema, algo=algo, factors=16, iterations=10)
+    assert model.backend == "numpy"
+    model.fit(ds)
+    res = model.evaluate(ds, k=10)
+    # chance recall@10 over 80 items with 12 relevant ≈ 10/80 = 0.125 scaled;
+    # block structure should push far above that
+    assert res["recall_at_10"] > 0.3, res
+
+    ids, scores = model.predict_user(0, k=10)
+    assert len(ids) == 10 and np.all(np.diff(scores) <= 1e-9)
+    # user 0's block is items [0, 40): most recommendations land in-block
+    assert (ids < 40).mean() > 0.7
+
+
+@pytest.mark.parametrize("loss", ["warp", "bpr"])
+def test_lightfm_numpy_fallback_learns(loss):
+    from models_tpu.baselines import LightFMModel
+
+    ds = _blocky_interactions(seed=1)
+    with pytest.warns(UserWarning, match="pure-numpy"):
+        model = LightFMModel(ds.schema, loss=loss, factors=16)
+    assert model.backend == "numpy"
+    model.fit(ds, epochs=30)
+    res = model.evaluate(ds, k=10)
+    assert res["recall_at_10"] > 0.3, res
+    ids, _ = model.predict_user(59, k=10)
+    assert (ids >= 40).mean() > 0.7  # user 59's block is items [40, 80)

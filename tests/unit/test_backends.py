@@ -224,3 +224,81 @@ def test_lightfm_numpy_fallback_learns(loss):
     assert res["recall_at_10"] > 0.3, res
     ids, _ = model.predict_user(59, k=10)
     assert (ids >= 40).mean() > 0.7  # user 59's block is items [40, 80)
+
+
+def test_xgb_numpy_gbdt_logistic_learns_xor():
+    """The numpy histogram GBDT must learn a nonlinear (XOR) decision rule a
+    linear model cannot — evidence the tree splits are real."""
+    from models_tpu.xgb import _NumpyGBDT
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-1, 1, (2000, 4)).astype(np.float32)
+    y = ((X[:, 0] > 0) ^ (X[:, 1] > 0)).astype(np.float32)
+    m = _NumpyGBDT("binary:logistic", max_depth=3, learning_rate=0.3)
+    m.fit(X[:1600], y[:1600], num_boost_round=30)
+    p = m.predict(X[1600:])
+    acc = ((p > 0.5) == (y[1600:] > 0.5)).mean()
+    assert acc > 0.95, acc
+    assert m.eval_metrics(X[1600:], y[1600:])["logloss"] < 0.25
+
+
+def test_xgb_numpy_gbdt_regression_and_save_load(tmp_path):
+    from models_tpu.xgb import _NumpyGBDT
+
+    rng = np.random.default_rng(1)
+    X = rng.uniform(0, 1, (1500, 3)).astype(np.float32)
+    y = (np.sin(6 * X[:, 0]) + X[:, 1] ** 2).astype(np.float32)
+    m = _NumpyGBDT("reg:squarederror", max_depth=4)
+    m.fit(X, y, num_boost_round=40)
+    rmse = m.eval_metrics(X, y)["rmse"]
+    assert rmse < 0.15, rmse
+
+    path = str(tmp_path / "model.json")
+    m.save_model(path)
+    m2 = _NumpyGBDT.load_model(path)
+    np.testing.assert_allclose(m2.predict(X[:50]), m.predict(X[:50]), rtol=1e-6)
+
+
+def test_xgb_adapter_numpy_backend_end_to_end(tmp_path):
+    """Full Dataset-level fit/evaluate/predict/save through the adapter with the
+    numpy engine (xgboost absent in this environment)."""
+    from models_tpu.data import Dataset
+    from models_tpu.schema import Schema, create_categorical_column, create_continuous_column
+    from models_tpu.xgb import XGBoost
+
+    rng = np.random.default_rng(2)
+    n = 1200
+    age = rng.uniform(0, 1, n).astype(np.float32)
+    cat = rng.integers(0, 5, n)
+    click = ((age > 0.5) & (cat % 2 == 0)).astype(np.float32)
+    schema = Schema(
+        [
+            create_continuous_column("age"),
+            create_categorical_column("cat", 5),
+            create_continuous_column("click", tags=(Tags.TARGET,)),
+        ]
+    )
+    ds = Dataset({"age": age, "cat": cat, "click": click}, schema=schema)
+    with pytest.warns(UserWarning, match="numpy histogram"):
+        model = XGBoost(schema, objective="binary:logistic", max_depth=3)
+    model.fit(ds, num_boost_round=25)
+    res = model.evaluate(ds)
+    assert res["logloss"] < 0.2, res
+    preds = model.predict(ds)
+    assert ((preds > 0.5) == (click > 0.5)).mean() > 0.97
+    model.save(str(tmp_path / "xgb"))
+    assert (tmp_path / "xgb" / "model.json").exists()
+
+
+def test_xgb_numpy_rank_pairwise_orders_within_query():
+    from models_tpu.xgb import _NumpyGBDT
+
+    rng = np.random.default_rng(3)
+    n = 1600
+    qid = np.sort(rng.integers(0, 100, n))
+    X = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    rel = (X[:, 0] + 0.3 * X[:, 1] > 0.8).astype(np.float32)
+    m = _NumpyGBDT("rank:pairwise", max_depth=3, learning_rate=0.2)
+    m.fit(X, rel, qid=qid, num_boost_round=25)
+    res = m.eval_metrics(X, rel, qid=qid)
+    assert res["map"] > 0.9, res

@@ -74,6 +74,12 @@ class EmbeddingTable(Block):
         card = cols[0].cardinality
         if card is None:
             raise ValueError(f"Column {cols[0].name} has no cardinality; cannot embed")
+        for c in cols[1:]:
+            if c.cardinality != card:
+                raise ValueError(
+                    f"Features sharing an embedding table must share its domain: "
+                    f"{c.name} has cardinality {c.cardinality} != {cols[0].name}'s {card}"
+                )
         self.input_dim = int(card)
         # pad rows to a multiple of 8: keeps the table tileable on TPU and evenly
         # row-shardable across small mesh axes; phantom rows never surface (the

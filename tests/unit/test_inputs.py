@@ -224,3 +224,128 @@ def test_embeddings_factory_fuses_scalar_domains(ecommerce_data):
     assert len(fused) == 1
     # all scalar single-column domains live in the fused table
     assert len(fused[0].features) > 1
+
+
+def test_embedding_table_incompatible_features_raise():
+    cols = [
+        create_categorical_column("a", 10),
+        create_categorical_column("b", 20),
+    ]
+    with pytest.raises(ValueError, match="share its domain"):
+        EmbeddingTable(8, cols)
+
+
+def test_embedding_table_non_trainable_stays_fixed():
+    """trainable=False tables must not move during fit (reference
+    tests/unit/tf/inputs/test_embedding.py test_non_trainable)."""
+    import optax
+
+    from models_tpu.blocks.optimizer import MultiOptimizer
+    from models_tpu.core.block import iter_blocks
+    from models_tpu.models import MatrixFactorizationModel
+
+    ds = generate_data("movielens-100k", num_rows=128)
+    model = MatrixFactorizationModel(ds.schema, dim=8)
+    tables = [m for m in iter_blocks(model) if isinstance(m, EmbeddingTable)]
+    assert len(tables) >= 2
+    frozen, live = tables[0], tables[1]
+    before_frozen = frozen.to_array().copy()
+    before_live = live.to_array().copy()
+    model.compile(
+        optimizer=MultiOptimizer(
+            default=optax.adam(0.1), rules=[(frozen, optax.set_to_zero())]
+        )
+    )
+    model.fit(ds, epochs=1, batch_size=32, verbose=0)
+    np.testing.assert_array_equal(before_frozen, frozen.to_array())
+    assert not np.allclose(before_live, live.to_array())
+
+
+def test_embedding_from_pretrained_trainable_updates():
+    weights = np.random.default_rng(0).standard_normal((9, 8)).astype(np.float32)
+    t_frozen = EmbeddingTable.from_pretrained(weights, trainable=False)
+    t_train = EmbeddingTable.from_pretrained(weights, trainable=True)
+    np.testing.assert_array_equal(t_frozen.to_array(), weights)
+    np.testing.assert_array_equal(t_train.to_array(), weights)
+    import flax.nnx as nnx
+
+    # frozen table is a plain Variable (not Param): excluded from grads
+    assert not isinstance(t_frozen.table, nnx.Param)
+    assert isinstance(t_train.table, nnx.Param)
+
+
+def test_embedding_to_dataset_roundtrip():
+    weights = np.arange(12, dtype=np.float32).reshape(6, 2)
+    t = EmbeddingTable.from_pretrained(weights)
+    ds = t.to_dataset()
+    cols = ds.to_numpy_dict()
+    np.testing.assert_array_equal(cols["id"], np.arange(6))
+    got = cols["embedding__values"].reshape(6, 2) if "embedding__values" in cols else cols["embedding"]
+    np.testing.assert_allclose(np.asarray(got, np.float32), weights)
+
+
+def test_embedding_l2_regularization_loss():
+    col = create_categorical_column("x", 7)
+    t = EmbeddingTable(4, col, l2_reg=0.5)
+    expect = 0.5 * float(np.sum(np.square(np.asarray(t.table.value))))
+    assert abs(float(t.regularization_loss()) - expect) < 1e-5
+    t0 = EmbeddingTable(4, col, l2_reg=0.0)
+    assert float(t0.regularization_loss()) == 0.0
+
+
+def test_embedding_custom_initializer():
+    col = create_categorical_column("x", 7)
+    init = lambda key, shape, dtype: jnp.full(shape, 0.25, dtype)
+    t = EmbeddingTable(4, col, initializer=init)
+    np.testing.assert_allclose(t.to_array(), 0.25)
+
+
+def test_embedding_padded_rows_never_surface():
+    col = create_categorical_column("x", 9)  # cardinality 10 -> padded to 16
+    t = EmbeddingTable(4, col)
+    assert t.padded_rows == 16
+    assert t.embeddings.shape == (10, 4)
+    assert t.to_dataset().num_rows == 10
+
+
+@pytest.mark.parametrize("combiner,expect", [
+    ("mean", [2.0, 2.0]),   # rows 1,3 (values [1,1],[3,3]) masked-mean
+    ("sum", [4.0, 4.0]),
+    ("max", [3.0, 3.0]),
+    ("last", [3.0, 3.0]),
+])
+def test_sequence_combiners_respect_mask(combiner, expect):
+    col = create_categorical_column("s", 4, is_list=True, max_seq_length=3)
+    weights = np.stack([np.full(2, i, np.float32) for i in range(5)])
+    t = EmbeddingTable.from_pretrained(weights, col_schema=col, sequence_combiner=combiner)
+    sf = SequenceFeature(jnp.array([[1, 3, 2]]), jnp.array([[True, True, False]]))
+    out = np.asarray(t(sf))
+    np.testing.assert_allclose(out[0], expect, rtol=1e-6)
+
+
+def test_average_embeddings_by_weight_feature():
+    from models_tpu.inputs import AverageEmbeddingsByWeightFeature
+
+    from models_tpu.core.types import ModelContext
+
+    avg = AverageEmbeddingsByWeightFeature("w")
+    emb = SequenceFeature(
+        jnp.array([[[1.0, 0.0], [3.0, 0.0], [9.0, 9.0]]]),
+        jnp.array([[True, True, False]]),
+    )
+    w = SequenceFeature(jnp.array([[1.0, 3.0, 7.0]]), jnp.array([[True, True, False]]))
+    ctx = ModelContext()
+    ctx.features = {"w": w}
+    out = avg({"emb": emb}, context=ctx)
+    # (1*1 + 3*3) / (1+3) = 2.5; masked position excluded despite weight 7
+    np.testing.assert_allclose(np.asarray(out["emb"])[0, 0], 2.5, rtol=1e-6)
+
+
+def test_infer_embedding_dim_multiple_of_8():
+    from models_tpu.schema import infer_embedding_dim
+
+    col = create_categorical_column("x", 1000)
+    dim = infer_embedding_dim(col)
+    assert dim % 8 == 0 and dim >= 8
+    raw = infer_embedding_dim(col, ensure_multiple_of_8=False)
+    assert raw <= dim

@@ -106,3 +106,207 @@ def test_extract_topk_tie_shuffle_unbiased_across_batches():
     # target column to recall 0 or 1 and drifts the mean arbitrarily)
     assert 0.04 < mean_recall < 0.2, f"biased tie handling: {mean_recall}"
     assert len({float(h.mean()) for h in hits}) > 1
+
+
+# ---------------------------------------------------------------------------
+# Exact-value parity with the reference's top-k metric fixtures
+# (tests/unit/tf/metrics/test_metrics_topk.py:52-180)
+# ---------------------------------------------------------------------------
+
+def _ref_topk_fixture():
+    labels = jnp.asarray(
+        [[0, 1, 0, 1, 0], [1, 0, 0, 1, 0], [0, 0, 0, 0, 1]], jnp.float32
+    )
+    predictions = jnp.asarray(
+        [[10, 9, 8, 7, 6], [1, 4, 3, 2, 5], [10, 9, 8, 7, 6]], jnp.float32
+    )
+    counts = jnp.asarray([2, 2, 1], jnp.float32)
+    return labels, predictions, counts
+
+
+def _dcg_probe(pos):
+    import math
+
+    return 1.0 / math.log2(pos + 1)
+
+
+def test_topk_metric_functions_reference_values():
+    from models_tpu.metrics.topk import (
+        average_precision_at,
+        dcg_at,
+        extract_topk,
+        mrr_at,
+        ndcg_at,
+        precision_at,
+        recall_at,
+    )
+
+    labels, predictions, counts = _ref_topk_fixture()
+    _, rel, _ = extract_topk(5, predictions, labels, shuffle_ties=False)
+    # tie-shuffled extraction must agree (all scores are distinct here)
+    _, rel_shuf, _ = extract_topk(5, predictions, labels, shuffle_ties=True)
+    np.testing.assert_array_equal(np.asarray(rel), np.asarray(rel_shuf))
+
+    np.testing.assert_allclose(np.asarray(recall_at(4, rel, counts)), [1.0, 0.5, 0.0])
+    np.testing.assert_allclose(np.asarray(precision_at(4, rel, counts)), [0.5, 0.25, 0.0])
+    np.testing.assert_allclose(
+        np.asarray(average_precision_at(4, rel, counts)),
+        [(1 / 2 + 2 / 4) / 2, (1 / 4) / 2, 0.0],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dcg_at(4, rel, counts)),
+        [_dcg_probe(2) + _dcg_probe(4), _dcg_probe(4), 0.0],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ndcg_at(4, rel, counts)),
+        [
+            (_dcg_probe(2) + _dcg_probe(4)) / (_dcg_probe(1) + _dcg_probe(2)),
+            _dcg_probe(4) / (_dcg_probe(1) + _dcg_probe(2)),
+            0.0,
+        ],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(mrr_at(4, rel, counts)), [0.5, 0.25, 0.0])
+
+
+def test_topk_aggregator_reference_values():
+    """Aggregated means must match the reference's expected class results
+    (RecallAt 0.5, PrecisionAt 0.25, MAP 0.20833, MRR 0.25, NDCG 0.30499637)."""
+    from models_tpu.metrics.topk import (
+        AvgPrecisionAt,
+        MRRAt,
+        NDCGAt,
+        PrecisionAt,
+        RecallAt,
+        TopKMetricsAggregator,
+    )
+
+    labels, predictions, counts = _ref_topk_fixture()
+    agg = TopKMetricsAggregator(
+        RecallAt(4), PrecisionAt(4), AvgPrecisionAt(4), MRRAt(4), NDCGAt(4)
+    )
+    state = agg.init_state()
+    state = agg.update(state, predictions, labels, label_relevant_counts=counts)
+    res = {k: float(v) for k, v in agg.result(state).items()}
+    np.testing.assert_allclose(res["recall_at_4"], 0.5, rtol=1e-6)
+    np.testing.assert_allclose(res["precision_at_4"], 0.25, rtol=1e-6)
+    np.testing.assert_allclose(res["map_at_4"], 0.20833333, rtol=1e-5)
+    np.testing.assert_allclose(res["mrr_at_4"], 0.25, rtol=1e-6)
+    np.testing.assert_allclose(res["ndcg_at_4"], 0.30499637, rtol=1e-5)
+
+
+def test_topk_single_metric_pre_sorted_matches_unsorted():
+    from models_tpu.metrics.topk import NDCGAt, RecallAt, extract_topk
+
+    labels, predictions, counts = _ref_topk_fixture()
+    for cls in (RecallAt, NDCGAt):
+        m1 = cls(4)
+        s1 = m1.update(m1.init_state(), predictions, labels, label_relevant_counts=counts)
+        _, rel, _ = extract_topk(4, predictions, labels, shuffle_ties=False)
+        m2 = cls(4, pre_sorted=True)
+        s2 = m2.update(m2.init_state(), None, rel, label_relevant_counts=counts)
+        np.testing.assert_allclose(float(m1.result(s1)), float(m2.result(s2)), rtol=1e-6)
+
+
+def test_ndcg_with_ties_deterministic_per_input():
+    """Same inputs + same seed → identical results across repeated calls (the
+    tie shuffle is salted by the inputs, not a stateful counter); the reference
+    asserts the same with its seeded shuffle (test_ndcg_with_ties_seed)."""
+    from models_tpu.metrics.topk import NDCGAt
+
+    y_true = jnp.asarray([[1, 1, 1, 2]], jnp.float32)
+    y_pred = jnp.asarray([[1, 2, 1, 2]], jnp.float32)
+    results = set()
+    for _ in range(5):
+        m = NDCGAt(4)
+        s = m.update(m.init_state(), y_pred, y_true)
+        results.add(float(m.result(s)))
+    assert len(results) == 1
+
+
+def test_topk_metric_accumulates_across_batches():
+    from models_tpu.metrics.topk import RecallAt
+
+    labels, predictions, counts = _ref_topk_fixture()
+    m = RecallAt(4)
+    s = m.init_state()
+    s = m.update(s, predictions, labels, label_relevant_counts=counts)
+    s = m.update(s, predictions, labels, label_relevant_counts=counts)
+    # mean over 6 rows == mean over 3 (same data twice)
+    np.testing.assert_allclose(float(m.result(s)), 0.5, rtol=1e-6)
+
+
+def test_topk_metric_sample_weights():
+    from models_tpu.metrics.topk import RecallAt
+
+    labels, predictions, counts = _ref_topk_fixture()
+    m = RecallAt(4)
+    w = jnp.asarray([1.0, 0.0, 0.0])  # only the first row counts
+    s = m.update(m.init_state(), predictions, labels, sample_weight=w,
+                 label_relevant_counts=counts)
+    np.testing.assert_allclose(float(m.result(s)), 1.0, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-loss behavioral scenarios (reference tests/unit/tf/losses/test_losses.py)
+# ---------------------------------------------------------------------------
+
+PAIRWISE = ["bpr", "bpr-max", "top1", "top1_v2", "top1_max", "logistic", "hinge"]
+
+
+@pytest.mark.parametrize("name", PAIRWISE)
+def test_pairwise_loss_sample_weights_scale(name):
+    """Zero-weighting a row removes it; uniform 2x weights leave the mean
+    unchanged (weighted-mean semantics, reference PairwiseLoss sample_weight)."""
+    from models_tpu.losses import get_loss
+
+    fn = get_loss(name)
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((4, 6)), jnp.float32)
+    labels = jnp.zeros((4, 6)).at[:, 0].set(1.0)
+
+    full = float(fn(labels, logits))
+    np.testing.assert_allclose(float(fn(labels, logits, jnp.full(4, 2.0))), full, rtol=1e-5)
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    first_two = float(fn(labels[:2], logits[:2]))
+    np.testing.assert_allclose(float(fn(labels, logits, w)), first_two, rtol=1e-5)
+
+
+@pytest.mark.parametrize("name", PAIRWISE)
+def test_pairwise_loss_decreases_with_better_separation(name):
+    from models_tpu.losses import get_loss
+
+    fn = get_loss(name)
+    labels = jnp.zeros((2, 5)).at[:, 0].set(1.0)
+    bad = jnp.asarray([[0.0, 1.0, 1.0, 1.0, 1.0]] * 2, jnp.float32)
+    good = jnp.asarray([[3.0, -1.0, -1.0, -1.0, -1.0]] * 2, jnp.float32)
+    assert float(fn(labels, good)) < float(fn(labels, bad))
+
+
+def test_bpr_loss_manual_value():
+    from models_tpu.losses import get_loss
+
+    logits = jnp.asarray([[2.0, 1.0, 0.0]], jnp.float32)  # pos=2, negs=[1, 0]
+    labels = jnp.asarray([[1.0, 0.0, 0.0]])
+    # -log sigmoid(2-1), -log sigmoid(2-0) averaged
+    expect = float(np.mean([-np.log(1 / (1 + np.exp(-1.0))), -np.log(1 / (1 + np.exp(-2.0)))]))
+    np.testing.assert_allclose(float(get_loss("bpr")(labels, logits)), expect, rtol=1e-6)
+
+
+def test_hinge_loss_margin_zero_when_separated():
+    from models_tpu.losses import get_loss
+
+    logits = jnp.asarray([[5.0, 1.0, 0.0]], jnp.float32)
+    labels = jnp.asarray([[1.0, 0.0, 0.0]])
+    assert float(get_loss("hinge")(labels, logits)) == 0.0
+
+
+def test_loss_registry_parses_aliases():
+    from models_tpu.losses import get_loss
+
+    assert get_loss("bpr_max") is get_loss("bpr-max")
+    assert get_loss("bce") is get_loss("binary_crossentropy")
+    with pytest.raises(Exception):
+        get_loss("not_a_loss")

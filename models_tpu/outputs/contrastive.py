@@ -79,6 +79,15 @@ class ContrastiveOutput(ModelOutput):
         self.samplers = [CandidateSampler.parse(s) for s in (negative_samplers or [])]
         if not self.samplers:
             raise ValueError("ContrastiveOutput needs at least one negative sampler")
+        # catalog-aware samplers (e.g. "popularity") inherit the item domain from
+        # the head's column schema when not explicitly configured (the reference
+        # wires num_classes from the schema the same way)
+        if col_schema is not None and col_schema.cardinality:
+            from .sampling import PopularityBasedSampler
+
+            for s in self.samplers:
+                if isinstance(s, PopularityBasedSampler) and s.max_id is None:
+                    s.max_id = int(col_schema.cardinality) - 1
 
         self.downscore_false_negatives = downscore_false_negatives
         self.logq_sampling_correction = logq_sampling_correction

@@ -262,3 +262,117 @@ def test_v1_matrix_factorization_block(ml100k):
     model.compile()
     h = model.fit(ml100k, epochs=1, batch_size=32, verbose=0)
     assert np.isfinite(h.history["loss"][0])
+
+
+# ---------------------------------------------------------------------------
+# Head-level ContrastiveOutput scenarios (reference tests/unit/tf/outputs/test_contrastive.py)
+# ---------------------------------------------------------------------------
+
+def _contrastive_head(**kw):
+    from models_tpu.inputs import EmbeddingTable
+    from models_tpu.outputs import ContrastiveOutput
+    from models_tpu.schema import Tags, create_categorical_column
+
+    col = create_categorical_column("item_id", 19, tags=(Tags.ITEM, Tags.ITEM_ID))
+    table = EmbeddingTable(8, col, seed=3)
+    return table, ContrastiveOutput(table, **kw)
+
+
+def test_contrastive_downscores_false_negatives_in_logits():
+    import jax.numpy as jnp
+
+    from models_tpu.outputs.contrastive import MIN_FLOAT
+    from models_tpu.outputs.sampling import Candidate
+
+    table, head = _contrastive_head()
+    q = jnp.ones((2, 8))
+    pos = Candidate(id=jnp.array([3, 5]), embedding=table.embeddings[jnp.array([3, 5])])
+    neg = Candidate(id=jnp.array([5, 7, 3]), embedding=table.embeddings[jnp.array([5, 7, 3])])
+    logits = np.asarray(head.contrastive_logits(q, pos, neg))
+    assert logits.shape == (2, 4)
+    # row 0 (positive id 3): negative columns with id 3 are downscored
+    assert logits[0, 3] <= MIN_FLOAT / 2
+    assert logits[0, 1] > MIN_FLOAT / 2  # id 5 is a true negative for row 0
+    # row 1 (positive id 5): negative id 5 (column 1) downscored
+    assert logits[1, 1] <= MIN_FLOAT / 2
+
+
+def test_contrastive_no_downscore_option():
+    import jax.numpy as jnp
+
+    from models_tpu.outputs.contrastive import MIN_FLOAT
+    from models_tpu.outputs.sampling import Candidate
+
+    table, head = _contrastive_head(downscore_false_negatives=False)
+    q = jnp.ones((1, 8))
+    pos = Candidate(id=jnp.array([3]), embedding=table.embeddings[jnp.array([3])])
+    neg = Candidate(id=jnp.array([3]), embedding=table.embeddings[jnp.array([3])])
+    logits = np.asarray(head.contrastive_logits(q, pos, neg))
+    assert logits[0, 1] > MIN_FLOAT / 2  # identical id NOT downscored
+
+
+def test_contrastive_inference_scores_full_catalog():
+    """Not training + no targets → plain scoring over the tied catalog
+    (reference test_contrastive_only_positive_when_not_training)."""
+    import jax.numpy as jnp
+
+    table, head = _contrastive_head()
+    q = jnp.ones((4, 8))
+    pred = head(q, training=False)
+    assert pred.outputs.shape == (4, 20)  # full catalog width (card 19 + OOV)
+    # matches manual matmul against the table
+    np.testing.assert_allclose(
+        np.asarray(pred.outputs), np.asarray(q @ table.embeddings.T), rtol=1e-5
+    )
+
+
+def test_contrastive_logits_temperature():
+    import jax.numpy as jnp
+
+    table, head_t1 = _contrastive_head(logits_temperature=1.0)
+    _, head_t05 = _contrastive_head(logits_temperature=0.5)
+    q = jnp.ones((2, 8))
+    o1 = np.asarray(head_t1(q, training=False).outputs)
+    o05 = np.asarray(head_t05(q, training=False).outputs)
+    np.testing.assert_allclose(o05, o1 / 0.5, rtol=1e-5)
+
+
+def test_contrastive_popularity_sampler_string():
+    """negative_samplers='popularity' parses, yields sampling probs, and the
+    logQ correction visibly shifts the negative logits."""
+    import jax.numpy as jnp
+
+    from models_tpu.core.types import ModelContext
+
+    table, head = _contrastive_head(
+        negative_samplers="popularity", logq_sampling_correction=True
+    )
+    _, head_nologq = _contrastive_head(
+        negative_samplers="popularity", logq_sampling_correction=False
+    )
+    ctx = ModelContext()
+    ctx.features = {"item_id": jnp.array([1, 2, 3, 4])}
+    ctx["step"] = 0
+    q = jnp.ones((4, 8)) * 0.1
+    p1 = head(q, training=True, context=ctx)
+    ctx2 = ModelContext()
+    ctx2.features = {"item_id": jnp.array([1, 2, 3, 4])}
+    ctx2["step"] = 0
+    p2 = head_nologq(q, training=True, context=ctx2)
+    assert p1.outputs.shape == p2.outputs.shape
+    # positive column identical; negative columns shifted by -log(prob) > 0
+    np.testing.assert_allclose(
+        np.asarray(p1.outputs[:, 0]), np.asarray(p2.outputs[:, 0]), rtol=1e-5
+    )
+    assert (np.asarray(p1.outputs[:, 1:]) >= np.asarray(p2.outputs[:, 1:]) - 1e-5).all()
+    assert not np.allclose(np.asarray(p1.outputs[:, 1:]), np.asarray(p2.outputs[:, 1:]))
+
+
+def test_two_tower_trains_with_pairwise_bpr_loss(ecommerce_data):
+    from models_tpu.models import TwoTowerModel
+
+    model = TwoTowerModel(ecommerce_data.schema, query_tower=(16, 8), embedding_dim=8)
+    model.compile(loss="bpr", learning_rate=0.02)
+    h = model.fit(ecommerce_data, epochs=2, batch_size=32, shuffle=False, verbose=0)
+    assert np.isfinite(h.history["loss"]).all()
+    assert h.history["loss"][-1] < h.history["loss"][0]

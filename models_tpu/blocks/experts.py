@@ -40,7 +40,19 @@ class _StackedExperts(Block):
 
     def __init__(self, expert_block: Block, num_experts: int, name_prefix: str = "expert"):
         super().__init__()
-        experts = [expert_block if i == 0 else copy.deepcopy(expert_block) for i in range(num_experts)]
+        from ..core.block import iter_blocks
+
+        experts = []
+        for i in range(num_experts):
+            e = expert_block if i == 0 else copy.deepcopy(expert_block)
+            if i:
+                # break init symmetry: deepcopy duplicates seeds, which would
+                # make every (lazily-built) expert initialize identically —
+                # the reference's Keras clone re-initializes instead
+                for b in iter_blocks(e):
+                    if isinstance(getattr(b, "seed", None), int):
+                        b.seed = b.seed + 1009 * i
+            experts.append(e)
         self.experts = nnx.List(experts)
 
     def __call__(self, inputs, *, training=False, context=None, **kwargs):

@@ -58,8 +58,11 @@ class ModelOutput(Block):
         super().__init__(block_name=name)
         self.to_call = as_block(to_call) if to_call is not None else None
         self.target = target
-        self.pre = as_block(pre) if pre is not None else None
-        self.post = as_block(post) if post is not None else None
+        # nnx.data: these slots may be assigned a module later (OutputBlock
+        # attaches task towers as `head.pre`) — a bare None would freeze them
+        # as static attributes
+        self.pre = as_block(pre) if pre is not None else nnx.data(None)
+        self.post = as_block(post) if post is not None else nnx.data(None)
         self.logits_scaler = (
             LogitsTemperatureScaler(logits_temperature) if logits_temperature != 1.0 else None
         )
@@ -319,17 +322,20 @@ def OutputBlock(
 
     heads: Dict[str, ModelOutput] = {}
     for col in targets:
+        # task towers are passed through the constructor (not assigned after)
+        # so the declarative config capture records them for save/load replay
+        tower = (task_blocks or {}).get(col.name)
+        kw = dict(logits_temperature=logits_temperature)
+        if tower is not None:
+            kw["pre"] = as_block(tower)
         if col.has_tag(Tags.REGRESSION) or (
             col.dtype.startswith("float") and not col.has_tag(Tags.BINARY_CLASSIFICATION)
         ):
-            head = RegressionOutput(col.name, logits_temperature=logits_temperature)
+            head = RegressionOutput(col.name, **kw)
         elif col.has_tag(Tags.MULTI_CLASS_CLASSIFICATION) and col.int_domain:
-            head = CategoricalOutput(col, logits_temperature=logits_temperature)
+            head = CategoricalOutput(col, **kw)
         else:
-            head = BinaryOutput(col.name, logits_temperature=logits_temperature)
-        tower = (task_blocks or {}).get(col.name)
-        if tower is not None:
-            head.pre = as_block(tower)
+            head = BinaryOutput(col.name, **kw)
         heads[head.block_name] = head
 
     if len(heads) == 1:

@@ -158,3 +158,127 @@ def test_wide_and_deep_with_crosses(ecommerce_data):
         enable_wide_crosses=True,
     )
     model_test(model, ecommerce_data)
+
+
+# ---------------------------------------------------------------------------
+# Multi-task scenarios (reference tests/unit/tf/outputs/test_block.py and
+# prediction_tasks/test_multi_task.py)
+# ---------------------------------------------------------------------------
+
+def test_multitask_task_towers(ecommerce):
+    """Per-task towers (task_blocks) are attached as head pre and train."""
+    model = MMOEModel(
+        ecommerce.schema,
+        expert_block=(16,),
+        num_experts=2,
+        embedding_dim=8,
+        task_blocks={"click": MLPBlock([12]), "conversion": MLPBlock([6])},
+    )
+    model.compile()
+    hist = model.fit(ecommerce, epochs=1, batch_size=16, verbose=0)
+    assert np.isfinite(hist.history["loss"][0])
+    # the towers exist and have distinct widths
+    from models_tpu.blocks.mlp import Dense
+    from models_tpu.core.block import iter_blocks
+
+    widths = sorted(
+        b.units for b in iter_blocks(model) if isinstance(b, Dense) and b.units in (12, 6)
+    )
+    assert widths == [6, 12]
+
+
+def test_multitask_loss_weights_scale_total_loss(ecommerce):
+    """Doubling one task's loss weight must raise the combined loss (same seed)."""
+    def loss_with(weights):
+        model = MMOEModel(ecommerce.schema, expert_block=(16,), num_experts=2,
+                          embedding_dim=8, seed=7)
+        model.compile(loss_weights=weights)
+        res = model.evaluate(ecommerce, batch_size=64)
+        return res["loss"]
+
+    base = loss_with({"click/BinaryOutput": 1.0, "conversion/BinaryOutput": 1.0})
+    heavy = loss_with({"click/BinaryOutput": 3.0, "conversion/BinaryOutput": 1.0})
+    assert heavy > base
+
+
+def test_column_based_sample_weight_unit():
+    from models_tpu.core.types import ModelContext, Prediction
+    from models_tpu.outputs import ColumnBasedSampleWeight
+
+    ctx = ModelContext()
+    ctx.features = {"w": jnp.array([0.0, 2.0, 1.0])}
+    cw = ColumnBasedSampleWeight("w")
+    pred = Prediction(outputs=jnp.zeros((3, 1)), targets=jnp.zeros((3, 1)))
+    out = cw(pred, context=ctx)
+    np.testing.assert_allclose(np.asarray(out.sample_weight), [0.0, 2.0, 1.0])
+    # binary class weights mode
+    cw2 = ColumnBasedSampleWeight("w", binary_class_weights=(0.5, 4.0))
+    out2 = cw2(pred, context=ctx)
+    np.testing.assert_allclose(np.asarray(out2.sample_weight), [0.5, 4.0, 4.0])
+    # composes multiplicatively with an existing weight
+    pred3 = Prediction(outputs=jnp.zeros((3, 1)), targets=jnp.zeros((3, 1)),
+                       sample_weight=jnp.array([1.0, 1.0, 0.0]))
+    out3 = cw(pred3, context=ctx)
+    np.testing.assert_allclose(np.asarray(out3.sample_weight), [0.0, 2.0, 0.0])
+    # missing column raises
+    with pytest.raises(ValueError, match="not found"):
+        cw(pred, context=ModelContext())
+
+
+def test_column_based_sample_weight_in_model(ecommerce):
+    """Weighting the click task by the conversion column: rows with
+    conversion=0 contribute nothing to the click loss."""
+    from models_tpu.core.combinators import SequentialBlock
+    from models_tpu.inputs import InputBlockV2
+    from models_tpu.models import Model
+    from models_tpu.outputs import BinaryOutput, ColumnBasedSampleWeight
+
+    schema = ecommerce.schema
+    head = BinaryOutput(schema["click"], post=ColumnBasedSampleWeight("user_age"))
+    body = SequentialBlock([InputBlockV2(schema, dim=8), MLPBlock([16])])
+    model = Model(body, head, schema=schema)
+    model.compile()
+    hist = model.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    assert np.isfinite(hist.history["loss"][0])
+
+
+def test_cgc_block_shapes():
+    from models_tpu.blocks.experts import CGCBlock
+
+    block = CGCBlock(["t1", "t2"], (8,), num_task_experts=1, num_shared_experts=2)
+    out = block(jnp.ones((4, 12)))
+    assert set(out.keys()) >= {"t1", "t2"}
+    assert out["t1"].shape == (4, 8)
+    # task outputs differ (separate experts/gates)
+    assert not np.allclose(np.asarray(out["t1"]), np.asarray(out["t2"]))
+
+
+def test_mmoe_gates_are_softmax():
+    from models_tpu.blocks.experts import MMOEBlock
+
+    block = MMOEBlock(["a", "b"], (8,), num_experts=3)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 12)), jnp.float32)
+    out = block(x)
+    assert out["a"].shape == (4, 8) and out["b"].shape == (4, 8)
+    assert not np.allclose(np.asarray(out["a"]), np.asarray(out["b"]))
+
+
+def test_multitask_task_towers_save_load(ecommerce, tmp_path):
+    """Task towers must survive declarative save/load (pre= captured in config)."""
+    from models_tpu.utils.io import load_model
+
+    model = MMOEModel(
+        ecommerce.schema, expert_block=(16,), num_experts=2, embedding_dim=8,
+        task_blocks={"click": MLPBlock([12]), "conversion": MLPBlock([6])},
+    )
+    model.compile()
+    model.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    path = str(tmp_path / "mmoe_towers")
+    model.save(path)
+    import os
+
+    assert os.path.exists(os.path.join(path, "config.json"))  # no pickle fallback
+    m2 = load_model(path)
+    p1 = model.predict(ecommerce, batch_size=64)["click/BinaryOutput"]
+    p2 = m2.predict(ecommerce, batch_size=64)["click/BinaryOutput"]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5)

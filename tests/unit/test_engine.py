@@ -1,0 +1,150 @@
+"""Engine-level scenarios (reference tests/unit/tf/models/test_base.py):
+train_metrics_steps, freezing, from_block, validation, pre= hooks, recompile,
+regularization loss, batch_predict, temperature."""
+
+import numpy as np
+import pytest
+
+from models_tpu.blocks import MLPBlock
+from models_tpu.data import generate_data
+from models_tpu.models import DLRMModel, Model
+from models_tpu.outputs import BinaryOutput
+
+
+@pytest.fixture(scope="module")
+def ecommerce():
+    return generate_data("e-commerce", num_rows=256)
+
+
+def _simple_model(schema, seed=0):
+    from models_tpu.core.combinators import SequentialBlock
+    from models_tpu.inputs import InputBlockV2
+
+    body = SequentialBlock([InputBlockV2(schema, dim=8, seed=seed), MLPBlock([16], seed=seed)])
+    return Model(body, BinaryOutput("click"), schema=schema)
+
+
+def test_train_metrics_steps_same_loss_trajectory(ecommerce):
+    """Metrics every N steps must not change the training trajectory."""
+    def run(n):
+        m = _simple_model(ecommerce.schema, seed=3)
+        m.compile(train_metrics_steps=n)
+        h = m.fit(ecommerce, epochs=2, batch_size=32, shuffle=False, verbose=0)
+        return np.asarray(h.history["loss"]), h.history
+
+    l1, h1 = run(1)
+    l4, h4 = run(4)
+    np.testing.assert_allclose(l1, l4, rtol=1e-5)
+    assert any(k.endswith("binary_accuracy") for k in h1)
+
+
+def test_fit_compile_twice(ecommerce):
+    m = _simple_model(ecommerce.schema)
+    m.compile(optimizer="adam", learning_rate=0.01)
+    h1 = m.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    m.compile(optimizer="adagrad", learning_rate=0.1)
+    h2 = m.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    assert np.isfinite(h1.history["loss"] + h2.history["loss"]).all()
+
+
+def test_freeze_blocks_by_object_and_unfreeze(ecommerce):
+    from models_tpu.core.block import iter_blocks
+    from models_tpu.inputs import EmbeddingTable
+
+    m = _simple_model(ecommerce.schema)
+    m.compile()
+    tables = [b for b in iter_blocks(m) if isinstance(b, EmbeddingTable)]
+    m.freeze_blocks(tables[0])
+    assert tables[0] in m.frozen_blocks()
+    before = tables[0].to_array().copy()
+    m.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    np.testing.assert_array_equal(before, tables[0].to_array())
+
+    m.unfreeze_all_frozen_blocks()
+    assert m.frozen_blocks() == []
+    m.compile()  # recompile rebuilds the optimizer masks
+    m.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    assert not np.array_equal(before, tables[0].to_array())
+
+
+def test_model_from_block(ecommerce):
+    from models_tpu.core.combinators import SequentialBlock
+    from models_tpu.inputs import InputBlockV2
+
+    block = SequentialBlock(
+        [InputBlockV2(ecommerce.schema, dim=8), MLPBlock([8]), BinaryOutput("click")]
+    )
+    m = Model.from_block(block, schema=ecommerce.schema)
+    m.compile()
+    h = m.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    assert np.isfinite(h.history["loss"][0])
+
+
+def test_fit_with_validation_data(ecommerce):
+    m = _simple_model(ecommerce.schema)
+    m.compile()
+    h = m.fit(ecommerce, epochs=2, batch_size=32, verbose=0, validation_data=ecommerce)
+    assert "val_loss" in h.history and len(h.history["val_loss"]) == 2
+    assert any(k.startswith("val_") and k.endswith("auc") for k in h.history)
+
+
+def test_steps_per_epoch_limits_batches(ecommerce):
+    m = _simple_model(ecommerce.schema)
+    m.compile()
+    h = m.fit(ecommerce, epochs=1, batch_size=32, steps_per_epoch=2, verbose=0)
+    assert np.isfinite(h.history["loss"][0])
+
+
+def test_embedding_l2_reg_increases_training_loss():
+    from models_tpu.models import MatrixFactorizationModel
+
+    ds = generate_data("movielens-100k", num_rows=128)
+
+    def first_loss(l2):
+        m = MatrixFactorizationModel(ds.schema, dim=8, l2_reg=l2, seed=11)
+        m.compile()
+        h = m.fit(ds, epochs=1, batch_size=32, shuffle=False, verbose=0)
+        return h.history["loss"][0]
+
+    assert first_loss(0.1) > first_loss(0.0)
+
+
+def test_batch_predict_appends_columns(ecommerce):
+    m = _simple_model(ecommerce.schema)
+    m.compile()
+    m.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    out = m.batch_predict(ecommerce, batch_size=64)
+    names = out.column_names
+    assert any(n.startswith("prediction") for n in names)
+    assert out.num_rows == ecommerce.num_rows
+
+
+def test_predict_returns_probabilities(ecommerce):
+    m = _simple_model(ecommerce.schema)
+    m.compile()
+    m.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    p = np.asarray(m.predict(ecommerce, batch_size=64))
+    assert p.shape[0] == 256
+    assert (p >= 0).all() and (p <= 1).all()
+
+
+def test_evaluate_pre_hook_applies():
+    """evaluate(pre=) must transform eval batches — the sequence eval protocols
+    (SequencePredictLast) rely on it. Changing the pre changes the metric."""
+    from models_tpu.models.session import SessionBasedTransformerModel
+    from models_tpu.transformer.block import GPT2Block
+    from models_tpu.transforms.sequence import SequencePredictLast, SequencePredictNext
+
+    ds = generate_data("sequence-testing", num_rows=96)
+    m = SessionBasedTransformerModel(
+        ds.schema, transformer=GPT2Block(d_model=16, n_head=2, n_layer=1), embedding_dim=8
+    )
+    m.compile()
+    m.fit(ds, epochs=1, batch_size=16,
+          pre=SequencePredictNext(ds.schema, target="item_id_seq"), verbose=0)
+    r_last = m.evaluate(ds, batch_size=16,
+                        pre=SequencePredictLast(ds.schema, target="item_id_seq"))
+    r_next = m.evaluate(ds, batch_size=16,
+                        pre=SequencePredictNext(ds.schema, target="item_id_seq"))
+    assert "recall_at_10" in r_last and "recall_at_10" in r_next
+    assert r_last["loss"] != r_next["loss"]

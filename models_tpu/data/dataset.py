@@ -177,7 +177,22 @@ class Dataset:
 
 def _dict_to_table(data: Dict[str, np.ndarray]) -> pa.Table:
     arrays, names = [], []
+    # ragged list columns may arrive in the loader's own (values, offsets)
+    # encoding: "<name>__values" + "<name>__offsets" → one arrow list column
+    pair_bases = {
+        n[: -len("__values")]
+        for n in data
+        if n.endswith("__values") and n[: -len("__values")] + "__offsets" in data
+    }
+    for base in sorted(pair_bases):
+        names.append(base)
+        offsets = np.asarray(data[base + "__offsets"], np.int32)
+        values = pa.array(np.asarray(data[base + "__values"]))
+        arrays.append(pa.ListArray.from_arrays(pa.array(offsets), values))
     for name, col in data.items():
+        if name.endswith("__values") or name.endswith("__offsets"):
+            if name.rsplit("__", 1)[0] in pair_bases:
+                continue
         names.append(name)
         if isinstance(col, np.ndarray) and col.ndim == 2:
             # fixed-length lists stored as 2-D arrays

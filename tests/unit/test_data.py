@@ -213,3 +213,49 @@ def test_streaming_single_file_row_groups(tmp_path):
     e2 = epoch_ids(sloader)
     assert not np.array_equal(e1, e2)
     np.testing.assert_array_equal(np.sort(e1), np.sort(e2))
+
+
+def test_loader_transform_hook():
+    """Loader(transform=) rewrites every batch (the reference's map)."""
+    ds = generate_data("e-commerce", num_rows=96)
+
+    def double_age(feats, targets):
+        feats = dict(feats)
+        feats["user_age"] = feats["user_age"] * 2.0
+        return feats, targets
+
+    plain = Loader(ds, batch_size=32, shuffle=False)
+    mapped = Loader(ds, batch_size=32, shuffle=False, transform=double_age)
+    (f1, _), (f2, _) = next(iter(plain)), next(iter(mapped))
+    np.testing.assert_allclose(np.asarray(f2["user_age"]), 2.0 * np.asarray(f1["user_age"]))
+
+
+def test_loader_multi_target_dict():
+    ds = generate_data("e-commerce", num_rows=64)  # click + conversion targets
+    loader = Loader(ds, batch_size=32, shuffle=False)
+    _, targets = next(iter(loader))
+    assert isinstance(targets, dict)
+    assert set(targets) == {"click", "conversion"}
+
+
+def test_loader_len_and_epochs():
+    ds = generate_data("testing", num_rows=100)
+    assert len(Loader(ds, batch_size=32, shuffle=False, drop_last=True)) == 3
+    assert len(Loader(ds, batch_size=32, shuffle=False, drop_last=False)) == 4
+    assert len(Loader(ds, batch_size=32, shuffle=False, drop_last=False,
+                      global_size=2, global_rank=0)) == 2
+
+
+def test_loader_fixed_length_lists_pad_to_schema():
+    """valueCount min==N fixed-length lists must pad to N (NVTabular contract)."""
+    from models_tpu.schema import ColumnSchema, Schema, Tags
+
+    col = ColumnSchema("emb", tags=(Tags.CONTINUOUS,), is_list=True, value_count=(4, 4),
+                       dtype="float32")
+    schema = Schema([col])
+    values = np.arange(8, dtype=np.float32)
+    offsets = np.array([0, 4, 8], dtype=np.int64)
+    ds = Dataset({"emb__values": values, "emb__offsets": offsets}, schema=schema)
+    loader = Loader(ds, batch_size=2, shuffle=False)
+    feats, _ = next(iter(loader))
+    assert feats["emb"].values.shape == (2, 4)

@@ -299,3 +299,83 @@ def test_transformer_bf16_policy_actually_casts():
     finally:
         set_dtype_policy("float32")
     assert "bf16" in text
+
+
+def test_session_model_predict_random(seq_data):
+    from models_tpu.transforms.sequence import SequencePredictRandom
+
+    model = SessionBasedTransformerModel(
+        seq_data.schema,
+        transformer=GPT2Block(d_model=32, n_head=2, n_layer=1),
+        embedding_dim=16,
+    )
+    model.compile(learning_rate=0.005)
+    pre = SequencePredictRandom(seq_data.schema, target="item_id_seq")
+    hist = model.fit(seq_data, epochs=1, batch_size=16, pre=pre, verbose=0)
+    assert np.isfinite(hist.history["loss"][0])
+
+
+def test_albert_shares_layer_parameters():
+    """AlbertBlock: n_layer passes but only ONE layer's parameters exist."""
+    from models_tpu.transformer.block import TransformerLayer
+    from models_tpu.core.block import iter_blocks
+
+    block = AlbertBlock(d_model=16, n_head=2, n_layer=4)
+    layers = [b for b in iter_blocks(block) if isinstance(b, TransformerLayer)]
+    assert len(layers) == 1
+    assert block.n_layers == 4
+    bert = BertBlock(d_model=16, n_head=2, n_layer=4)
+    bert_layers = [b for b in iter_blocks(bert) if isinstance(b, TransformerLayer)]
+    assert len(bert_layers) == 4
+
+
+def test_xlnet_session_model_fits(seq_data):
+    model = SessionBasedTransformerModel(
+        seq_data.schema,
+        transformer=XLNetBlock(d_model=32, n_head=2, n_layer=1),
+        embedding_dim=16,
+        masked_lm=True,
+    )
+    model.compile()
+    pre = SequenceMaskRandom(seq_data.schema, target="item_id_seq", masking_prob=0.4)
+    hist = model.fit(seq_data, epochs=1, batch_size=16, pre=pre, verbose=0)
+    assert np.isfinite(hist.history["loss"][0])
+
+
+def test_transformer_as_classification_model(seq_data):
+    """Transformer body pooled by SequenceSummary feeding a binary head
+    (reference test_transformer_as_classification_model)."""
+    from models_tpu.core.combinators import SequentialBlock
+    from models_tpu.inputs import InputBlockV2
+    from models_tpu.models import Model
+    from models_tpu.outputs import BinaryOutput
+    from models_tpu.schema import Tags
+
+    schema = seq_data.schema.select_by_tag(Tags.SEQUENCE) + seq_data.schema.select_by_name(
+        ["user_country", "click"]
+    )
+    from models_tpu.models.session import _SequenceConcat
+
+    body = SequentialBlock(
+        [
+            InputBlockV2(schema.excluding_by_name(["click"]), dim=16, aggregation=None),
+            _SequenceConcat(),
+            BertBlock(d_model=24, n_head=2, n_layer=1),
+            SequenceSummary("mean"),
+        ]
+    )
+    model = Model(body, BinaryOutput("click"), schema=schema)
+    model.compile()
+    hist = model.fit(seq_data, epochs=1, batch_size=16, verbose=0)
+    assert np.isfinite(hist.history["loss"][0])
+    res = model.evaluate(seq_data, batch_size=16)
+    assert "click/auc" in res or any(k.endswith("auc") for k in res)
+
+
+def test_sequence_predict_next_requires_sequence_target(seq_data):
+    from models_tpu.transforms.sequence import SequencePredictNext
+
+    with pytest.raises((ValueError, KeyError)):
+        pre = SequencePredictNext(seq_data.schema, target="not_a_column")
+        batch = __import__("models_tpu").sample_batch(seq_data, batch_size=8)
+        pre(batch[0], targets=batch[1])

@@ -220,8 +220,9 @@ def bench_dlrm_compute():
 
 # ---------------------------------------------------------------------------
 def bench_topk():
-    """Pallas fused top-k over a 1M x 128 catalog, B=256, k=10 (+ index build)."""
-    from models_tpu.ops.topk import pallas_topk
+    """Production top-k dispatch (approx_max_k + exactness verification, Pallas
+    fallback) over a 1M x 128 catalog, B=256, k=10 (+ index build)."""
+    from models_tpu.ops.topk import topk_scores
 
     C, D, B, K = 1_000_000, 128, 256, 10
     cand = jax.random.normal(jax.random.key(0), (C, D), jnp.float32)
@@ -237,8 +238,8 @@ def bench_topk():
                 q = jax.random.normal(
                     jax.random.fold_in(jax.random.key(7), t), (B, D)
                 ) + carry * 0
-                s, i = pallas_topk(q, cand, K, tile=4096)
-                return carry + jnp.sum(s[:, 0]) * 0, i
+                s, i = topk_scores(q, cand, K, tile=4096)
+                return carry + jnp.sum(s[:, 0]) * 1e-12, i
 
             c, ids = jax.lax.scan(body, salt, jnp.arange(n))
             return ids[-1, 0, 0] + c

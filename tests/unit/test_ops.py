@@ -310,3 +310,88 @@ def test_flash_ce_kernels_match_scan_interpret():
     dn = flash_ce.grad_neg(q, neg, lse, gw, pid, nid, bias, T, True,
                            tq=8, tn=16, interpret=True)
     np.testing.assert_allclose(np.asarray(dn), np.asarray(grads_ref[2]), rtol=2e-4, atol=1e-7)
+
+
+def test_binned_topk_matches_blockwise():
+    from models_tpu.ops.topk import binned_topk, blockwise_topk
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+    cand = jnp.asarray(rng.standard_normal((10_000, 16)), jnp.float32)
+    s1, i1 = binned_topk(q, cand, 10)
+    s2, i2 = blockwise_topk(q, cand, 10, tile=2048)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    # with custom ids
+    ids = jnp.asarray(rng.permutation(10_000).astype(np.int32))
+    s3, i3 = binned_topk(q, cand, 10, ids=ids)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(ids)[np.asarray(i2)])
+    # non-multiple-of-bin catalog (padded rows must never win)
+    s4, i4 = binned_topk(q, cand[:9_991], 10)
+    r4s, r4i = blockwise_topk(q, cand[:9_991], 10, tile=2048)
+    np.testing.assert_allclose(np.asarray(s4), np.asarray(r4s), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i4), np.asarray(r4i))
+
+
+def test_binned_topk_adversarial_same_bin():
+    """All the global top-k packed into ONE bin: the bin-repair logic must
+    still return all of them (the case an approximate binned top-k misses)."""
+    from models_tpu.ops.topk import binned_topk
+
+    C, D, K = 4_096, 8, 10
+    cand = np.zeros((C, D), np.float32)
+    # top-10 candidates all live in bin 3 (cols 384..393), descending scores
+    for j in range(K):
+        cand[3 * 128 + j, 0] = 100.0 - j
+    # decoys: next-best spread across other bins
+    cand[2_000, 0] = 50.0
+    cand[3_000, 0] = 49.0
+    q = np.zeros((2, D), np.float32)
+    q[:, 0] = 1.0
+    s, i = binned_topk(jnp.asarray(q), jnp.asarray(cand), K)
+    np.testing.assert_allclose(np.asarray(s)[0], 100.0 - np.arange(K), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i)[0], 3 * 128 + np.arange(K))
+
+
+def test_binned_topk_all_equal_scores():
+    """Degenerate all-tied scores: any k ids are a valid exact top-k."""
+    from models_tpu.ops.topk import binned_topk
+
+    q = jnp.zeros((4, 8))
+    cand = jnp.ones((5_000, 8))
+    s, i = binned_topk(q, cand, 10)
+    np.testing.assert_allclose(np.asarray(s), 0.0)
+    ii = np.asarray(i)
+    assert ii.shape == (4, 10)
+    assert (ii >= 0).all() and (ii < 5000).all()
+    assert all(len(set(row.tolist())) == 10 for row in ii)  # distinct ids
+
+
+def test_binned_topk_ties_straddling_theta():
+    """More theta-ties than slots: returned set must be k elements all >= theta
+    with every element > theta included."""
+    from models_tpu.ops.topk import binned_topk
+
+    C, D, K = 2_048, 4, 5
+    cand = np.zeros((C, D), np.float32)
+    cand[10, 0] = 9.0
+    cand[900, 0] = 8.0
+    for c in (5, 300, 700, 1100, 1500, 1900):  # six 7.0-ties for three slots
+        cand[c, 0] = 7.0
+    q = np.asarray([[1.0, 0, 0, 0]], np.float32)
+    s, i = binned_topk(jnp.asarray(q), jnp.asarray(cand), K)
+    s = np.asarray(s)[0]
+    np.testing.assert_allclose(s, [9.0, 8.0, 7.0, 7.0, 7.0])
+
+
+def test_topk_scores_method_dispatch():
+    from models_tpu.ops.topk import topk_scores
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+    cand = jnp.asarray(rng.standard_normal((9_000, 8)), jnp.float32)
+    ref_s, ref_i = topk_scores(q, cand, 5, method="blockwise", tile=2048)
+    for method in ("binned", "auto"):
+        s, i = topk_scores(q, cand, 5, method=method, tile=2048)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))

@@ -355,10 +355,14 @@ def sharded_topk(
         ids = jnp.arange(C, dtype=jnp.int32)
 
     def local_topk(q, cand_shard, id_shard):
-        s, i = blockwise_topk(
-            q, cand_shard, k, ids=id_shard, tile=min(tile, cand_shard.shape[0]),
-            _pvary_axis=axis,
-        )
+        if cand_shard.shape[0] // 128 > k:
+            # binned two-phase kernel (pure XLA — composes with shard_map)
+            s, i = binned_topk(q, cand_shard, k, ids=id_shard)
+        else:
+            s, i = blockwise_topk(
+                q, cand_shard, k, ids=id_shard, tile=min(tile, cand_shard.shape[0]),
+                _pvary_axis=axis,
+            )
         # gather partial lists from every shard and merge
         all_s = jax.lax.all_gather(s, axis)  # (n_shards, B, k)
         all_i = jax.lax.all_gather(i, axis)

@@ -26,8 +26,14 @@ def initialize(
     **kwargs,
 ) -> None:
     """Join the multi-host runtime. No-op when single-process (args absent and
-    no cluster env detected) — safe to call unconditionally at program start."""
-    if jax.process_count() > 1:
+    no cluster env detected) — safe to call unconditionally at program start.
+
+    Must not touch the XLA backend before ``jax.distributed.initialize`` —
+    calling e.g. ``jax.process_count()`` here would initialize the backend and
+    make distributed init illegal (caught by the 2-process smoke test)."""
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     env_has_cluster = any(
         k in os.environ

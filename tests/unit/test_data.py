@@ -259,3 +259,79 @@ def test_loader_fixed_length_lists_pad_to_schema():
     loader = Loader(ds, batch_size=2, shuffle=False)
     feats, _ = next(iter(loader))
     assert feats["emb"].values.shape == (2, 4)
+
+
+def test_criteo_raw_parser(tmp_path):
+    """Parse the classic day_* TSV format: label + 13 ints + 26 hex cats."""
+    import gzip
+
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(50):
+        label = str(rng.integers(0, 2))
+        ints = [str(rng.integers(0, 100)) if rng.random() > 0.2 else "" for _ in range(13)]
+        cats = [format(rng.integers(0, 2**32), "x") if rng.random() > 0.1 else "" for _ in range(26)]
+        lines.append("\t".join([label] + ints + cats))
+    (tmp_path / "day_0").write_text("\n".join(lines[:30]) + "\n")
+    with gzip.open(tmp_path / "day_1.gz", "wt") as f:
+        f.write("\n".join(lines[30:]) + "\n")
+
+    from models_tpu.data.datasets import get_criteo
+
+    train, valid = get_criteo(str(tmp_path), num_buckets=1000)
+    assert train.num_rows + valid.num_rows == 50
+    s = train.schema
+    assert s["label"].is_target
+    assert s["I1"].has_tag(Tags.CONTINUOUS) and s["C26"].has_tag(Tags.CATEGORICAL)
+    cols = train.to_numpy_dict()
+    assert cols["C1"].max() < 1000  # hashed into buckets
+    assert np.isfinite(cols["I3"]).all()  # missing ints -> 0
+
+    # trains end to end
+    from models_tpu.models import DLRMModel
+
+    m = DLRMModel(s, embedding_dim=8, bottom_block=(8,), top_block=(8,))
+    m.compile()
+    hist = m.fit(train, epochs=1, batch_size=16, verbose=0)
+    assert np.isfinite(hist.history["loss"][0])
+
+
+def test_aliccp_raw_parser(tmp_path):
+    """Parse the Ali-CCP release layout: common_features + sample_skeleton csv
+    with \\x01-separated field:feat:value triplets (reference format)."""
+    sep = "\x01"
+    for data_type, n in (("train", 24), ("test", 12)):
+        d = tmp_path / data_type
+        d.mkdir()
+        # two common-feature blocks carrying user fields
+        common_lines = []
+        for ci in range(2):
+            kv = sep.join([f"101:{ci + 1}:1", f"125:{ci + 2}:1", f"129:{ci + 5}:1"])
+            common_lines.append(f"c{ci},3,{kv}")
+        (d / f"common_features_{data_type}.csv").write_text("\n".join(common_lines) + "\n")
+        rows = []
+        rng = np.random.default_rng(1)
+        for i in range(n):
+            click = int(rng.integers(0, 2))
+            conv = int(rng.integers(0, 2)) if click else 0
+            kv = sep.join([
+                f"205:{int(rng.integers(1, 50))}:1",
+                f"206:{int(rng.integers(1, 10))}:1",
+                f"301:{int(rng.integers(1, 4))}:1",
+            ])
+            rows.append(f"s{i},{click},{conv},c{i % 2},3,{kv}")
+        # a malformed click=0/conversion=1 row the reference drops
+        rows.append(f"sbad,0,1,c0,3,205:3:1")
+        (d / f"sample_skeleton_{data_type}.csv").write_text("\n".join(rows) + "\n")
+
+    from models_tpu.data.datasets import get_aliccp
+
+    train, valid = get_aliccp(str(tmp_path))
+    assert train.num_rows == 24 and valid.num_rows == 12  # bad row dropped
+    s = train.schema
+    assert s["item_id"].has_tag(Tags.ITEM_ID) and s["user_id"].has_tag(Tags.USER_ID)
+    cols = train.to_numpy_dict()
+    assert set(np.unique(cols["user_id"])) <= {1, 2}
+    assert {"click", "conversion"} <= set(cols)
+    # common features joined through the index
+    assert (cols["user_age"] > 0).all()

@@ -380,10 +380,52 @@ class BaseModel(Block):
     def _split(self):
         return nnx.split(self, nnx.Param, ...)
 
+    def _state_update_paths(self, rest):
+        """Map stateful-block keys (e.g. cross-batch FIFO queues) to their flat
+        paths inside the non-param state, by array identity. Enables functional
+        in-step state updates: blocks write new arrays into
+        ``context["state_updates"]`` during the (grad-traced) forward, and the
+        train body writes them into the step's output state here — NNX forbids
+        Variable mutation under the grad trace."""
+        targets = {}
+        for b in iter_blocks(self):
+            fn = getattr(b, "state_update_targets", None)
+            key = getattr(b, "_state_key", None)
+            if fn is None or key is None:
+                continue
+            targets[key] = {f: v.value for f, v in fn().items()}
+        if not targets:
+            return {}
+        paths = {}
+        for path, leaf in rest.flat_state():
+            val = getattr(leaf, "value", None)
+            for key, fields in targets.items():
+                for field, arr in fields.items():
+                    if val is arr:
+                        paths.setdefault(key, {})[field] = tuple(path)
+        return paths
+
+    @staticmethod
+    def _apply_state_updates(new_rest, state_paths, state_updates):
+        if not state_updates:
+            return new_rest
+        for key, fields in state_updates.items():
+            for field, arr in fields.items():
+                path = state_paths.get(key, {}).get(field)
+                if path is None:
+                    continue
+                node = new_rest
+                for part in path[:-1]:
+                    node = node[part]
+                node[path[-1]].value = arr
+        return new_rest
+
     def _train_body(self, loss_fns, task_metrics, with_metrics: bool, mesh=None):
         """One un-jitted training step: the body shared by the single-step and
         multi-step (steps_per_execution scan) compiled variants."""
         graphdef = self._graphdef
+        _, _, rest0 = nnx.split(self, nnx.Param, ...)
+        state_paths = self._state_update_paths(rest0)
 
         def body(params, rest, opt_state, metric_states, x, y, step):
             def loss_fn(p):
@@ -396,11 +438,12 @@ class BaseModel(Block):
                 pred_dict = model._as_pred_dict(preds)
                 total, logs = model._compute_losses(pred_dict, x, loss_fns)
                 _, _, new_rest = nnx.split(model, nnx.Param, ...)
-                return total, (logs, new_rest, pred_dict, model)
+                return total, (logs, new_rest, pred_dict, model, context.get("state_updates"))
 
-            (loss_val, (logs, new_rest, pred_dict, model_out)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params)
+            (loss_val, (logs, new_rest, pred_dict, model_out, state_updates)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(params)
+            )
+            new_rest = self._apply_state_updates(new_rest, state_paths, state_updates)
             updates, opt_state = self._tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if with_metrics:
@@ -510,6 +553,8 @@ class BaseModel(Block):
     ):
         graphdef = self._graphdef
         emb_type = _embedding_param_type()
+        _, _, _, rest0 = nnx.split(self, emb_type, nnx.Param, ...)
+        state_paths = self._state_update_paths(rest0)
 
         def step_fn(dense_params, emb_params, rest, opt_state, metric_states, x, y, step):
             taps = {k: jnp.zeros(s) for k, s in tap_shapes.items()}
@@ -526,11 +571,15 @@ class BaseModel(Block):
                 pred_dict = model._as_pred_dict(preds)
                 total, logs = model._compute_losses(pred_dict, x, loss_fns)
                 _, _, _, new_rest = nnx.split(model, emb_type, nnx.Param, ...)
-                return total, (logs, context["tap_ids"], pred_dict, new_rest)
+                return total, (
+                    logs, context["tap_ids"], pred_dict, new_rest,
+                    context.get("state_updates"),
+                )
 
-            (loss_val, (logs, tap_ids, pred_dict, new_rest)), (gd, gt) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True
-            )(dense_params, taps)
+            (loss_val, (logs, tap_ids, pred_dict, new_rest, state_updates)), (gd, gt) = (
+                jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(dense_params, taps)
+            )
+            new_rest = self._apply_state_updates(new_rest, state_paths, state_updates)
             updates, opt_state = self._tx.update(gd, opt_state, dense_params)
             dense_params = optax.apply_updates(dense_params, updates)
 

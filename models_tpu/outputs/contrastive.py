@@ -76,8 +76,12 @@ class ContrastiveOutput(ModelOutput):
 
         if isinstance(negative_samplers, (str, CandidateSampler)):
             negative_samplers = [negative_samplers]
-        self.samplers = [CandidateSampler.parse(s) for s in (negative_samplers or [])]
-        if not self.samplers:
+        from flax import nnx as _nnx
+
+        # nnx.List: samplers may hold device state (e.g. the cross-batch FIFO
+        # queue's ring buffer) which a plain-list static attribute rejects
+        self.samplers = _nnx.List(CandidateSampler.parse(s) for s in (negative_samplers or []))
+        if not len(self.samplers):
             raise ValueError("ContrastiveOutput needs at least one negative sampler")
         # catalog-aware samplers (e.g. "popularity") inherit the item domain from
         # the head's column schema when not explicitly configured (the reference
@@ -201,7 +205,7 @@ class ContrastiveOutput(ModelOutput):
     def _sample_negatives(self, positive: Candidate, training, step, context=None) -> Candidate:
         negs: List[Candidate] = []
         for sampler in self.samplers:
-            c = sampler(positive, training=training, step=step)
+            c = sampler(positive, training=training, step=step, context=context)
             if c.embedding is None:
                 if self.tying is None:
                     raise ValueError(

@@ -30,36 +30,75 @@ class FIFOQueue(Block):
         self.ids = nnx.Variable(jnp.full((capacity,), -1, jnp.int32))
         self.cursor = nnx.Variable(jnp.zeros((), jnp.int32))
 
-    def enqueue(self, ids: jnp.ndarray, embeddings: jnp.ndarray) -> None:
+    def enqueue_functional(self, ids: jnp.ndarray, embeddings: jnp.ndarray):
+        """New (embeddings, ids, cursor) arrays after enqueue — no mutation
+        (NNX forbids Variable writes inside the grad trace; the train body
+        applies these into the step's output state instead)."""
         n = ids.shape[0]
         start = self.cursor.value
         pos = (start + jnp.arange(n)) % self.capacity
-        self.embeddings.value = self.embeddings.value.at[pos].set(
-            jax.lax.stop_gradient(embeddings)
-        )
-        self.ids.value = self.ids.value.at[pos].set(ids.astype(jnp.int32))
-        self.cursor.value = (start + n) % self.capacity
+        new_emb = self.embeddings.value.at[pos].set(jax.lax.stop_gradient(embeddings))
+        new_ids = self.ids.value.at[pos].set(ids.astype(jnp.int32))
+        new_cursor = (start + n) % self.capacity
+        return new_emb, new_ids, new_cursor
+
+    def enqueue(self, ids: jnp.ndarray, embeddings: jnp.ndarray) -> None:
+        """Eager/host-side enqueue (outside any jit/grad trace)."""
+        new_emb, new_ids, new_cursor = self.enqueue_functional(ids, embeddings)
+        self.embeddings.value = new_emb
+        self.ids.value = new_ids
+        self.cursor.value = new_cursor
 
     def snapshot(self) -> Candidate:
-        return Candidate(id=self.ids.value, embedding=self.embeddings.value)
+        # unfilled slots (id -1) carry valid=False: the contrastive head
+        # downscores them to MIN_FLOAT instead of scoring zero vectors
+        return Candidate(
+            id=self.ids.value,
+            embedding=self.embeddings.value,
+            valid=self.ids.value >= 0,
+        )
 
 
 @sampler_registry.register_with_multiple_names("cross-batch", "cached-cross-batch")
 class CachedCrossBatchSampler(CandidateSampler):
     """Negatives = the last ``capacity`` positives seen across batches
     (reference ``CachedCrossBatchSampler``): enqueue current positives, return
-    the queue snapshot. Unfilled slots carry id -1, which the contrastive head's
-    false-negative mask never matches, but their zero embeddings would score
-    0 — so we downscore them via a sentinel id check in the head (id -1 rows
-    produce scores against zero vectors = 0; acceptable early-training noise,
-    identical to the reference's warm-up behavior)."""
+    the queue snapshot. Unfilled slots carry id -1 and ``valid=False`` — the
+    contrastive head downscores them to MIN_FLOAT so warm-up batches never
+    score against zero vectors."""
+
+    _n_instances = 0
 
     def __init__(self, capacity: int = 4096, dim: int = 64):
         super().__init__()
         self.queue = FIFOQueue(capacity, dim)
+        CachedCrossBatchSampler._n_instances += 1
+        self._state_key = f"fifo_queue_{CachedCrossBatchSampler._n_instances}"
 
-    def __call__(self, positive: Candidate, *, training: bool = False, step=None, **kwargs):
+    def state_update_targets(self):
+        """field name -> Variable, for the engine's functional state updates."""
+        return {
+            "embeddings": self.queue.embeddings,
+            "ids": self.queue.ids,
+            "cursor": self.queue.cursor,
+        }
+
+    def __call__(self, positive: Candidate, *, training: bool = False, step=None,
+                 context=None, **kwargs):
         snapshot = self.queue.snapshot()
         if training and positive.embedding is not None and positive.id is not None:
-            self.queue.enqueue(positive.id, positive.embedding)
+            new_emb, new_ids, new_cursor = self.queue.enqueue_functional(
+                positive.id, positive.embedding
+            )
+            if context is not None:
+                # functional: the jitted train body writes these into the
+                # step's output state (Variable mutation is illegal under the
+                # grad trace)
+                context.setdefault("state_updates", {})[self._state_key] = {
+                    "embeddings": new_emb, "ids": new_ids, "cursor": new_cursor,
+                }
+            else:  # eager call outside any trace
+                self.queue.embeddings.value = new_emb
+                self.queue.ids.value = new_ids
+                self.queue.cursor.value = new_cursor
         return snapshot

@@ -185,3 +185,84 @@ def test_loader_empty_error():
     ds = generate_data("testing", num_rows=10)
     with pytest.raises(ValueError, match="no batches"):
         Loader(ds, batch_size=64, drop_last=True).peek()
+
+
+def test_fifo_queue_exact_capacity_and_multi_enqueue():
+    from models_tpu.outputs.queue import FIFOQueue
+
+    q = FIFOQueue(capacity=6, dim=2)
+    q.enqueue(jnp.array([1, 2, 3]), jnp.ones((3, 2)))
+    q.enqueue(jnp.array([4, 5, 6]), 2 * jnp.ones((3, 2)))
+    snap = q.snapshot()
+    np.testing.assert_array_equal(np.asarray(snap.id), [1, 2, 3, 4, 5, 6])
+    assert bool(snap.valid.all())
+    # exact-capacity wrap: cursor returns to 0, next enqueue overwrites oldest
+    q.enqueue(jnp.array([7, 8]), 3 * jnp.ones((2, 2)))
+    snap2 = q.snapshot()
+    np.testing.assert_array_equal(np.asarray(snap2.id), [7, 8, 3, 4, 5, 6])
+    np.testing.assert_allclose(np.asarray(snap2.embedding[0]), 3.0)
+
+
+def test_fifo_queue_unfilled_slots_invalid():
+    from models_tpu.outputs.queue import FIFOQueue
+
+    q = FIFOQueue(capacity=4, dim=2)
+    q.enqueue(jnp.array([9]), jnp.ones((1, 2)))
+    snap = q.snapshot()
+    np.testing.assert_array_equal(np.asarray(snap.valid), [True, False, False, False])
+
+
+def test_cross_batch_sampler_masks_unfilled_in_head():
+    """A half-filled queue's empty slots must be downscored to MIN_FLOAT by the
+    contrastive head (not scored as zero vectors)."""
+    from models_tpu.inputs import EmbeddingTable
+    from models_tpu.outputs import ContrastiveOutput
+    from models_tpu.outputs.contrastive import MIN_FLOAT
+    from models_tpu.outputs.queue import CachedCrossBatchSampler
+    from models_tpu.core.types import ModelContext
+    from models_tpu.schema import Tags, create_categorical_column
+
+    col = create_categorical_column("item_id", 30, tags=(Tags.ITEM, Tags.ITEM_ID))
+    table = EmbeddingTable(4, col, seed=0)
+    sampler = CachedCrossBatchSampler(capacity=8, dim=4)
+    head = ContrastiveOutput(table, negative_samplers=[sampler])
+
+    def apply_updates(ctx):
+        # play the engine's role: write the functional state updates back
+        upd = ctx.get("state_updates", {}).get(sampler._state_key)
+        assert upd is not None
+        for field, var in sampler.state_update_targets().items():
+            var.value = upd[field]
+
+    ctx = ModelContext()
+    ctx.features = {"item_id": jnp.array([1, 2, 3])}
+    ctx["step"] = 0
+    q = jnp.ones((3, 4))
+    # first call: queue is empty -> ALL negative columns downscored
+    pred1 = head(q, training=True, context=ctx)
+    assert np.asarray(pred1.outputs[:, 1:]).max() <= MIN_FLOAT / 2
+    apply_updates(ctx)
+    # second call: the 3 enqueued positives are now valid negatives
+    ctx2 = ModelContext()
+    ctx2.features = {"item_id": jnp.array([4, 5, 6])}
+    ctx2["step"] = 1
+    pred2 = head(q, training=True, context=ctx2)
+    neg = np.asarray(pred2.outputs[:, 1:])
+    assert (neg > MIN_FLOAT / 2).sum(axis=1).min() == 3  # exactly 3 real negatives
+
+
+def test_cross_batch_queue_fills_during_jitted_fit():
+    """End-to-end: the FIFO queue state must advance inside the compiled train
+    step (functional state updates through the engine, not Variable mutation)."""
+    from models_tpu.data import generate_data
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.outputs.queue import CachedCrossBatchSampler
+
+    ds = generate_data("movielens-100k", num_rows=128)
+    sampler = CachedCrossBatchSampler(capacity=48, dim=8)
+    m = MatrixFactorizationModel(ds.schema, dim=8, negative_samplers=[sampler, "in-batch"])
+    m.compile(learning_rate=0.05)
+    h = m.fit(ds, epochs=2, batch_size=32, shuffle=False, verbose=0)
+    assert np.isfinite(h.history["loss"]).all()
+    q_ids = np.asarray(sampler.queue.ids.value)
+    assert (q_ids >= 0).all()  # 128 rows x 2 epochs through a 48-slot ring

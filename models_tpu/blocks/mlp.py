@@ -113,30 +113,63 @@ class Dense(Block, LazyMixin):
 
 
 class BatchNorm(Block, LazyMixin):
-    """Lazily-built batch normalization over the last axis."""
+    """Lazily-built batch normalization over the last axis.
+
+    Training mode normalizes with batch statistics and routes the
+    running-stat EMA through the engine's functional state-update protocol
+    (``context["state_updates"]`` applied by the train body) — NNX forbids
+    mutating BatchStat variables under the grad trace, which is exactly what
+    ``nnx.BatchNorm`` does.
+    """
+
+    _n_instances = 0
 
     def __init__(self, momentum: float = 0.99, epsilon: float = 1e-3):
         super().__init__()
         self.momentum = momentum
         self.epsilon = epsilon
-        self.bn = nnx.data(None)
+        self.scale = nnx.data(None)
+        self.bias = nnx.data(None)
+        self.mean = nnx.data(None)
+        self.var = nnx.data(None)
+        BatchNorm._n_instances += 1
+        self._state_key = f"batch_norm_{BatchNorm._n_instances}"
 
     def build(self, x):
-        self.bn = nnx.BatchNorm(
-            num_features=x.shape[-1],
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            use_running_average=True,
-            rngs=nnx.Rngs(0),
-        )
+        d = x.shape[-1]
+        self.scale = nnx.Param(jnp.ones((d,), jnp.float32))
+        self.bias = nnx.Param(jnp.zeros((d,), jnp.float32))
+        self.mean = nnx.Variable(jnp.zeros((d,), jnp.float32))
+        self.var = nnx.Variable(jnp.ones((d,), jnp.float32))
 
-    def __call__(self, inputs, *, training: bool = False, **kwargs):
+    def state_update_targets(self):
+        return {"mean": self.mean, "var": self.var}
+
+    def __call__(self, inputs, *, training: bool = False, context=None, **kwargs):
         mask = None
         if isinstance(inputs, SequenceFeature):
             mask = inputs.mask
             inputs = inputs.values
         self._ensure_built(inputs)
-        out = self.bn(inputs, use_running_average=not training)
+        if training:
+            axes = tuple(range(inputs.ndim - 1))
+            batch_mean = jnp.mean(inputs, axis=axes)
+            batch_var = jnp.var(inputs, axis=axes)
+            mean, var = batch_mean, batch_var
+            m = self.momentum
+            new_mean = m * self.mean.value + (1 - m) * jax.lax.stop_gradient(batch_mean)
+            new_var = m * self.var.value + (1 - m) * jax.lax.stop_gradient(batch_var)
+            if context is not None:
+                context.setdefault("state_updates", {})[self._state_key] = {
+                    "mean": new_mean, "var": new_var,
+                }
+            else:  # eager call outside any trace
+                self.mean.value = new_mean
+                self.var.value = new_var
+        else:
+            mean, var = self.mean.value, self.var.value
+        out = (inputs - mean) / jnp.sqrt(var + self.epsilon)
+        out = out * self.scale.value + self.bias.value
         if mask is not None:
             return SequenceFeature(out, mask)
         return out

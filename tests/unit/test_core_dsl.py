@@ -171,3 +171,51 @@ def test_repeat():
     k0 = stacked[0].kernel.value
     k1 = stacked[1].kernel.value
     assert k0 is not k1
+
+
+def test_batch_norm_trains_in_compiled_step_and_tracks_stats():
+    """MLPBlock(normalization='batch_norm') must work inside the jitted train
+    step (running stats flow through the engine's functional state updates) and
+    the running mean must converge toward the input distribution's mean."""
+    import numpy as np
+
+    from models_tpu.blocks.mlp import BatchNorm
+    from models_tpu.core.block import iter_blocks
+    from models_tpu.core.combinators import SequentialBlock
+    from models_tpu.data import generate_data
+    from models_tpu.inputs import InputBlockV2
+    from models_tpu.models import Model
+    from models_tpu.outputs import BinaryOutput
+    from models_tpu.blocks.mlp import MLPBlock
+
+    ds = generate_data("e-commerce", num_rows=128)
+    body = SequentialBlock(
+        [InputBlockV2(ds.schema, dim=8), MLPBlock([16], normalization="batch_norm")]
+    )
+    m = Model(body, BinaryOutput("click"), schema=ds.schema)
+    m.compile()
+    h = m.fit(ds, epochs=2, batch_size=32, verbose=0)
+    assert np.isfinite(h.history["loss"]).all()
+    bn = [b for b in iter_blocks(m) if isinstance(b, BatchNorm)][0]
+    assert float(np.abs(np.asarray(bn.mean.value)).sum()) > 0  # stats moved
+    assert float(np.abs(np.asarray(bn.var.value) - 1.0).sum()) > 0
+
+    # eval uses running stats: two evaluates agree (no stat updates in eval)
+    r1 = m.evaluate(ds, batch_size=32)
+    mean_after = np.asarray(bn.mean.value).copy()
+    r2 = m.evaluate(ds, batch_size=32)
+    np.testing.assert_array_equal(mean_after, np.asarray(bn.mean.value))
+    assert abs(r1["loss"] - r2["loss"]) < 1e-6
+
+
+def test_batch_norm_unit_normalizes_batch():
+    import numpy as np
+
+    from models_tpu.blocks.mlp import BatchNorm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((256, 4)) * 5.0 + 3.0, jnp.float32)
+    bn = BatchNorm()
+    out = np.asarray(bn(x, training=True))
+    np.testing.assert_allclose(out.mean(axis=0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(out.std(axis=0), 1.0, atol=1e-2)

@@ -209,4 +209,4 @@ from .parallel.mesh import make_mesh
 from .parallel import distributed
 
 # persistence
-from .utils.io import load_model, save_model
+from .utils.io import export_serving, load_model, load_serving, save_model

@@ -1077,6 +1077,14 @@ class BaseModel(Block):
 
         save_model(self, path)
 
+    def export_serving(self, path: str, data, batch_size: int = 1024, platforms=None) -> str:
+        """Code-free StableHLO serving artifact (+ weights.npz + schema
+        sidecars) via ``jax.export`` — the reference's SavedModel-for-Triton
+        analog. Loadable with ``mm.load_serving`` or plain jax."""
+        from ..utils.io import export_serving
+
+        return export_serving(self, path, data=data, batch_size=batch_size, platforms=platforms)
+
     @classmethod
     def load(cls, path: str) -> "BaseModel":
         from ..utils.io import load_model

@@ -26,6 +26,7 @@ import warnings
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 SIDECAR_DIR = ".merlin"
@@ -226,3 +227,167 @@ def load_model(path: str):
     )
     nnx.update(model, state)
     return model
+
+
+# ---------------------------------------------------------------------------
+# serving export: code-free StableHLO artifact (the reference's
+# SavedModel-for-Triton analog, tf/models/base.py:1687-1717 + merlin/models/io.py)
+# ---------------------------------------------------------------------------
+
+SERVING_FILE = "serving.stablehlo"
+SERVING_WEIGHTS = "weights.npz"
+SERVING_SPEC = "serving_spec.json"
+
+
+def _flatten_features(x: Dict[str, Any]):
+    """SequenceFeatures → name__values/name__mask arrays (plain dict pytree)."""
+    from ..core.types import SequenceFeature
+
+    flat = {}
+    for name, v in x.items():
+        if isinstance(v, SequenceFeature):
+            flat[name + "__values"] = v.values
+            flat[name + "__mask"] = v.mask
+        else:
+            flat[name] = v
+    return flat
+
+
+def _unflatten_features(flat: Dict[str, Any]):
+    from ..core.types import SequenceFeature
+
+    out = {}
+    for name, v in flat.items():
+        if name.endswith("__values"):
+            base = name[: -len("__values")]
+            out[base] = SequenceFeature(v, flat[base + "__mask"])
+        elif name.endswith("__mask"):
+            continue
+        else:
+            out[name] = v
+    return out
+
+
+def export_serving(model, path: str, data=None, batch_size: int = 1024,
+                   platforms=None) -> str:
+    """Export the inference step as a self-contained serving artifact:
+
+    - ``serving.stablehlo`` — the jitted predict function serialized with
+      ``jax.export`` (StableHLO): code-free, loadable in any process with jax
+      installed (no models_tpu import needed), runnable on the platforms it
+      was lowered for (default: the current backend + cpu);
+    - ``weights.npz`` — every parameter/state array, passed as inputs (not
+      baked into the program);
+    - ``serving_spec.json`` — feature names/shapes/dtypes + weight order;
+    - ``.merlin/`` input/output schema sidecars (Merlin Systems contract).
+
+    The batch size is static (XLA serving convention) — pad smaller batches.
+    """
+    import jax.export as jex
+    from flax import nnx
+
+    from ..core.block import call_block
+    from ..core.types import ModelContext, to_device_batch
+
+    os.makedirs(path, exist_ok=True)
+    if data is not None:
+        from ..data.dataset import Dataset as _DS
+        from ..data.loader import Loader as _Loader
+
+        if isinstance(data, dict):
+            x = data
+        else:
+            loader = data if isinstance(data, _Loader) else _Loader(
+                _DS(data), batch_size=batch_size, shuffle=False, drop_last=True
+            )
+            x, _ = loader.peek()
+            model.build(loader)
+    else:
+        raise ValueError("export_serving needs sample data (Dataset/Loader/dict)")
+    if not model._compiled:
+        model.compile()
+    x = to_device_batch(x)
+    # drop loader bookkeeping; serving batches are always full
+    x = {k: v for k, v in x.items() if k != "__row_valid__"}
+    flat_x = _flatten_features(x)
+
+    graphdef, state = nnx.split(model)
+    flat_state = {}
+    for p, leaf in jax.tree_util.tree_flatten_with_path(state)[0]:
+        if leaf is not None:
+            flat_state[_path_str(p)] = jnp.asarray(leaf)
+
+    state_template = state
+
+    def serve(weights: Dict[str, Any], feats: Dict[str, Any]):
+        def restore(pth, leaf):
+            return None if leaf is None else weights[_path_str(pth)]
+
+        st = jax.tree_util.tree_map_with_path(restore, state_template)
+        mod = nnx.merge(graphdef, st)
+        xx = _unflatten_features(feats)
+        context = ModelContext(features=xx)
+        preds = call_block(mod, xx, targets=None, training=False, context=context)
+        from ..core.types import Prediction, TopKPrediction
+
+        if isinstance(preds, Prediction):
+            heads = mod.heads()
+            act = heads[0].activation if heads else (lambda v: v)
+            return act(preds.outputs)
+        if isinstance(preds, TopKPrediction):
+            return {"scores": preds.scores, "ids": preds.identifiers}
+        if isinstance(preds, dict):
+            out = {}
+            head_by_name = {h.block_name: h for h in mod.heads()}
+            for k, v in preds.items():
+                if isinstance(v, Prediction):
+                    head = head_by_name.get(k)
+                    out[k] = head.activation(v.outputs) if head else v.outputs
+                else:
+                    out[k] = v
+            return out
+        return preds
+
+    if platforms is None:
+        backend = jax.default_backend()
+        platforms = (backend, "cpu") if backend != "cpu" else ("cpu",)
+    exported = jex.export(jax.jit(serve), platforms=tuple(platforms))(flat_state, flat_x)
+    with open(os.path.join(path, SERVING_FILE), "wb") as f:
+        f.write(exported.serialize())
+    np.savez(os.path.join(path, SERVING_WEIGHTS),
+             **{k: np.asarray(v) for k, v in flat_state.items()})
+    spec = {
+        "features": {
+            k: {"shape": list(np.shape(v)), "dtype": str(np.asarray(v).dtype)}
+            for k, v in flat_x.items()
+        },
+        "batch_size": int(next(iter(flat_x.values())).shape[0]),
+        "platforms": list(platforms),
+    }
+    with open(os.path.join(path, SERVING_SPEC), "w") as f:
+        json.dump(spec, f, indent=1)
+    _write_sidecar(model, path)
+    return path
+
+
+class ServingModel:
+    """A loaded serving artifact: ``ServingModel(path)(features) -> outputs``.
+    Pure jax — no model code required."""
+
+    def __init__(self, path: str):
+        import jax.export as jex
+
+        with open(os.path.join(path, SERVING_FILE), "rb") as f:
+            self.exported = jex.deserialize(f.read())
+        with np.load(os.path.join(path, SERVING_WEIGHTS)) as z:
+            self.weights = {k: jnp.asarray(z[k]) for k in z.files}
+        with open(os.path.join(path, SERVING_SPEC)) as f:
+            self.spec = json.load(f)
+
+    def __call__(self, features: Dict[str, Any]):
+        flat = _flatten_features(features)
+        return self.exported.call(self.weights, flat)
+
+
+def load_serving(path: str) -> ServingModel:
+    return ServingModel(path)

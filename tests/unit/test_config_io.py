@@ -80,3 +80,61 @@ def test_save_load_after_fit_matches_sequence_model(tmp_path):
     assert os.path.exists(os.path.join(p, "config.json"))
     m2 = mm.load_model(p)
     assert m2.block_name == "session_transformer"  # post-init name preserved
+
+
+def test_export_serving_roundtrip(tmp_path):
+    """StableHLO serving export: artifact files, loaded outputs match predict,
+    and the artifact is pure-jax loadable (no model code in the program)."""
+    import os
+
+    from models_tpu.core.types import to_device_batch
+    from models_tpu.data import Loader, generate_data
+    from models_tpu.models import DLRMModel
+    from models_tpu.utils.io import load_serving
+
+    ds = generate_data("e-commerce", num_rows=128)
+    m = DLRMModel(ds.schema, embedding_dim=8, bottom_block=(8,), top_block=(8,))
+    m.compile()
+    m.fit(ds, epochs=1, batch_size=32, verbose=0)
+    path = m.export_serving(str(tmp_path / "srv"), data=ds, batch_size=32)
+    assert {"serving.stablehlo", "weights.npz", "serving_spec.json", ".merlin"} <= set(
+        os.listdir(path)
+    )
+
+    sm = load_serving(path)
+    x, _ = Loader(ds, batch_size=32, shuffle=False, drop_last=True).peek()
+    x = {k: v for k, v in to_device_batch(x).items() if k != "__row_valid__"}
+    out = sm(x)
+    ref = m.predict(ds, batch_size=32)
+    for task in out:
+        np.testing.assert_allclose(
+            np.asarray(out[task]), np.asarray(ref[task])[:32], rtol=1e-5
+        )
+
+
+def test_export_serving_retrieval_topk(tmp_path):
+    """TopK encoder exports: serving call returns scores+ids for the catalog."""
+    from models_tpu.core.types import to_device_batch
+    from models_tpu.data import Loader, generate_data
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.utils.io import load_serving
+
+    ds = generate_data("movielens-100k", num_rows=128)
+    m = MatrixFactorizationModel(ds.schema, dim=8)
+    m.compile()
+    m.fit(ds, epochs=1, batch_size=32, verbose=0)
+    topk = m.to_top_k_encoder(ds, k=5)
+    topk.compile()
+    path = topk.export_serving(str(tmp_path / "topk_srv"), data=ds, batch_size=32)
+    sm = load_serving(path)
+    x, _ = Loader(ds, batch_size=32, shuffle=False, drop_last=True).peek()
+    x = {k: v for k, v in to_device_batch(x).items() if k != "__row_valid__"}
+    out = sm(x)
+    assert set(out) == {"scores", "ids"}
+    assert np.asarray(out["scores"]).shape == (32, 5)
+    # parity with the in-process encoder
+    ref = topk.predict(ds, batch_size=32)
+    np.testing.assert_allclose(
+        np.asarray(out["scores"]), np.asarray(ref["scores"])[:32], rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(out["ids"]), np.asarray(ref["ids"])[:32])

@@ -1,0 +1,50 @@
+"""Serving export: ship trained models as code-free StableHLO artifacts.
+
+Mirrors the reference's "export for Merlin Systems / Triton" workflow
+(examples/04, ``model.save`` + ``.merlin`` sidecars): here the serving function
+itself is serialized with ``jax.export`` — the artifact runs in ANY process
+with jax installed (CPU or TPU), with no models_tpu import, and keeps the
+``.merlin`` input/output schema sidecars for systems integration.
+"""
+
+import tempfile
+
+import numpy as np
+
+import models_tpu as mm
+from models_tpu.core.types import to_device_batch
+from models_tpu.data import Loader
+
+# -- train a ranking model --------------------------------------------------
+train, valid = mm.generate_data("e-commerce", num_rows=2000, set_sizes=(0.8, 0.2))
+model = mm.DLRMModel(train.schema, embedding_dim=16, bottom_block=(32, 16), top_block=(32,))
+model.compile(optimizer="adagrad", learning_rate=0.05)
+model.fit(train, epochs=1, batch_size=256, verbose=0)
+
+# -- export -----------------------------------------------------------------
+serving_dir = tempfile.mkdtemp(prefix="dlrm_serving_")
+model.export_serving(serving_dir, data=train, batch_size=256)
+print("exported:", serving_dir)
+
+# -- load + serve (no model code needed; see the pure-jax snippet in docs) ---
+serving = mm.load_serving(serving_dir)
+x, _ = Loader(valid, batch_size=256, shuffle=False, drop_last=True).peek()
+x = {k: v for k, v in to_device_batch(x).items() if k != "__row_valid__"}
+scores = serving(x)
+first = next(iter(scores.values())) if isinstance(scores, dict) else scores
+print("served batch:", np.asarray(first).shape)
+
+# -- retrieval: export the full top-k index + query tower --------------------
+rtrain, _ = mm.generate_data("movielens-100k", num_rows=2000, set_sizes=(0.9, 0.1))
+retrieval = mm.MatrixFactorizationModel(rtrain.schema, dim=16)
+retrieval.compile(learning_rate=0.05)
+retrieval.fit(rtrain, epochs=1, batch_size=256, verbose=0)
+topk = retrieval.to_top_k_encoder(rtrain, k=10)
+topk.compile()
+topk_dir = tempfile.mkdtemp(prefix="topk_serving_")
+topk.export_serving(topk_dir, data=rtrain, batch_size=256)
+topk_serving = mm.load_serving(topk_dir)
+qx, _ = Loader(rtrain, batch_size=256, shuffle=False, drop_last=True).peek()
+qx = {k: v for k, v in to_device_batch(qx).items() if k != "__row_valid__"}
+rec = topk_serving(qx)
+print("top-10 ids for first user:", np.asarray(rec["ids"])[0])

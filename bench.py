@@ -220,7 +220,7 @@ def bench_dlrm_compute():
 
 # ---------------------------------------------------------------------------
 def bench_topk():
-    """Production top-k dispatch (approx_max_k + exactness verification, Pallas
+    """Production top-k dispatch (exact binned two-phase kernel, Pallas
     fallback) over a 1M x 128 catalog, B=256, k=10 (+ index build)."""
     from models_tpu.ops.topk import topk_scores
 

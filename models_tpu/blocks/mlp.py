@@ -268,10 +268,12 @@ class DenseResidualBlock(Block):
         self.norm = BatchNorm() if normalization == "batch_norm" else None
         self.dense = DenseMaybeLowRank(low_rank_dim=low_rank_dim, seed=seed)
 
-    def __call__(self, inputs, *, training: bool = False, **kwargs):
+    def __call__(self, inputs, *, training: bool = False, context=None, **kwargs):
         out = self.dense(inputs)
         if self.norm is not None:
-            out = self.norm(out, training=training)
+            # context must reach BatchNorm: its running-stat updates flow
+            # through the functional state-update protocol
+            out = self.norm(out, training=training, context=context)
         out = inputs + out
         act = get_activation(self.activation)
         if act is not None:

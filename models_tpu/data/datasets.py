@@ -91,9 +91,11 @@ def get_criteo(
     With ``path`` containing raw ``day_*`` TSV files (optionally .gz), parses
     them natively: label + 13 int features (missing → 0) + 26 hex categoricals
     hashed into ``num_buckets`` (the reference's ``Categorify(max_size=1e7)``
-    cap). Otherwise prepared parquet / synthetic fallback."""
+    cap), reading at most ``max_rows or num_rows`` rows (day_0 alone is ~45 GB
+    — an unbounded parse would OOM the host). Otherwise prepared parquet /
+    synthetic fallback."""
     if path is not None:
-        raw = _load_criteo_raw(path, num_buckets=num_buckets, max_rows=max_rows)
+        raw = _load_criteo_raw(path, num_buckets=num_buckets, max_rows=max_rows or num_rows)
         if raw is not None:
             return raw
     return _from_path_or_synthetic(path, "criteo", num_rows)
@@ -201,13 +203,9 @@ def _load_aliccp_split(base: str, data_type: str, max_rows: Optional[int]):
     commf = os.path.join(base, data_type, f"common_features_{data_type}.csv")
     if not (os.path.exists(skel) and os.path.exists(commf)):
         return None
-    common = {}
-    with open(commf) as fh:
-        for line in fh:
-            parts = line.strip().split(",")
-            if len(parts) >= 3:
-                common[parts[0]] = _parse_aliccp_kv(parts[2])
+    # pass 1: skeleton rows (bounded by max_rows) + the common keys they reference
     rows = []
+    needed = set()
     with open(skel) as fh:
         for i, line in enumerate(fh):
             if max_rows and i >= max_rows:
@@ -218,10 +216,24 @@ def _load_aliccp_split(base: str, data_type: str, max_rows: Optional[int]):
             if parts[1] == "0" and parts[2] == "1":
                 continue  # reference drops click=0,conversion=1 rows
             feats = _parse_aliccp_kv(parts[5])
-            feats.update(common.get(parts[3], {}))
             feats["click"] = parts[1]
             feats["conversion"] = parts[2]
+            feats["__common__"] = parts[3]
+            needed.add(parts[3])
             rows.append(feats)
+    # pass 2: only referenced common-feature lines are parsed (the full file is
+    # multiple GB in the real release; a bounded read must stay bounded)
+    common = {}
+    with open(commf) as fh:
+        for line in fh:
+            parts = line.strip().split(",")
+            if len(parts) >= 3 and parts[0] in needed:
+                common[parts[0]] = _parse_aliccp_kv(parts[2])
+                if len(common) == len(needed):
+                    break
+    for feats in rows:
+        # common features override skeleton values (reference dict.update order)
+        feats.update(common.get(feats.pop("__common__"), {}))
     return rows
 
 

@@ -197,8 +197,23 @@ class BaseModel(Block):
 
         self._build_spec = spec_of((x, y))  # replayed by declarative load
         self(x, targets=y, training=False)
+        self._rekey_stateful_blocks()
         self._built = True
         return self
+
+    def _rekey_stateful_blocks(self) -> None:
+        """Give every stateful block (BatchNorm, FIFO queues, ...) a unique
+        traversal-position state key BEFORE the graphdef is captured: deepcopy
+        (expert stacking, tower copying, Block.repeat) duplicates the
+        constructor-counter keys, and copies sharing a key would collapse onto
+        one functional state-update slot (all but one silently frozen)."""
+        i = 0
+        for b in iter_blocks(self):
+            if getattr(b, "state_update_targets", None) is not None and getattr(
+                b, "_state_key", None
+            ) is not None:
+                b._state_key = f"state_{i}_{type(b).__name__}"
+                i += 1
 
     # ------------------------------------------------------------------
     # compile
@@ -387,13 +402,18 @@ class BaseModel(Block):
         ``context["state_updates"]`` during the (grad-traced) forward, and the
         train body writes them into the step's output state here — NNX forbids
         Variable mutation under the grad trace."""
+        # keys were made unique at build() time (_rekey_stateful_blocks),
+        # before the graphdef snapshot the merged modules are rebuilt from
         targets = {}
         for b in iter_blocks(self):
             fn = getattr(b, "state_update_targets", None)
             key = getattr(b, "_state_key", None)
             if fn is None or key is None:
                 continue
-            targets[key] = {f: v.value for f, v in fn().items()}
+            fields = fn()
+            if any(v is None for v in fields.values()):
+                continue  # constructed but never built (lazy slots still None)
+            targets[key] = {f: v.value for f, v in fields.items()}
         if not targets:
             return {}
         paths = {}

@@ -313,7 +313,9 @@ def topk_scores(
             return s, idx.astype(jnp.int32)
         return s, jnp.take(ids, idx)
     on_tpu = jax.default_backend() == "tpu"
-    if prefer_pallas is not None and method == "auto":  # legacy knob
+    explicit = method != "auto"
+    if prefer_pallas is not None and method == "auto":
+        # legacy knob: selects the kernel but keeps graceful fallback semantics
         method = "pallas" if prefer_pallas else "blockwise"
     B = queries.shape[0]
     D = queries.shape[1]
@@ -324,7 +326,7 @@ def topk_scores(
         try:
             return pallas_topk(queries, candidates, k, ids=ids, tile=min(tile, 4096))
         except Exception:  # Mosaic lowering gap → fall back
-            if method == "pallas":
+            if explicit and method == "pallas":
                 raise
     return blockwise_topk(queries, candidates, k, ids=ids, tile=tile)
 

@@ -296,6 +296,7 @@ def export_serving(model, path: str, data=None, batch_size: int = 1024,
 
         if isinstance(data, dict):
             x = data
+            model.build((x, None))  # lazy blocks must materialize params eagerly
         else:
             loader = data if isinstance(data, _Loader) else _Loader(
                 _DS(data), batch_size=batch_size, shuffle=False, drop_last=True

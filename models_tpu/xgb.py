@@ -381,3 +381,39 @@ class XGBoost:
         os.makedirs(path, exist_ok=True)
         self.booster.save_model(os.path.join(path, "model.json"))
         self.schema.save(os.path.join(path, "schema.json"))
+
+    @classmethod
+    def load(cls, path: str) -> "XGBoost":
+        """Restore a saved adapter (numpy-GBDT json or an xgboost booster)."""
+        from .schema import Schema
+
+        schema = Schema.load(os.path.join(path, "schema.json"))
+        model_path = os.path.join(path, "model.json")
+        with open(model_path) as f:
+            head = f.read(64)
+        if "models_tpu-numpy-gbdt" in head:
+            booster = _NumpyGBDT.load_model(model_path)
+            self = cls.__new__(cls)
+            self.backend = "numpy"
+            self.schema = schema
+            self.objective = booster.objective
+            self.target_column = None
+            self.params = {"objective": booster.objective}
+            self.booster = booster
+            return self
+        import xgboost as xgb
+
+        self = cls.__new__(cls)
+        self.backend = "xgboost"
+        self.schema = schema
+        self.target_column = None
+        booster = xgb.Booster()
+        booster.load_model(model_path)
+        self.booster = booster
+        # objective recovered from booster config
+        cfg = json.loads(booster.save_config())
+        self.objective = (
+            cfg.get("learner", {}).get("objective", {}).get("name", "binary:logistic")
+        )
+        self.params = {"objective": self.objective}
+        return self

@@ -302,3 +302,27 @@ def test_xgb_numpy_rank_pairwise_orders_within_query():
     m.fit(X, rel, qid=qid, num_boost_round=25)
     res = m.eval_metrics(X, rel, qid=qid)
     assert res["map"] > 0.9, res
+
+
+def test_xgb_numpy_adapter_save_load_roundtrip(tmp_path):
+    from models_tpu.data import Dataset
+    from models_tpu.schema import Schema, Tags, create_categorical_column, create_continuous_column
+    from models_tpu.xgb import XGBoost
+
+    rng = np.random.default_rng(5)
+    n = 400
+    age = rng.uniform(0, 1, n).astype(np.float32)
+    click = (age > 0.5).astype(np.float32)
+    schema = Schema([
+        create_continuous_column("age"),
+        create_continuous_column("click", tags=(Tags.TARGET,)),
+    ])
+    ds = Dataset({"age": age, "click": click}, schema=schema)
+    with pytest.warns(UserWarning):
+        m = XGBoost(schema, objective="binary:logistic", max_depth=3)
+    m.fit(ds, num_boost_round=10)
+    m.save(str(tmp_path / "x"))
+    m2 = XGBoost.load(str(tmp_path / "x"))
+    assert m2.backend == "numpy" and m2.objective == "binary:logistic"
+    np.testing.assert_allclose(m2.predict(ds), m.predict(ds), rtol=1e-6)
+    assert "click" in m2.schema

@@ -219,3 +219,52 @@ def test_batch_norm_unit_normalizes_batch():
     out = np.asarray(bn(x, training=True))
     np.testing.assert_allclose(out.mean(axis=0), 0.0, atol=1e-4)
     np.testing.assert_allclose(out.std(axis=0), 1.0, atol=1e-2)
+
+
+def test_dense_residual_batch_norm_trains():
+    """Regression: DenseResidualBlock's BatchNorm must receive context so its
+    running-stat updates flow through the functional protocol (was a
+    TraceContextError crash in compiled training)."""
+    import numpy as np
+
+    from models_tpu.blocks.mlp import DenseResidualBlock
+    from models_tpu.core.combinators import SequentialBlock
+    from models_tpu.data import generate_data
+    from models_tpu.inputs import InputBlockV2
+    from models_tpu.models import Model
+    from models_tpu.outputs import BinaryOutput
+
+    ds = generate_data("e-commerce", num_rows=96)
+    body = SequentialBlock([InputBlockV2(ds.schema, dim=8), DenseResidualBlock()])
+    m = Model(body, BinaryOutput("click"), schema=ds.schema)
+    m.compile()
+    h = m.fit(ds, epochs=1, batch_size=32, verbose=0)
+    assert np.isfinite(h.history["loss"][0])
+
+
+def test_deepcopied_batch_norms_get_distinct_state_slots():
+    """Regression: deepcopy (expert stacking / repeat) duplicates constructor
+    state keys; the engine must re-key so EVERY copy's running stats update."""
+    import numpy as np
+
+    from models_tpu.blocks.mlp import BatchNorm, MLPBlock
+    from models_tpu.core.block import iter_blocks
+    from models_tpu.core.combinators import SequentialBlock
+    from models_tpu.data import generate_data
+    from models_tpu.inputs import InputBlockV2
+    from models_tpu.models import MMOEModel
+
+    ds = generate_data("e-commerce", num_rows=96)
+    m = MMOEModel(
+        ds.schema,
+        expert_block=MLPBlock([8], normalization="batch_norm"),
+        num_experts=3,
+        embedding_dim=8,
+    )
+    m.compile()
+    m.fit(ds, epochs=1, batch_size=32, verbose=0)
+    bns = [b for b in iter_blocks(m) if isinstance(b, BatchNorm)]
+    assert len(bns) == 3
+    assert len({bn._state_key for bn in bns}) == 3  # re-keyed unique
+    for bn in bns:
+        assert float(np.abs(np.asarray(bn.mean.value)).sum()) > 0, "stats frozen"

@@ -163,7 +163,9 @@ class ParallelBlock(Block):
     def select_by_name(self, name: str) -> Optional[Block]:
         if self.block_name == name:
             return self
-        if name in self.branches:
+        # nnx.Dict KeysView.__contains__ raises AttributeError on a miss
+        # (its __getitem__ uses getattr) — materialize the keys first
+        if name in list(self.branches.keys()):
             return self.branches[name]
         for b in self.branches.values():
             found = getattr(b, "select_by_name", lambda n: None)(name)

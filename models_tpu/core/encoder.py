@@ -63,7 +63,9 @@ class Encoder(Block):
         def step(state, x):
             mod = nnx.merge(graphdef, state)
             context = ModelContext(features=x)
-            return call_block(mod.block, x, training=False, context=context)
+            # call the ENCODER (not .block): subclasses like EmbeddingEncoder
+            # override __call__ to pull their feature out of the batch dict
+            return call_block(mod, x, training=False, context=context)
 
         ids, chunks = [], []
         for x, _ in loader:

@@ -268,3 +268,110 @@ def test_deepcopied_batch_norms_get_distinct_state_slots():
     assert len({bn._state_key for bn in bns}) == 3  # re-keyed unique
     for bn in bns:
         assert float(np.abs(np.asarray(bn.mean.value)).sum()) > 0, "stats frozen"
+
+
+# ---------------------------------------------------------------------------
+# ParallelBlock selection / pruning (reference tests/unit/tf/core/test_combinators.py)
+# ---------------------------------------------------------------------------
+
+def test_parallel_select_by_tag_picks_matching_branches():
+    from models_tpu.blocks.mlp import MLPBlock
+    from models_tpu.core.combinators import ParallelBlock
+    from models_tpu.data import generate_data
+    from models_tpu.schema import Tags
+
+    ds = generate_data("e-commerce", num_rows=32)
+    user_schema = ds.schema.select_by_tag(Tags.USER)
+    item_schema = ds.schema.select_by_tag(Tags.ITEM)
+    ua = MLPBlock([4], block_name="user_tower")
+    ua.schema = user_schema
+    ib = MLPBlock([4], block_name="item_tower")
+    ib.schema = item_schema
+    pb = ParallelBlock({"user": ua, "item": ib})
+    sel = pb.select_by_tag(Tags.USER)
+    assert sel is not None and set(sel.branches.keys()) == {"user"}
+    sel_i = pb.select_by_tag(Tags.ITEM_ID)
+    assert sel_i is not None and set(sel_i.branches.keys()) == {"item"}
+    assert pb.select_by_tag(Tags.SESSION) is None
+    # branch lookup by key through select_by_name
+    assert pb.select_by_name("user") is ua
+
+
+def test_parallel_branch_schema_filtering_routes_columns():
+    import jax.numpy as jnp
+
+    from models_tpu.core.block import Lambda
+    from models_tpu.core.combinators import ParallelBlock
+    from models_tpu.schema import Schema, create_continuous_column
+
+    from models_tpu.core.block import Block
+
+    seen = {}
+
+    class Probe(Block):
+        def __init__(self, name, schema):
+            super().__init__(schema=schema, block_name=name)
+
+        def __call__(self, x, **kw):
+            seen[self.block_name] = sorted(x.keys())
+            return jnp.zeros(1)
+
+    sa = Schema([create_continuous_column("a")])
+    sb = Schema([create_continuous_column("b")])
+    pb = ParallelBlock({"pa": Probe("pa", sa), "pb": Probe("pb", sb)})
+    pb({"a": jnp.ones(2), "b": jnp.ones(2), "c": jnp.ones(2)})
+    assert seen["pa"] == ["a"]
+    assert seen["pb"] == ["b"]
+
+
+def test_select_by_name_through_parallel():
+    from models_tpu.blocks.mlp import MLPBlock
+    from models_tpu.core.combinators import ParallelBlock, SequentialBlock
+
+    tower_a = MLPBlock([4], block_name="tower_a")
+    tower_b = MLPBlock([8], block_name="tower_b")
+    pb = ParallelBlock({"a": tower_a, "b": tower_b}, block_name="two_towers")
+    seq = SequentialBlock([pb], block_name="outer")
+    assert seq.select_by_name("outer") is seq
+    assert seq.select_by_name("tower_b") is tower_b
+    assert seq.select_by_name("nope") is None
+
+
+def test_encoder_refuses_fit():
+    from models_tpu.core.encoder import EmbeddingEncoder
+    from models_tpu.inputs import EmbeddingTable
+    from models_tpu.schema import Tags, create_categorical_column
+
+    t = EmbeddingTable(4, create_categorical_column("item_id", 10, tags=(Tags.ITEM_ID,)))
+    enc = EmbeddingEncoder(t)
+    with pytest.raises((NotImplementedError, RuntimeError, ValueError)):
+        enc.fit(None)
+
+
+def test_encoder_encode_sweep_and_batch_predict():
+    """Encoder.encode runs a jitted batched sweep over a dataset and returns
+    per-row embeddings aligned with an index column (the Dask map_partitions
+    analog, reference tf/core/encoder.py:86)."""
+    import numpy as np
+
+    from models_tpu.core.encoder import EmbeddingEncoder
+    from models_tpu.data import Dataset, generate_data
+    from models_tpu.inputs import EmbeddingTable
+    from models_tpu.schema import Tags, create_categorical_column
+
+    ds = generate_data("movielens-100k", num_rows=64)
+    item_col = ds.schema["movieId"]
+    t = EmbeddingTable(8, item_col)
+    enc = EmbeddingEncoder(t)
+    out = enc.encode(ds, index="movieId", batch_size=16)
+    assert out.num_rows == 64
+    cols = out.to_numpy_dict()
+    assert "id" in cols  # the index column
+    emb = (
+        cols["embedding__values"].reshape(64, -1)
+        if "embedding__values" in cols
+        else cols["embedding"]
+    )
+    # rows match direct table lookups at the index ids
+    direct = t.to_array()[cols["id"]]
+    np.testing.assert_allclose(np.asarray(emb, np.float32), direct, rtol=1e-5)

@@ -55,6 +55,7 @@ from .inputs import (
     InputBlock,
     InputBlockV2,
     PretrainedEmbeddings,
+    TTEmbeddingTable,
 )
 
 # blocks

@@ -8,3 +8,4 @@ from .embedding import (
     PretrainedEmbeddings,
     SequenceEmbeddingFeatures,
 )
+from .tt_embedding import TTEmbeddingTable

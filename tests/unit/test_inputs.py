@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -349,3 +350,122 @@ def test_infer_embedding_dim_multiple_of_8():
     assert dim % 8 == 0 and dim >= 8
     raw = infer_embedding_dim(col, ensure_multiple_of_8=False)
     assert raw <= dim
+
+
+# ---------------------------------------------------------------------------
+# TT-Rec tensor-train compressed embeddings (PAPERS.md, arxiv 2101.11714)
+# ---------------------------------------------------------------------------
+
+def test_tt_embedding_shapes_and_compression():
+    from models_tpu.inputs import TTEmbeddingTable
+
+    col = create_categorical_column("item_id", 999_999)  # 1M rows
+    t = TTEmbeddingTable(128, col, ranks=16)
+    assert t.compression_ratio > 100  # hundreds-of-x smaller than dense 1M x 128
+    out = t(jnp.array([0, 5, 999_999]))
+    assert out.shape == (3, 128)
+    assert np.isfinite(np.asarray(out)).all()
+    # distinct ids -> distinct embeddings
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_tt_embedding_deterministic_and_digitwise():
+    from models_tpu.inputs import TTEmbeddingTable
+
+    col = create_categorical_column("x", 63)
+    t = TTEmbeddingTable(8, col, ranks=4)
+    a = np.asarray(t(jnp.arange(64)))
+    b = np.asarray(t(jnp.arange(64)))
+    np.testing.assert_array_equal(a, b)
+    # matches the materialized table
+    np.testing.assert_allclose(a, t.to_array(), rtol=1e-6)
+
+
+def test_tt_embedding_sequence_combiner():
+    from models_tpu.inputs import TTEmbeddingTable
+
+    col = create_categorical_column("s", 30, is_list=True, max_seq_length=3)
+    t = TTEmbeddingTable(8, col, ranks=4, sequence_combiner="mean")
+    sf = SequenceFeature(jnp.array([[1, 2, 0]]), jnp.array([[True, True, False]]))
+    out = np.asarray(t(sf))
+    assert out.shape == (1, 8)
+    full = t.to_array()
+    np.testing.assert_allclose(out[0], (full[1] + full[2]) / 2, rtol=1e-5)
+
+
+def test_tt_embedding_learns_in_model():
+    """A two-tower-style model with a TT-compressed item table learns planted
+    identity structure (gradients flow through the TT cores)."""
+    import optax
+    from flax import nnx
+
+    from models_tpu.inputs import TTEmbeddingTable
+
+    n = 64
+    col_u = create_categorical_column("u", n - 1)
+    col_i = create_categorical_column("i", n - 1)
+    user_t = TTEmbeddingTable(16, col_u, ranks=8, seed=0)
+    item_t = TTEmbeddingTable(16, col_i, ranks=8, seed=1)
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, n, 512), jnp.int32)
+
+    graphs = [nnx.split(m) for m in (user_t, item_t)]
+    (gd_u, st_u), (gd_i, st_i) = graphs
+    tx = optax.adam(0.05)
+    opt = tx.init((st_u, st_i))
+
+    def loss_fn(states):
+        su, si = states
+        u = nnx.merge(gd_u, su)(ids)
+        v = nnx.merge(gd_i, si)(ids)
+        logits = u @ v.T  # identity pairs are positives
+        labels = jnp.arange(ids.shape[0])
+        # mask duplicate-id false negatives
+        dup = ids[None, :] == ids[:, None]
+        eye = jnp.eye(ids.shape[0], dtype=bool)
+        logits = jnp.where(dup & ~eye, -1e9, logits)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+    states = (st_u, st_i)
+    first = float(loss_fn(states))
+    for _ in range(30):
+        g = jax.grad(loss_fn)(states)
+        upd, opt = tx.update(g, opt, states)
+        states = optax.apply_updates(states, upd)
+    last = float(loss_fn(states))
+    assert last < first * 0.5, (first, last)
+
+
+def test_tt_embedding_in_model_save_load(tmp_path):
+    """TT table as the categorical input of a ranking model: trains and
+    round-trips through declarative save/load."""
+    from models_tpu.core.combinators import ParallelBlock, SequentialBlock
+    from models_tpu.blocks.mlp import MLPBlock
+    from models_tpu.inputs import TTEmbeddingTable
+    from models_tpu.models import Model
+    from models_tpu.outputs import BinaryOutput
+    from models_tpu.utils.io import load_model
+
+    ds = generate_data("e-commerce", num_rows=96)
+    item_col = ds.schema["item_id"]
+    body = SequentialBlock(
+        [
+            ParallelBlock({"item": TTEmbeddingTable(16, item_col, ranks=8)},
+                          aggregation="concat"),
+            MLPBlock([8]),
+        ]
+    )
+    m = Model(body, BinaryOutput("click"), schema=ds.schema)
+    m.compile()
+    h = m.fit(ds, epochs=1, batch_size=32, verbose=0)
+    assert np.isfinite(h.history["loss"][0])
+    path = str(tmp_path / "tt")
+    m.save(path)
+    import os
+
+    assert os.path.exists(os.path.join(path, "config.json"))
+    m2 = load_model(path)
+    p1 = np.asarray(m.predict(ds, batch_size=32))
+    p2 = np.asarray(m2.predict(ds, batch_size=32))
+    np.testing.assert_allclose(p1, p2, rtol=1e-5)

@@ -375,3 +375,96 @@ def test_encoder_encode_sweep_and_batch_predict():
     # rows match direct table lookups at the index ids
     direct = t.to_array()[cols["id"]]
     np.testing.assert_allclose(np.asarray(emb, np.float32), direct, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation registry (reference tests/unit/tf/core/test_aggregation.py)
+# ---------------------------------------------------------------------------
+
+def test_elementwise_sum_and_multiply_exact():
+    from models_tpu.core.aggregation import ElementwiseMultiply, ElementwiseSum
+
+    a = jnp.asarray([[1.0, 2.0]])
+    b = jnp.asarray([[10.0, 20.0]])
+    np.testing.assert_allclose(np.asarray(ElementwiseSum()({"a": a, "b": b})), [[11.0, 22.0]])
+    np.testing.assert_allclose(
+        np.asarray(ElementwiseMultiply()({"a": a, "b": b})), [[10.0, 40.0]]
+    )
+
+
+def test_elementwise_sum_shape_mismatch_raises():
+    from models_tpu.core.aggregation import ElementwiseSum
+
+    with pytest.raises(Exception):
+        np.asarray(ElementwiseSum()({"a": jnp.ones((2, 3)), "b": jnp.ones((2, 5))}))
+
+
+def test_element_wise_sum_item_multi_broadcasts_context():
+    from models_tpu.core.aggregation import ElementwiseSumItemMulti
+    from models_tpu.core.types import SequenceFeature
+
+    item = SequenceFeature(jnp.ones((2, 4, 3)), jnp.ones((2, 4), bool))
+    ctx1 = jnp.full((2, 3), 2.0)
+    ctx2 = jnp.full((2, 3), 3.0)
+    out = np.asarray(
+        ElementwiseSumItemMulti()({"item": item, "c1": ctx1, "c2": ctx2})
+    )
+    assert out.shape == (2, 4, 3)
+    np.testing.assert_allclose(out, 1.0 + 5.0)  # item + sum(context) broadcast over L
+
+    with pytest.raises(ValueError, match="exactly one 3-D"):
+        ElementwiseSumItemMulti()({"c1": ctx1})
+
+
+def test_cosine_aggregation_bounds_and_arity():
+    from models_tpu.core.aggregation import CosineSimilarity
+
+    a = jnp.asarray([[1.0, 0.0], [1.0, 1.0]])
+    b = jnp.asarray([[1.0, 0.0], [-1.0, -1.0]])
+    out = np.asarray(CosineSimilarity()({"a": a, "b": b}))
+    np.testing.assert_allclose(out[:, 0], [1.0, -1.0], atol=1e-6)
+    with pytest.raises(ValueError, match="exactly 2"):
+        CosineSimilarity()({"a": a})
+
+
+def test_stack_aggregation_axis():
+    from models_tpu.core.aggregation import StackFeatures
+
+    a, b = jnp.ones((2, 4)), 2 * jnp.ones((2, 4))
+    out = np.asarray(StackFeatures()({"a": a, "b": b}))
+    assert out.shape == (2, 2, 4)
+    np.testing.assert_allclose(out[:, 0], 1.0)  # sorted keys: 'a' first
+    np.testing.assert_allclose(out[:, 1], 2.0)
+
+
+def test_sum_residual_aggregation():
+    from models_tpu.core.aggregation import SumResidual
+
+    a = jnp.asarray([[1.0, 2.0]])
+    b = jnp.asarray([[10.0, 10.0]])
+    out = np.asarray(SumResidual()({"a": a, "shortcut": b}))
+    assert out.shape == (1, 2)
+
+
+def test_sequence_min_and_masked_positions():
+    from models_tpu.core.aggregation import sequence_max, sequence_min
+    from models_tpu.core.types import SequenceFeature
+
+    vals = jnp.asarray([[[5.0], [-7.0], [100.0]]])
+    mask = jnp.asarray([[True, True, False]])
+    sf = SequenceFeature(vals, mask)
+    np.testing.assert_allclose(np.asarray(sequence_min(sf)), [[-7.0]])
+    np.testing.assert_allclose(np.asarray(sequence_max(sf)), [[5.0]])
+
+
+def test_aggregation_registry_names_complete():
+    """Every aggregation name the reference registers resolves here."""
+    from models_tpu.core.aggregation import TabularAggregation
+
+    for name in (
+        "concat", "stack", "sum", "element-wise-sum", "sum-residual",
+        "element-wise-sum-item-multi", "cosine", "element-wise-multiply",
+        "masked_mean", "sequence-mean", "sequence-sum", "sequence-max",
+        "sequence-min", "sequence-last",
+    ):
+        assert TabularAggregation.parse(name) is not None, name

@@ -1,3 +1,4 @@
+import os
 import json
 
 import numpy as np
@@ -148,3 +149,41 @@ feature {
     assert s["user_id"].has_tag(Tags.USER_ID)
     assert s["genres"].is_list and s["genres"].max_seq_length == 6
     assert s["price"].is_continuous
+
+
+REFERENCE_DATASETS = "/root/reference/merlin/datasets"
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DATASETS), reason="reference absent")
+def test_loads_every_reference_schema_sidecar():
+    """Interop sweep: every schema.json / schema.pbtxt the reference ships for
+    its fixture datasets parses into a non-empty Schema with usable dtypes
+    (the NVTabular sidecar contract end to end)."""
+    import glob as _glob
+
+    json_files = _glob.glob(os.path.join(REFERENCE_DATASETS, "**", "schema.json"), recursive=True)
+    pbtxt_files = _glob.glob(os.path.join(REFERENCE_DATASETS, "**", "schema.pbtxt"), recursive=True)
+    assert len(json_files) >= 5 and len(pbtxt_files) >= 5
+    parsed = 0
+    for f in json_files:
+        s = Schema.load(f)
+        assert len(s) > 0, f
+        for col in s:
+            assert col.dtype, (f, col.name)
+        parsed += 1
+    for f in pbtxt_files:
+        s = Schema.load_pbtxt(f)
+        assert len(s) > 0, f
+        parsed += 1
+    assert parsed == len(json_files) + len(pbtxt_files)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DATASETS), reason="reference absent")
+def test_reference_aliccp_schema_semantics():
+    """Spot-check the Ali-CCP raw pbtxt: item/user ids carry the right tags and
+    int domains (what model constructors key off)."""
+    s = Schema.load_pbtxt(os.path.join(REFERENCE_DATASETS, "ecommerce/aliccp/raw/schema.pbtxt"))
+    item = s.select_by_tag(Tags.ITEM_ID)
+    user = s.select_by_tag(Tags.USER_ID)
+    assert len(item) == 1 and len(user) == 1
+    assert item.first.cardinality and item.first.cardinality > 1000

@@ -34,8 +34,8 @@ REFERENCE_EXAMPLES_PER_SEC = 100_000.0
 
 BATCH = 8192
 N1, N2 = 10, 60
-PIPE_BATCHES = 32
-BENCH_DATA = "/root/.cache/models_tpu_bench_data/ml25m_262144"
+PIPE_BATCHES = 128
+BENCH_DATA = "/root/.cache/models_tpu_bench_data/ml25m_1048576"
 
 
 _SALT = [0.0]

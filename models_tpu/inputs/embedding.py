@@ -222,6 +222,8 @@ def Embeddings(
     table_kwargs: Optional[Dict[str, dict]] = None,
     seed: int = 0,
     fused: bool = False,
+    tt_compression_threshold: Optional[int] = None,
+    tt_ranks: Union[int, tuple] = 32,
 ) -> ParallelBlock:
     """One :class:`EmbeddingTable` per categorical domain (reference ``:585``).
 
@@ -229,7 +231,11 @@ def Embeddings(
       via the cardinality**0.25 heuristic;
     - ``sequence_combiner="default"``: list columns tagged ``SEQUENCE`` stay 3-D
       (session models); other list columns are mean-pooled (multi-hot);
-    - columns sharing an int-domain name share one table.
+    - columns sharing an int-domain name share one table;
+    - ``tt_compression_threshold``: domains with cardinality above it use
+      tensor-train compressed tables (TT-Rec, :class:`TTEmbeddingTable`) —
+      100s-of-x less HBM for giant catalogs at the cost of two small extra
+      matmuls per lookup.
     """
     cat = schema.categorical
     if not len(cat):
@@ -281,6 +287,23 @@ def Embeddings(
         combiner = next(iter(combiners)) if len(combiners) == 1 else None
         tr = trainable if isinstance(trainable, bool) else trainable.get(domain, True)
         kw = (table_kwargs or {}).get(domain, {})
+        card = cols[0].cardinality or 0
+        if (
+            tt_compression_threshold is not None
+            and card > tt_compression_threshold
+            and tr
+            and not kw
+        ):
+            from .tt_embedding import TTEmbeddingTable
+
+            tables[domain] = TTEmbeddingTable(
+                dim=_dim_for(domain, cols),
+                col_schema=cols,
+                ranks=tt_ranks,
+                sequence_combiner=combiner,
+                seed=seed + i,
+            )
+            continue
         tables[domain] = EmbeddingTable(
             dim=_dim_for(domain, cols),
             col_schema=cols,

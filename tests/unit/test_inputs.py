@@ -469,3 +469,21 @@ def test_tt_embedding_in_model_save_load(tmp_path):
     p1 = np.asarray(m.predict(ds, batch_size=32))
     p2 = np.asarray(m2.predict(ds, batch_size=32))
     np.testing.assert_allclose(p1, p2, rtol=1e-5)
+
+
+def test_embeddings_factory_tt_threshold():
+    """Domains above tt_compression_threshold get TT-compressed tables; small
+    domains stay dense."""
+    from models_tpu.inputs import Embeddings, TTEmbeddingTable
+
+    schema = Schema(
+        [
+            create_categorical_column("small", 100),
+            create_categorical_column("huge", 1_000_000),
+        ]
+    )
+    emb = Embeddings(schema, dim=16, tt_compression_threshold=10_000, tt_ranks=8)
+    assert isinstance(emb["huge"], TTEmbeddingTable)
+    assert isinstance(emb["small"], EmbeddingTable)
+    out = emb({"small": jnp.array([1]), "huge": jnp.array([999_999])})
+    assert out["small"].shape == (1, 16) and out["huge"].shape == (1, 16)

@@ -376,3 +376,56 @@ def test_two_tower_trains_with_pairwise_bpr_loss(ecommerce_data):
     h = model.fit(ecommerce_data, epochs=2, batch_size=32, shuffle=False, verbose=0)
     assert np.isfinite(h.history["loss"]).all()
     assert h.history["loss"][-1] < h.history["loss"][0]
+
+
+def test_mf_block_with_binary_task(ecommerce_data):
+    """MF as a CTR scorer: dot-product interaction feeding a binary head
+    (reference test_matrix_factorization_model_with_binary_task)."""
+    from models_tpu.blocks.retrieval import MatrixFactorizationBlock
+    from models_tpu.models import Model
+    from models_tpu.outputs import BinaryOutput
+
+    schema = ecommerce_data.schema
+    body = MatrixFactorizationBlock(schema, dim=8, aggregation="cosine")
+    model = Model(body, BinaryOutput("click"), schema=schema)
+    model.compile()
+    hist = model.fit(ecommerce_data, epochs=1, batch_size=32, verbose=0)
+    assert np.isfinite(hist.history["loss"][0])
+    res = model.evaluate(ecommerce_data, batch_size=32)
+    assert any(k.endswith("auc") for k in res)
+
+
+def test_two_tower_compile_with_explicit_topk_aggregator(ecommerce_data):
+    """compile(metrics=TopKMetricsAggregator(...)) overrides the default
+    metric family (reference test_..._with_topk_metrics_aggregator)."""
+    from models_tpu.metrics.topk import MRRAt, RecallAt, TopKMetricsAggregator
+    from models_tpu.models import TwoTowerModel
+
+    model = TwoTowerModel(ecommerce_data.schema, query_tower=(16, 8), embedding_dim=8)
+    model.compile(metrics=[TopKMetricsAggregator(RecallAt(3), MRRAt(3))])
+    model.fit(ecommerce_data, epochs=1, batch_size=32, verbose=0)
+    res = model.evaluate(ecommerce_data, batch_size=32)
+    assert "recall_at_3" in res and "mrr_at_3" in res
+    assert "recall_at_10" not in res  # defaults replaced
+
+
+def test_two_tower_candidate_embeddings_export(ecommerce_data):
+    """candidate_embeddings: one row per unique item, usable as an index
+    (reference test_two_tower_v2_export_item_tower_embeddings)."""
+    from models_tpu.models import TwoTowerModel
+
+    model = TwoTowerModel(ecommerce_data.schema, query_tower=(16, 8), embedding_dim=8)
+    model.compile()
+    model.fit(ecommerce_data, epochs=1, batch_size=32, verbose=0)
+    emb = model.candidate_embeddings(ecommerce_data, batch_size=32)
+    cols = emb.to_numpy_dict()
+    assert "id" in cols
+    ids = cols["id"]
+    assert len(ids) == len(np.unique(ids))  # unique catalog rows
+    vecs = (
+        cols["embedding__values"].reshape(len(ids), -1)
+        if "embedding__values" in cols
+        else cols["embedding"]
+    )
+    assert vecs.shape[1] == 8
+    assert np.isfinite(vecs).all()

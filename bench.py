@@ -79,6 +79,15 @@ def _marginal(run, n1, n2, repeats=5):
     return min(clean) if clean else med
 
 
+
+def _to_default_device(tree):
+    """Move a pytree to the default (TPU) device: arrays created under the
+    host-CPU build pass are COMMITTED to CPU, and jit would otherwise run the
+    whole computation there."""
+    dev = jax.devices()[0]
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, dev), tree)
+
+
 # ---------------------------------------------------------------------------
 def bench_two_tower_compute(policy: str = "float32"):
     """Training step compute throughput: loop inside lax.scan on one batch."""
@@ -95,12 +104,15 @@ def bench_two_tower_compute(policy: str = "float32"):
     from models_tpu.models import TwoTowerModel
 
     ds = generate_data("movielens-25m", num_rows=BATCH, seed=3)
-    model = TwoTowerModel(ds.schema, query_tower=(256, 128), embedding_dim=128)
-    model.compile(optimizer="adagrad", learning_rate=0.05)
-    loader = Loader(ds, batch_size=BATCH, drop_last=True)
-    model.build(loader)
+    # eager build on host CPU (each eager op is a tunnel RTT on the TPU)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        model = TwoTowerModel(ds.schema, query_tower=(256, 128), embedding_dim=128)
+        model.compile(optimizer="adagrad", learning_rate=0.05)
+        loader = Loader(ds, batch_size=BATCH, drop_last=True)
+        model.build(loader)
 
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    params, rest = _to_default_device(params), _to_default_device(rest)
     tx = model._tx
     opt_state = tx.init(params)
     loss_fns = model._resolve_task_losses()
@@ -191,14 +203,16 @@ def bench_dlrm_compute():
     from models_tpu.models import DLRMModel
 
     ds = generate_data("criteo-small", num_rows=BATCH, seed=5)
-    model = DLRMModel(
-        ds.schema, embedding_dim=64, bottom_block=(256, 64), top_block=(256, 128)
-    )
-    model.compile(optimizer="adagrad", learning_rate=0.05)
-    loader = Loader(ds, batch_size=BATCH, drop_last=True)
-    model.build(loader)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        model = DLRMModel(
+            ds.schema, embedding_dim=64, bottom_block=(256, 64), top_block=(256, 128)
+        )
+        model.compile(optimizer="adagrad", learning_rate=0.05)
+        loader = Loader(ds, batch_size=BATCH, drop_last=True)
+        model.build(loader)
 
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    params, rest = _to_default_device(params), _to_default_device(rest)
     tx = model._tx
     opt_state = tx.init(params)
     loss_fns = model._resolve_task_losses()
@@ -237,6 +251,77 @@ def bench_dlrm_compute():
 
     step_time = _marginal(run, N1, N2)
     return BATCH / step_time, step_time * 1000
+
+
+# ---------------------------------------------------------------------------
+def bench_session_transformer():
+    """Session-based transformer training step (GPT2-style causal next-item,
+    d_model=128, 2 layers, L=20, batch 1024, in-batch sampled softmax over all
+    positions) — the reference's example-08 workload."""
+    import optax
+    from flax import nnx
+
+    from models_tpu.core.block import call_block
+    from models_tpu.core.types import ModelContext, to_device_batch
+    from models_tpu.data import Loader, generate_data
+    from models_tpu.models.session import SessionBasedTransformerModel
+    from models_tpu.transformer.block import GPT2Block
+    from models_tpu.transforms.sequence import SequencePredictNext
+
+    B = 1024
+    ds = generate_data("sequence-testing", num_rows=B, seed=7)
+    # construct + eager-build on the HOST CPU backend: the build pass runs
+    # hundreds of tiny eager ops, each a tunnel RTT on the TPU (minutes);
+    # jit moves the params to the TPU on first compiled call
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        model = SessionBasedTransformerModel(
+            ds.schema,
+            transformer=GPT2Block(d_model=128, n_head=8, n_layer=2, dropout=0.0),
+            embedding_dim=128,
+        )
+        model.compile(optimizer="adam", learning_rate=1e-3)
+        loader = Loader(ds, batch_size=B, drop_last=True)
+        model.build(loader)
+    pre = SequencePredictNext(ds.schema, target="item_id_seq")
+    x_host, y_host = loader.peek()
+    x_host, y_host = pre(x_host, targets=y_host)
+    x = to_device_batch(x_host)
+    y = jax.tree_util.tree_map(jnp.asarray, y_host)
+
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    params, rest = _to_default_device(params), _to_default_device(rest)
+    x, y = _to_default_device(x), _to_default_device(y)
+    tx = model._tx
+    opt_state = tx.init(params)
+    loss_fns = model._resolve_task_losses()
+
+    def train_step(carry, _):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            mod = nnx.merge(graphdef, p, rest)
+            context = ModelContext(features=x, targets=y, step=0)
+            context["need_logits"] = False
+            preds = call_block(mod, x, targets=y, training=True, context=context)
+            pred_dict = mod._as_pred_dict(preds)
+            total, _ = mod._compute_losses(pred_dict, x, loss_fns)
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    def run(n, salt):
+        @jax.jit
+        def go(params, opt_state, salt):
+            (_, _), losses = jax.lax.scan(train_step, (params, opt_state), None, length=n)
+            return losses[-1] + salt
+
+        return float(go(params, opt_state, jnp.float32(salt)))
+
+    step_time = _marginal(run, 4, 24)
+    return B / step_time, step_time * 1000
 
 
 # ---------------------------------------------------------------------------
@@ -354,6 +439,7 @@ def main():
     examples_per_sec, step_ms = bench_two_tower_compute()
     eps_bf16, step_ms_bf16 = bench_two_tower_compute("mixed_bfloat16")
     dlrm_eps, dlrm_ms = bench_dlrm_compute()
+    sess_eps, sess_ms = bench_session_transformer()
     pipeline_eps = bench_two_tower_pipeline()
     topk_qps, topk_ms, build_ms = bench_topk()
     sparse_4m, dense_4m, sparse_8m = bench_sparse_optimizer()
@@ -376,6 +462,8 @@ def main():
             "compute_step_ms_bf16": round(step_ms_bf16, 3),
             "dlrm_criteo_examples_per_sec": round(dlrm_eps, 1),
             "dlrm_criteo_step_ms": round(dlrm_ms, 3),
+            "session_transformer_sessions_per_sec": round(sess_eps, 1),
+            "session_transformer_step_ms": round(sess_ms, 3),
             "pipeline_examples_per_sec": round(pipeline_eps, 1),
             "pipeline_vs_compute": round(pipeline_eps / best_eps, 3),
             "topk_qps_1M_catalog": round(topk_qps, 1),

@@ -1092,6 +1092,52 @@ class BaseModel(Block):
     # ------------------------------------------------------------------
     # persistence
     # ------------------------------------------------------------------
+    def summary(self, print_fn=print) -> str:
+        """Keras-style model summary: block tree + per-block parameter counts
+        (the reference relies on ``keras.Model.summary``)."""
+        lines = [f"Model: {type(self).__name__} ({self.block_name or 'model'})"]
+        total = 0
+
+        def params_of(block) -> int:
+            n = 0
+            state = nnx.state(block, nnx.Param) if isinstance(block, nnx.Module) else None
+            if state is not None:
+                for leaf in jax.tree_util.tree_leaves(state):
+                    n += int(np.prod(jnp.shape(leaf)))
+            return n
+
+        seen = set()
+
+        def walk(block, depth):
+            nonlocal total
+            if id(block) in seen:
+                return
+            seen.add(id(block))
+            own = params_of(block)
+            name = getattr(block, "block_name", None) or type(block).__name__
+            lines.append(f"{'  ' * depth}{name} [{type(block).__name__}]  params={own:,}")
+            children = []
+            for v in vars(block).values():
+                if isinstance(v, Block):
+                    children.append(v)
+                elif isinstance(v, nnx.List):
+                    children.extend(x for x in v if isinstance(x, Block))
+                elif isinstance(v, nnx.Dict):
+                    children.extend(x for x in v.values() if isinstance(x, Block))
+            for c in children:
+                walk(c, depth + 1)
+
+        for b in getattr(self, "blocks", []):
+            walk(b, 1)
+        for h in self.heads():
+            walk(h, 1)
+        total = params_of(self)
+        lines.append(f"Total params: {total:,} ({total * 4 / 2**20:.1f} MB fp32)")
+        out = "\n".join(lines)
+        if print_fn:
+            print_fn(out)
+        return out
+
     def save(self, path: str) -> None:
         from ..utils.io import save_model
 

@@ -148,3 +148,15 @@ def test_evaluate_pre_hook_applies():
                         pre=SequencePredictNext(ds.schema, target="item_id_seq"))
     assert "recall_at_10" in r_last and "recall_at_10" in r_next
     assert r_last["loss"] != r_next["loss"]
+
+
+def test_model_summary(ecommerce):
+    m = _simple_model(ecommerce.schema)
+    m.compile()
+    m.build(ecommerce)
+    out = m.summary(print_fn=None)
+    assert "Total params:" in out
+    assert "BinaryOutput" in out
+    # parameter count is real
+    total = int(out.rsplit("Total params: ", 1)[1].split(" ")[0].replace(",", ""))
+    assert total > 1000

@@ -101,8 +101,12 @@ class Loader:
         self._file_cache: Dict[int, Dict[str, np.ndarray]] = {}
 
         self._target_cols = [c.name for c in self.schema.targets]
+        # bytes/string columns (e.g. movielens `title`) stay in the schema for
+        # interop but are not tensor-convertible model inputs
         self._feature_cols = [
-            c.name for c in self.schema if c.name not in self._target_cols
+            c.name
+            for c in self.schema
+            if c.name not in self._target_cols and c.dtype != "bytes"
         ]
         self._list_cols = {c.name: max(c.max_seq_length, 1) for c in self.schema if c.is_list}
 

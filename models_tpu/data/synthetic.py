@@ -20,6 +20,7 @@ import numpy as np
 
 from ..schema import (
     ColumnSchema,
+    Domain,
     Schema,
     Tags,
     create_categorical_column as cat,
@@ -28,11 +29,16 @@ from ..schema import (
 from .dataset import Dataset
 
 
-def _binary_target(name: str) -> ColumnSchema:
+def _binary_target(name: str, domain_max: int = 1) -> ColumnSchema:
+    from ..schema import Domain
+
     return ColumnSchema(
         name,
         tags=(Tags.BINARY_CLASSIFICATION, Tags.TARGET),
         dtype="int32",
+        # the reference's stored fixture schemas carry (quirky) int domains on
+        # targets (click max=1, conversion max=0) — mirrored for interop parity
+        int_domain=Domain(0, domain_max, is_categorical=False),
     )
 
 
@@ -56,8 +62,13 @@ def _ecommerce_schema() -> Schema:
         cols.append(cat(name, card, tags=Tags.ITEM))
     cols.append(cat("item_id", 1000, tags=(Tags.ITEM, Tags.ITEM_ID)))
     cols.append(cat("position", 4, tags=Tags.CONTEXT))
+    for name, card in (
+        ("user_item_categories", 300), ("user_item_shops", 500),
+        ("user_item_brands", 250), ("user_item_intentions", 25),
+    ):
+        cols.append(cat(name, card, tags=("user_item",)))
     cols.append(_binary_target("click"))
-    cols.append(_binary_target("conversion"))
+    cols.append(_binary_target("conversion", domain_max=0))
     return Schema(cols)
 
 
@@ -71,9 +82,11 @@ def _music_streaming_schema() -> Schema:
             cat("item_genres", 100, tags=Tags.ITEM, is_list=True, max_seq_length=4),
             cat("user_id", 10000, tags=(Tags.USER, Tags.USER_ID)),
             cat("country", 100, tags=Tags.USER),
-            cont("user_age", tags=Tags.USER, min_value=18, max_value=50),
+            ColumnSchema("user_age", tags=(Tags.USER, Tags.CONTINUOUS), dtype="int32",
+                         int_domain=Domain(0, 50, is_categorical=False)),
             cat("user_genres", 100, tags=Tags.USER, is_list=True, max_seq_length=4),
-            cont("position", tags=("bias",)),
+            ColumnSchema("position", tags=("bias", Tags.CONTINUOUS), dtype="int32",
+                         int_domain=Domain(0, 100, is_categorical=False)),
             _binary_target("click"),
             _regression_target("play_percentage"),
             _binary_target("like"),
@@ -96,6 +109,7 @@ def _sequence_testing_schema() -> Schema:
             cat("categories", 331, tags=(Tags.LIST,) + seq, is_list=True, max_seq_length=L),
             cat("user_country", 62, tags=Tags.USER),
             cont("user_age", tags=Tags.USER),
+            ColumnSchema("event_timestamp", dtype="int32"),
         ]
     )
 
@@ -107,6 +121,9 @@ def _testing_schema() -> Schema:
             cont("item_age_days_norm", tags=Tags.ITEM),
             cont("event_hour_sin", tags=Tags.ITEM),
             cont("event_hour_cos", tags=Tags.ITEM),
+            cont("event_weekday_sin", tags=Tags.ITEM),
+            cont("event_weekday_cos", tags=Tags.ITEM),
+            ColumnSchema("event_timestamp", dtype="int32"),
             cat("item_id", 100, tags=(Tags.ITEM, Tags.ITEM_ID)),
             cat("categories", 70, tags=(Tags.ITEM, Tags.LIST), is_list=True, max_seq_length=4),
             cat("user_country", 62, tags=Tags.USER),
@@ -122,11 +139,17 @@ def _social_schema() -> Schema:
         cat("user_profile", 98, tags=Tags.USER),
         cat("user_group", 14, tags=Tags.USER),
         cat("user_id", 294736, tags=(Tags.USER, Tags.USER_ID)),
+        cat("user_age", 8, tags=Tags.USER),
+        cat("user_consumption_1", 4, tags=Tags.USER),
+        cat("user_gender", 3, tags=Tags.USER),
+        cat("user_geography", 5, tags=Tags.USER),
+        cat("user_is_occupied", 3, tags=Tags.USER),
         cat("item_category", 8581, tags=Tags.ITEM),
         cat("item_id", 3078306, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        cat("item_user_id", 294736, tags=Tags.ITEM),
         cat("position", 4, tags=Tags.CONTEXT),
     ]
-    cols += [_binary_target(t) for t in ("click", "like", "comment", "share", "hide")]
+    cols += [_binary_target(t, domain_max=0) for t in ("click", "like", "comment", "share", "hide")]
     return Schema(cols)
 
 
@@ -135,10 +158,13 @@ def _movielens_100k_schema() -> Schema:
         [
             cat("movieId", 1680, tags=(Tags.ITEM, Tags.ITEM_ID)),
             cat("userId", 943, tags=(Tags.USER, Tags.USER_ID)),
-            cat("genres", 216, tags=Tags.ITEM, is_list=True, max_seq_length=4),
+            cat("genres", 216, tags=Tags.ITEM),
             cont("TE_movieId_rating", tags=Tags.CONTINUOUS),
             cat("gender", 2, tags=Tags.USER),
             cat("zip_code", 795, tags=Tags.USER),
+            cat("age", 8, tags=Tags.USER),
+            ColumnSchema("title", dtype="bytes"),
+            cont("userId_count"),
             _binary_target("rating_binary"),
             _regression_target("rating"),
         ]
@@ -148,9 +174,12 @@ def _movielens_100k_schema() -> Schema:
 def _movielens_25m_schema() -> Schema:
     return Schema(
         [
-            cat("movieId", 62423, tags=(Tags.ITEM, Tags.ITEM_ID)),
+            cat("movieId", 56680, tags=(Tags.ITEM, Tags.ITEM_ID)),
             cat("userId", 162541, tags=(Tags.USER, Tags.USER_ID)),
-            cat("genres", 21, tags=Tags.ITEM, is_list=True, max_seq_length=4),
+            cat("genres", 20, tags=Tags.ITEM, is_list=True, max_seq_length=10),
+            cont("TE_movieId_rating", tags=Tags.ITEM),
+            cont("userId_count", tags=Tags.USER),
+            ColumnSchema("title", dtype="bytes"),
             _binary_target("rating_binary"),
             _regression_target("rating"),
         ]
@@ -312,6 +341,9 @@ def _sample_column(
 
 
 def _sample_values(col: ColumnSchema, n: int, rng: np.random.Generator) -> np.ndarray:
+    if col.dtype == "bytes":
+        ids = rng.integers(0, max(n, 10), size=n)
+        return np.array([f"{col.name}_{i}" for i in ids])
     if col.int_domain is not None and col.int_domain.is_categorical:
         card = col.cardinality
         # mild popularity skew (zipf-ish) like real id distributions; id 0 reserved

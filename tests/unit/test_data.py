@@ -1,3 +1,4 @@
+import os
 import numpy as np
 import pytest
 
@@ -335,3 +336,47 @@ def test_aliccp_raw_parser(tmp_path):
     assert {"click", "conversion"} <= set(cols)
     # common features joined through the index
     assert (cols["user_age"] > 0).all()
+
+
+REFERENCE_DATASETS = "/root/reference/merlin/datasets"
+# our fixture name -> the reference's stored schema dir (synthetic.py KNOWN_DATASETS)
+_REF_SCHEMA_DIRS = {
+    "e-commerce": "ecommerce/small",
+    "music-streaming": "entertainment/music_streaming",
+    "social": "social",
+    "testing": "testing",
+    "sequence-testing": "testing/sequence_testing",
+    "movielens-25m": "entertainment/movielens/25m",
+    "movielens-100k": "entertainment/movielens/100k",
+}
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DATASETS), reason="reference absent")
+@pytest.mark.parametrize("name", sorted(_REF_SCHEMA_DIRS))
+def test_synthetic_schema_matches_reference_fixture(name):
+    """Our synthetic fixture schemas ARE the reference's stored schemas: same
+    column names, list-ness, tags (item/user ids), and int-domain
+    cardinalities — the interop contract that makes the reference's test
+    strategy port 1:1 (SURVEY §4)."""
+    from models_tpu.data.synthetic import known_schema
+    from models_tpu.schema import Schema, Tags
+
+    ref_dir = os.path.join(REFERENCE_DATASETS, _REF_SCHEMA_DIRS[name])
+    json_path = os.path.join(ref_dir, "schema.json")
+    pbtxt_path = os.path.join(ref_dir, "schema.pbtxt")
+    if os.path.exists(json_path):
+        ref = Schema.load(json_path)
+    elif os.path.exists(pbtxt_path):
+        ref = Schema.load_pbtxt(pbtxt_path)
+    else:
+        pytest.skip(f"no stored schema under {ref_dir}")
+    ours = known_schema(name)
+
+    assert set(ours.column_names) == set(ref.column_names), name
+    for col in ref:
+        mine = ours[col.name]
+        assert mine.is_list == col.is_list, (name, col.name)
+        if col.cardinality:
+            assert mine.cardinality == col.cardinality, (name, col.name)
+        for tag in (Tags.ITEM_ID, Tags.USER_ID, Tags.TARGET):
+            assert mine.has_tag(tag) == col.has_tag(tag), (name, col.name, tag)

@@ -2,7 +2,7 @@
 Pallas top-k serving, and the row-sparse optimizer at catalog scale.
 
 Headline config mirrors the BASELINE.md north-star shape (MovieLens-25M-scale
-two-tower, in-batch sampled softmax over the global batch): 162k users x 62k
+two-tower, in-batch sampled softmax over the global batch): 162k users x 57k
 items, 128-d embeddings, [256,128] MLP towers, batch 8192.
 
 Measurement notes: the axon tunnel to the TPU makes per-call timing unreliable

@@ -229,6 +229,7 @@ class BaseModel(Block):
         embedding_optimizer=None,
         jit: bool = True,
         steps_per_execution: int = 1,
+        class_weight: Optional[Dict] = None,
     ) -> "BaseModel":
         from ..blocks.optimizer import MultiOptimizer, SparseEmbeddingOptimizer
 
@@ -245,6 +246,7 @@ class BaseModel(Block):
         self._loss_spec = loss
         self._metrics_spec = metrics
         self._loss_weights = loss_weights or {}
+        self._class_weight = class_weight
         self.train_metrics_steps = train_metrics_steps
         self._steps_per_execution = max(int(steps_per_execution), 1)
         self._jit = jit
@@ -297,6 +299,20 @@ class BaseModel(Block):
             return {k: v for k, v in preds.items() if isinstance(v, Prediction)}
         raise TypeError(f"Model produced {type(preds)}; expected Prediction or dict")
 
+    def _class_weight_for(self, task_name: str):
+        """(w_negative, w_positive) for a binary task, from compile's
+        ``class_weight`` — Keras ``fit(class_weight={0: w0, 1: w1})`` parity
+        (flat dict = every binary task; nested dict = per task name)."""
+        cw = getattr(self, "_class_weight", None)
+        if not cw:
+            return None
+        if all(isinstance(k, (int, np.integer)) for k in cw):
+            return float(cw.get(0, 1.0)), float(cw.get(1, 1.0))
+        task_cw = cw.get(task_name) or cw.get(task_name.split("/")[0])
+        if task_cw is None:
+            return None
+        return float(task_cw.get(0, 1.0)), float(task_cw.get(1, 1.0))
+
     def _collect_reg_loss(self) -> jnp.ndarray:
         total = jnp.zeros(())
         for b in iter_blocks(self):
@@ -320,6 +336,11 @@ class BaseModel(Block):
                 continue
             t, sw = _unwrap_targets(pred)
             sw = _merge_row_valid(sw, row_valid, pred.outputs.shape[0])
+            cw = self._class_weight_for(name)
+            if cw is not None:
+                w0, w1 = cw
+                csw = jnp.where(jnp.reshape(t, (-1,)) > 0, w1, w0)
+                sw = csw if sw is None else sw * csw
             value = _auto_loss(loss_fns[name], t, pred.outputs, sw)
             weight = self._loss_weights.get(name, 1.0)
             logs[f"loss/{name}"] = value

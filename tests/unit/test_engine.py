@@ -160,3 +160,33 @@ def test_model_summary(ecommerce):
     # parameter count is real
     total = int(out.rsplit("Total params: ", 1)[1].split(" ")[0].replace(",", ""))
     assert total > 1000
+
+
+def test_class_weight_selects_classes(ecommerce):
+    """compile(class_weight=): {0:1,1:0} evaluates the negatives' loss only,
+    {0:0,1:1} the positives' only, and the unweighted loss lies between
+    (weighted-mean semantics; Keras fit(class_weight=...) parity)."""
+    m = _simple_model(ecommerce.schema, seed=5)
+    m.compile()
+    m.fit(ecommerce, epochs=2, batch_size=64, shuffle=False, verbose=0)
+
+    def eval_loss(cw):
+        m._class_weight = cw
+        m._step_cache.clear()  # recompile eval step with the new weights
+        return m.evaluate(ecommerce, batch_size=64)["loss"]
+
+    base = eval_loss(None)
+    neg_only = eval_loss({0: 1.0, 1: 0.0})
+    pos_only = eval_loss({0: 0.0, 1: 1.0})
+    lo, hi = sorted([neg_only, pos_only])
+    assert lo - 1e-6 <= base <= hi + 1e-6
+    assert abs(neg_only - pos_only) > 1e-4  # trained model separates classes
+
+
+def test_class_weight_per_task(ecommerce):
+    from models_tpu.models import MMOEModel
+
+    m = MMOEModel(ecommerce.schema, expert_block=(8,), num_experts=2, embedding_dim=8)
+    m.compile(class_weight={"click": {0: 0.0, 1: 0.0}, "conversion": {0: 1.0, 1: 1.0}})
+    h = m.fit(ecommerce, epochs=1, batch_size=64, shuffle=False, verbose=0)
+    assert np.isfinite(h.history["loss"][0])

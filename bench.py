@@ -46,20 +46,21 @@ def _next_salt() -> float:
     return _SALT[0]
 
 
-def _marginal(run, n1, n2, repeats=5):
-    """Median of PAIRED marginal seconds/step between two step counts.
+def _marginal(run, n1, n2, repeats=7):
+    """Best-clean-pair marginal seconds/step between two step counts: the MIN
+    of positive paired marginals above 0.3x their median.
 
     Every invocation gets a distinct input salt: the tunnel memoizes repeated
     identical executions (CLAUDE.md), which otherwise produces impossible
     (even negative) marginals. Pairing each (n1, n2) timing temporally
-    adjacent cancels contention drift, and the median discards pairs a
-    memoization/contention window still poisons — best-of independent mins
-    (the previous scheme) could pair a poisoned fast n1 with a clean n2 and
-    report absurd throughput."""
+    adjacent cancels contention drift; the 0.3x-median floor discards pairs a
+    memoization window still poisons (they cluster near zero) — best-of
+    INDEPENDENT mins (the previous scheme) could pair a poisoned fast n1 with
+    a clean n2 and report absurd throughput."""
     for n in (n1, n2):
         run(n, _next_salt())  # compile + warm
     marginals = []
-    for _ in range(max(repeats, 7)):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         run(n1, _next_salt())
         t1 = time.perf_counter()
@@ -438,9 +439,10 @@ def main():
 
     examples_per_sec, step_ms = bench_two_tower_compute()
     eps_bf16, step_ms_bf16 = bench_two_tower_compute("mixed_bfloat16")
+    best_policy_early = "mixed_bfloat16" if eps_bf16 >= examples_per_sec else "float32"
     dlrm_eps, dlrm_ms = bench_dlrm_compute()
     sess_eps, sess_ms = bench_session_transformer()
-    pipeline_eps = bench_two_tower_pipeline()
+    pipeline_eps = bench_two_tower_pipeline(policy=best_policy_early)
     topk_qps, topk_ms, build_ms = bench_topk()
     sparse_4m, dense_4m, sparse_8m = bench_sparse_optimizer()
 

@@ -30,8 +30,6 @@ from .dataset import Dataset
 
 
 def _binary_target(name: str, domain_max: int = 1) -> ColumnSchema:
-    from ..schema import Domain
-
     return ColumnSchema(
         name,
         tags=(Tags.BINARY_CLASSIFICATION, Tags.TARGET),

@@ -266,14 +266,22 @@ def Embeddings(
             return None if col.has_tag(Tags.SEQUENCE) else "mean"
         return sequence_combiner if col.is_list else None
 
+    def _tt_eligible(domain, cols) -> bool:
+        return (
+            tt_compression_threshold is not None
+            and (cols[0].cardinality or 0) > tt_compression_threshold
+        )
+
     tables: Dict[str, EmbeddingTable] = {}
     if fused and isinstance(dim, int):
         # fuse single-column scalar domains with default options into ONE table
+        # (TT-eligible domains are excluded — compression takes precedence)
         fusable = [
             (domain, cols[0])
             for domain, cols in by_domain.items()
             if len(cols) == 1
             and not cols[0].is_list
+            and not _tt_eligible(domain, cols)
             and (trainable is True or (isinstance(trainable, dict) and trainable.get(domain, True)))
             and domain not in (table_kwargs or {})
         ]
@@ -287,23 +295,28 @@ def Embeddings(
         combiner = next(iter(combiners)) if len(combiners) == 1 else None
         tr = trainable if isinstance(trainable, bool) else trainable.get(domain, True)
         kw = (table_kwargs or {}).get(domain, {})
-        card = cols[0].cardinality or 0
-        if (
-            tt_compression_threshold is not None
-            and card > tt_compression_threshold
-            and tr
-            and not kw
-        ):
-            from .tt_embedding import TTEmbeddingTable
+        if _tt_eligible(domain, cols):
+            if not tr or kw:
+                import warnings
 
-            tables[domain] = TTEmbeddingTable(
-                dim=_dim_for(domain, cols),
-                col_schema=cols,
-                ranks=tt_ranks,
-                sequence_combiner=combiner,
-                seed=seed + i,
-            )
-            continue
+                warnings.warn(
+                    f"domain {domain!r} exceeds tt_compression_threshold but has "
+                    f"{'trainable=False' if not tr else 'table_kwargs'} — using a "
+                    "DENSE table (may not fit HBM at this cardinality)",
+                    stacklevel=2,
+                )
+            else:
+                from .tt_embedding import TTEmbeddingTable
+
+                tables[domain] = TTEmbeddingTable(
+                    dim=_dim_for(domain, cols),
+                    col_schema=cols,
+                    ranks=tt_ranks,
+                    sequence_combiner=combiner,
+                    l2_reg=l2_reg,
+                    seed=seed + i,
+                )
+                continue
         tables[domain] = EmbeddingTable(
             dim=_dim_for(domain, cols),
             col_schema=cols,

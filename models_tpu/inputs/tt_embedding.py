@@ -78,6 +78,7 @@ class TTEmbeddingTable(Block):
         col_schema: Union[ColumnSchema, Sequence[ColumnSchema]],
         ranks: Union[int, Tuple[int, int]] = 16,
         sequence_combiner: Optional[str] = None,
+        l2_reg: float = 0.0,
         seed: int = 0,
     ):
         cols = [col_schema] if isinstance(col_schema, ColumnSchema) else list(col_schema)
@@ -89,6 +90,7 @@ class TTEmbeddingTable(Block):
         self.input_dim = int(card)
         self.features = [c.name for c in cols]
         self.sequence_combiner = sequence_combiner
+        self.l2_reg = l2_reg
         if isinstance(ranks, int):
             ranks = (ranks, ranks)
         r1, r2 = int(ranks[0]), int(ranks[1])
@@ -159,6 +161,13 @@ class TTEmbeddingTable(Block):
                 if name in inputs
             }
         return self._call_single(inputs, context=context)
+
+    def regularization_loss(self) -> jnp.ndarray:
+        if not self.l2_reg:
+            return jnp.zeros(())
+        return self.l2_reg * sum(
+            jnp.sum(jnp.square(c.value)) for c in (self.core1, self.core2, self.core3)
+        )
 
     def __repr__(self):
         return (

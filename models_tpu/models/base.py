@@ -307,6 +307,15 @@ class BaseModel(Block):
         if not cw:
             return None
         if all(isinstance(k, (int, np.integer)) for k in cw):
+            # flat dict applies to BINARY tasks only (regression/multiclass
+            # targets must not be class-reweighted by 0/1 thresholding)
+            from ..outputs.base import BinaryOutput
+
+            binary = {
+                h.block_name for h in self.heads() if isinstance(h, BinaryOutput)
+            }
+            if task_name not in binary:
+                return None
             return float(cw.get(0, 1.0)), float(cw.get(1, 1.0))
         task_cw = cw.get(task_name) or cw.get(task_name.split("/")[0])
         if task_cw is None:
@@ -339,8 +348,10 @@ class BaseModel(Block):
             cw = self._class_weight_for(name)
             if cw is not None:
                 w0, w1 = cw
-                csw = jnp.where(jnp.reshape(t, (-1,)) > 0, w1, w0)
-                sw = csw if sw is None else sw * csw
+                csw = jnp.where(t > 0, w1, w0).astype(jnp.float32)
+                if csw.ndim == 2 and csw.shape[-1] == 1:
+                    csw = csw[:, 0]
+                sw = csw if sw is None else sw * csw.reshape(sw.shape)
             value = _auto_loss(loss_fns[name], t, pred.outputs, sw)
             weight = self._loss_weights.get(name, 1.0)
             logs[f"loss/{name}"] = value
@@ -1141,15 +1152,17 @@ class BaseModel(Block):
             for v in vars(block).values():
                 if isinstance(v, Block):
                     children.append(v)
-                elif isinstance(v, nnx.List):
+                elif isinstance(v, (nnx.List, list, tuple)):
                     children.extend(x for x in v if isinstance(x, Block))
-                elif isinstance(v, nnx.Dict):
+                elif isinstance(v, (nnx.Dict, dict)):
                     children.extend(x for x in v.values() if isinstance(x, Block))
             for c in children:
                 walk(c, depth + 1)
 
-        for b in getattr(self, "blocks", []):
-            walk(b, 1)
+        for b in (getattr(self, "pre", None), *getattr(self, "blocks", []),
+                  getattr(self, "post", None)):
+            if b is not None:
+                walk(b, 1)
         for h in self.heads():
             walk(h, 1)
         total = params_of(self)

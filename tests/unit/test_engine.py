@@ -190,3 +190,34 @@ def test_class_weight_per_task(ecommerce):
     m.compile(class_weight={"click": {0: 0.0, 1: 0.0}, "conversion": {0: 1.0, 1: 1.0}})
     h = m.fit(ecommerce, epochs=1, batch_size=64, shuffle=False, verbose=0)
     assert np.isfinite(h.history["loss"][0])
+
+
+def test_class_weight_with_sequence_targets():
+    """Regression: class_weight must not crash sequence-target models (the
+    (B,L) mask-weight multiply) — and flat dicts must NOT touch non-binary
+    tasks (regression targets)."""
+    from models_tpu.models.session import SessionBasedTransformerModel
+    from models_tpu.transformer.block import GPT2Block
+    from models_tpu.transforms.sequence import SequencePredictNext
+
+    ds = generate_data("sequence-testing", num_rows=64)
+    m = SessionBasedTransformerModel(
+        ds.schema, transformer=GPT2Block(d_model=16, n_head=2, n_layer=1), embedding_dim=8
+    )
+    m.compile(class_weight={0: 1.0, 1: 2.0})
+    h = m.fit(ds, epochs=1, batch_size=16,
+              pre=SequencePredictNext(ds.schema, target="item_id_seq"), verbose=0)
+    assert np.isfinite(h.history["loss"][0])
+
+    # flat class_weight leaves a regression task untouched
+    from models_tpu.models import DLRMModel
+
+    music = generate_data("music-streaming", num_rows=96)
+    schema = music.schema.excluding_by_name(["click", "like"])
+    m1 = DLRMModel(schema, embedding_dim=8, top_block=(8,), seed=3)
+    m1.compile()
+    base = m1.fit(music, epochs=1, batch_size=32, shuffle=False, verbose=0).history["loss"][0]
+    m2 = DLRMModel(schema, embedding_dim=8, top_block=(8,), seed=3)
+    m2.compile(class_weight={0: 0.0, 1: 0.0})
+    cw = m2.fit(music, epochs=1, batch_size=32, shuffle=False, verbose=0).history["loss"][0]
+    np.testing.assert_allclose(cw, base, rtol=1e-5)  # regression loss unchanged

@@ -487,3 +487,32 @@ def test_embeddings_factory_tt_threshold():
     assert isinstance(emb["small"], EmbeddingTable)
     out = emb({"small": jnp.array([1]), "huge": jnp.array([999_999])})
     assert out["small"].shape == (1, 16) and out["huge"].shape == (1, 16)
+
+
+def test_embeddings_tt_takes_precedence_over_fused():
+    """Regression: fused=True must not consume TT-eligible huge domains into a
+    dense fused table (the HBM-OOM case TT was requested to avoid)."""
+    from models_tpu.inputs import Embeddings, TTEmbeddingTable
+
+    schema = Schema(
+        [
+            create_categorical_column("a", 100),
+            create_categorical_column("b", 200),
+            create_categorical_column("huge", 5_000_000),
+        ]
+    )
+    emb = Embeddings(schema, dim=16, fused=True, tt_compression_threshold=10_000, tt_ranks=8)
+    assert isinstance(emb["huge"], TTEmbeddingTable)
+    # the small scalar domains still fuse
+    assert "fused" in set(emb.keys())
+
+
+def test_tt_embedding_l2_reg():
+    from models_tpu.inputs import TTEmbeddingTable
+
+    col = create_categorical_column("x", 1000)
+    t = TTEmbeddingTable(8, col, ranks=4, l2_reg=0.5)
+    expect = 0.5 * sum(
+        float(np.sum(np.square(np.asarray(c.value)))) for c in (t.core1, t.core2, t.core3)
+    )
+    np.testing.assert_allclose(float(t.regularization_loss()), expect, rtol=1e-6)

@@ -32,8 +32,10 @@ def extract_topk(
 
     Tie handling mirrors the reference's ``extract_topk`` (``tf_utils.py:157-210``):
     ties are broken randomly (tiny uniform noise) so metrics are unbiased when many
-    scores are equal (e.g. untrained models).
+    scores are equal (e.g. untrained models). ``k`` is clamped to the candidate
+    width (recall@10 over 8 classes = recall@8).
     """
+    k = min(k, scores.shape[-1])
     if shuffle_ties:
         # EXACT tie shuffling: permute the candidate axis before top_k (which
         # breaks ties by position) and map indices back — no additive noise,
@@ -117,8 +119,8 @@ class TopKMetric(Metric):
     def init_state(self):
         return {"total": jnp.zeros(()), "count": jnp.zeros(())}
 
-    def _compute(self, rel, num_relevant):
-        return _TOPK_FNS[self.metric_fn_name](self.k, rel, num_relevant)
+    def _compute(self, rel, num_relevant, k=None):
+        return _TOPK_FNS[self.metric_fn_name](k if k is not None else self.k, rel, num_relevant)
 
     def update(
         self, state, outputs, targets, sample_weight=None, label_relevant_counts=None
@@ -132,7 +134,7 @@ class TopKMetric(Metric):
             if label_relevant_counts is not None
             else jnp.sum(targets.astype(jnp.float32), axis=-1)
         )
-        vals = self._compute(rel, num_rel)
+        vals = self._compute(rel, num_rel, k=min(self.k, rel.shape[1]))
         w = jnp.ones_like(vals) if sample_weight is None else sample_weight.reshape(-1).astype(vals.dtype)
         return {
             "total": state["total"] + jnp.sum(vals * w),
@@ -201,7 +203,7 @@ class TopKMetricsAggregator(Metric):
         )
         new_state = {}
         for m in self.metrics:
-            vals = m._compute(rel, num_rel)
+            vals = m._compute(rel, num_rel, k=min(m.k, rel.shape[1]))
             w = (
                 jnp.ones_like(vals)
                 if sample_weight is None

@@ -282,3 +282,110 @@ def test_multitask_task_towers_save_load(ecommerce, tmp_path):
     p1 = model.predict(ecommerce, batch_size=64)["click/BinaryOutput"]
     p2 = m2.predict(ecommerce, batch_size=64)["click/BinaryOutput"]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5)
+
+
+
+# ---------------------------------------------------------------------------
+# Output-head behaviors (reference tests/unit/tf/outputs/test_classification.py)
+# ---------------------------------------------------------------------------
+
+def test_categorical_output_in_model():
+    """CategoricalOutput over an int-domain target: logits width = cardinality,
+    sparse-CE dispatch, accuracy metric present."""
+    import numpy as np
+
+    from models_tpu.core.combinators import SequentialBlock
+    from models_tpu.data import Dataset
+    from models_tpu.inputs import InputBlockV2
+    from models_tpu.models import Model
+    from models_tpu.outputs import CategoricalOutput
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+
+    rng = np.random.default_rng(0)
+    n = 192
+    schema = Schema(
+        [
+            create_categorical_column("f1", 20, tags=(Tags.USER,)),
+            create_categorical_column("f2", 30, tags=(Tags.ITEM,)),
+            create_categorical_column(
+                "label", 7, tags=(Tags.TARGET, Tags.MULTI_CLASS_CLASSIFICATION)
+            ),
+        ]
+    )
+    ds = Dataset(
+        {
+            "f1": rng.integers(0, 21, n),
+            "f2": rng.integers(0, 31, n),
+            "label": rng.integers(0, 8, n),
+        },
+        schema=schema,
+    )
+    from models_tpu.blocks.mlp import MLPBlock
+
+    body = SequentialBlock([InputBlockV2(schema, dim=8), MLPBlock([16])])
+    m = Model(body, CategoricalOutput(schema["label"]), schema=schema)
+    m.compile()
+    h = m.fit(ds, epochs=1, batch_size=32, verbose=0)
+    assert np.isfinite(h.history["loss"][0])
+    p = m.predict(ds, batch_size=32)
+    assert np.asarray(p).shape == (n, 8)  # full class distribution (card 7 + OOV)
+    np.testing.assert_allclose(np.asarray(p).sum(axis=1), 1.0, rtol=1e-4)  # softmax
+
+
+def test_categorical_target_tying_lookup():
+    """CategoricalTarget.embedding_lookup = transposed-kernel rows (reference
+    classification.py:220) — the weight-tying contract."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from models_tpu.outputs.base import CategoricalTarget
+
+    ct = CategoricalTarget(num_classes=12, seed=3)
+    x = jnp.ones((2, 6))
+    logits = ct(x)  # builds
+    assert logits.shape == (2, 12)
+    emb = ct.embedding_lookup(jnp.array([0, 5]))
+    np.testing.assert_allclose(
+        np.asarray(emb), np.asarray(ct.dense.kernel.value.T)[[0, 5]], rtol=1e-6
+    )
+    assert ct.embeddings.shape == (12, 6)
+
+
+def test_binary_and_regression_activations():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from models_tpu.outputs import BinaryOutput, RegressionOutput
+
+    b = BinaryOutput("t")
+    logits = jnp.asarray([[0.0], [100.0], [-100.0]])
+    act = np.asarray(b.activation(logits))
+    np.testing.assert_allclose(act, [0.5, 1.0, 0.0], atol=1e-6)
+    r = RegressionOutput("t")
+    np.testing.assert_allclose(np.asarray(r.activation(logits)), [0.0, 100.0, -100.0])
+
+
+def test_logits_temperature_on_binary_head(ecommerce_data):
+    """logits_temperature scales head logits before loss/metrics."""
+    import numpy as np
+
+    from models_tpu.core.combinators import SequentialBlock
+    from models_tpu.blocks.mlp import MLPBlock
+    from models_tpu.inputs import InputBlockV2
+    from models_tpu.models import Model
+    from models_tpu.outputs import BinaryOutput
+
+    def predictions(temp):
+        body = SequentialBlock([InputBlockV2(ecommerce_data.schema, dim=8, seed=2),
+                                MLPBlock([8], seed=2)])
+        m = Model(body, BinaryOutput("click", logits_temperature=temp),
+                  schema=ecommerce_data.schema)
+        m.compile()
+        m.build(ecommerce_data)
+        return np.asarray(m.predict(ecommerce_data, batch_size=64))
+
+    p1 = predictions(1.0)
+    p2 = predictions(2.0)
+    # T=2 halves logits -> predictions closer to 0.5, same ranking
+    assert np.abs(p2 - 0.5).mean() < np.abs(p1 - 0.5).mean()
+    assert (np.argsort(p1) == np.argsort(p2)).mean() > 0.99

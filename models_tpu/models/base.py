@@ -50,6 +50,9 @@ def _resolve_optimizer(optimizer, learning_rate: Optional[float]) -> optax.Gradi
         "sgd": lambda: optax.sgd(lr),
         "rmsprop": lambda: optax.rmsprop(lr),
         "lamb": lambda: optax.lamb(lr),
+        # factored second moments: optimizer state is O(N + D) per table
+        # instead of O(N x D) — big HBM-traffic win for embedding-heavy models
+        "adafactor": lambda: optax.adafactor(lr),
     }
     if optimizer not in table:
         raise ValueError(f"Unknown optimizer {optimizer!r}; options {sorted(table)}")

@@ -221,3 +221,10 @@ def test_class_weight_with_sequence_targets():
     m2.compile(class_weight={0: 0.0, 1: 0.0})
     cw = m2.fit(music, epochs=1, batch_size=32, shuffle=False, verbose=0).history["loss"][0]
     np.testing.assert_allclose(cw, base, rtol=1e-5)  # regression loss unchanged
+
+
+def test_adafactor_optimizer_option(ecommerce):
+    m = _simple_model(ecommerce.schema)
+    m.compile(optimizer="adafactor", learning_rate=0.01)
+    h = m.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    assert np.isfinite(h.history["loss"][0])

@@ -468,3 +468,85 @@ def test_aggregation_registry_names_complete():
         "sequence-min", "sequence-last",
     ):
         assert TabularAggregation.parse(name) is not None, name
+
+
+# ---------------------------------------------------------------------------
+# Core utilities: Filter modes, call_block kwarg filtering, registry, Lambda
+# ---------------------------------------------------------------------------
+
+def test_filter_by_names_exclude_mode():
+    from models_tpu.core.combinators import Filter
+
+    x = {"a": jnp.ones(2), "b": jnp.ones(2), "c": jnp.ones(2)}
+    keep = Filter(["a", "b"])(x)
+    assert set(keep) == {"a", "b"}
+    drop = Filter(["a", "b"], exclude=True)(x)
+    assert set(drop) == {"c"}
+    single = Filter("a")(x)
+    assert set(single) == {"a"}
+    # non-dict input passes through
+    arr = jnp.ones(3)
+    assert Filter(["a"])(arr) is arr
+
+
+def test_call_block_filters_kwargs():
+    from models_tpu.core.block import call_block
+
+    seen = {}
+
+    def narrow(x, *, training=False):
+        seen["training"] = training
+        return x
+
+    out = call_block(narrow, jnp.ones(2), training=True, context="CTX", targets=None)
+    assert seen["training"] is True  # context/targets silently dropped
+
+    def wide(x, **kwargs):
+        seen["kwargs"] = set(kwargs)
+        return x
+
+    call_block(wide, jnp.ones(2), training=True, context="CTX")
+    assert seen["kwargs"] == {"training", "context"}
+
+
+def test_registry_aliases_and_errors():
+    from models_tpu.registry import aggregation_registry
+
+    with pytest.raises(Exception) as e:
+        aggregation_registry.parse("definitely_not_registered")
+    assert "definitely_not_registered" in str(e.value)
+    # alias: "sum" and "element-wise-sum" resolve to the same class
+    a = aggregation_registry.parse("sum")
+    b = aggregation_registry.parse("element-wise-sum")
+    assert type(a) is type(b)
+
+
+def test_lambda_and_noop_and_debug():
+    from models_tpu.core.block import Debug, Lambda, NoOp
+
+    x = jnp.arange(4.0)
+    assert NoOp()(x) is x
+    assert Debug()(x) is x
+    double = Lambda(lambda v: v * 2)
+    np.testing.assert_allclose(np.asarray(double(x)), np.asarray(x) * 2)
+
+
+def test_examples_per_second_callback_math():
+    from models_tpu.utils.callbacks import ExamplesPerSecondCallback
+
+    logs = []
+    cb = ExamplesPerSecondCallback(batch_size=100, every_n_steps=2, log_fn=logs.append)
+    cb.on_epoch_begin(0)
+    for step in range(4):
+        cb.on_batch_end(step, {})
+    assert cb.history  # recorded throughput entries
+    assert all(v > 0 for v in cb.history)
+
+
+def test_wandb_logger_noop_without_wandb():
+    from models_tpu.utils.callbacks import WandbLogger
+
+    cb = WandbLogger(project="x")
+    cb.set_model(object())
+    cb.on_epoch_end(0, {"loss": 1.0})
+    cb.finish()  # must not raise without wandb installed

@@ -76,6 +76,7 @@ class Loader:
         schema: Optional[Schema] = None,
         cache: Union[bool, str] = "auto",
         cache_limit_bytes: int = 4 << 30,
+        pad: str = "max",
     ):
         if not isinstance(dataset, Dataset):
             dataset = Dataset(dataset)
@@ -94,6 +95,15 @@ class Loader:
         # permute + slice numpy (the reference dataloader similarly keeps chunks
         # resident when they fit). "auto"/True caches until cache_limit_bytes,
         # then falls back to streaming; False always re-decodes.
+        # pad="max": list columns always pad to the schema max length (ONE
+        # compiled step shape — required by the device-resident and
+        # steps_per_execution paths). pad="bucket": pad to the batch's longest
+        # row rounded up to a power-of-two bucket — for long-tailed session
+        # lengths this skips most of the wasted positions; jit compiles one
+        # step variant per bucket actually seen (a handful).
+        if pad not in ("max", "bucket"):
+            raise ValueError(f"pad must be 'max' or 'bucket', got {pad!r}")
+        self.pad = pad
         self._cache_mode = cache
         self._cache_limit = int(cache_limit_bytes)
         self._cache_bytes = 0
@@ -199,7 +209,12 @@ class Loader:
             if name in self._list_cols:
                 values = cols[name + "__values"]
                 offsets = cols[name + "__offsets"][lo : hi + 1]
-                padded, mask = pad_ragged(values, offsets, self._list_cols[name])
+                pad_to_len = self._list_cols[name]
+                if self.pad == "bucket":
+                    longest = int(np.max(np.diff(offsets))) if hi > lo else 1
+                    bucket = 1 << max(0, int(np.ceil(np.log2(max(longest, 1)))))
+                    pad_to_len = max(1, min(pad_to_len, bucket))
+                padded, mask = pad_ragged(values, offsets, pad_to_len)
                 dest[name] = finalize(name, padded, mask)
             else:
                 dest[name] = finalize(name, cols[name][lo:hi])

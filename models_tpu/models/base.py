@@ -797,6 +797,10 @@ class BaseModel(Block):
             )
         # steps_per_execution: k batches per dispatch (single-device dense path)
         spe = self._steps_per_execution if (sparse is None and mesh is None) else 1
+        if getattr(loader, "pad", "max") == "bucket":
+            # bucketed batches have varying sequence lengths: the multi-step
+            # scan stacks k batches on a leading axis and needs uniform shapes
+            spe = 1
         multi_step = multi_step_fast = None
         if spe > 1:
             multi_step = self._make_multi_train_step(loss_fns, task_metrics, True, mesh, spe)
@@ -817,6 +821,7 @@ class BaseModel(Block):
             and loader.transform is None
             and loader.global_size == 1
             and loader.drop_last
+            and getattr(loader, "pad", "max") == "max"  # bucketed shapes vary
         ):
             try:
                 feats_h, targs_h, n_rows = loader.dense_columns()

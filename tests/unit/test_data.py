@@ -380,3 +380,48 @@ def test_synthetic_schema_matches_reference_fixture(name):
             assert mine.cardinality == col.cardinality, (name, col.name)
         for tag in (Tags.ITEM_ID, Tags.USER_ID, Tags.TARGET):
             assert mine.has_tag(tag) == col.has_tag(tag), (name, col.name, tag)
+
+
+def test_loader_bucket_padding():
+    """pad='bucket': list columns pad to the batch's longest row rounded up to
+    a power-of-two bucket instead of the schema max — the TPU answer to
+    long-tailed session lengths (compute scales with actual content)."""
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+
+    col = create_categorical_column(
+        "s", 50, tags=(Tags.ITEM_ID, Tags.SEQUENCE), is_list=True, max_seq_length=64
+    )
+    rng = np.random.default_rng(0)
+    lengths = np.r_[rng.integers(1, 6, 31), 6]  # longest row = 6 -> bucket 8
+    offsets = np.zeros(33, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    values = rng.integers(1, 50, int(offsets[-1]))
+    ds = Dataset({"s__values": values, "s__offsets": offsets}, schema=Schema([col]))
+
+    feats, _ = next(iter(Loader(ds, batch_size=32, shuffle=False, pad="bucket")))
+    assert feats["s"].values.shape == (32, 8)  # bucket, not schema max 64
+    fmax, _ = next(iter(Loader(ds, batch_size=32, shuffle=False)))
+    assert fmax["s"].values.shape == (32, 64)  # default: schema max
+    # same content where both exist
+    np.testing.assert_array_equal(
+        np.asarray(feats["s"].values), np.asarray(fmax["s"].values[:, :8])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(feats["s"].mask), np.asarray(fmax["s"].mask[:, :8])
+    )
+
+
+def test_bucket_padding_trains_session_model():
+    from models_tpu.models.session import SessionBasedTransformerModel
+    from models_tpu.transformer.block import GPT2Block
+    from models_tpu.transforms.sequence import SequencePredictNext
+
+    ds = generate_data("sequence-testing", num_rows=64)
+    loader = Loader(ds, batch_size=16, shuffle=False, pad="bucket")
+    m = SessionBasedTransformerModel(
+        ds.schema, transformer=GPT2Block(d_model=16, n_head=2, n_layer=1), embedding_dim=8
+    )
+    m.compile()
+    h = m.fit(loader, epochs=1, pre=SequencePredictNext(ds.schema, target="item_id_seq"),
+              verbose=0)
+    assert np.isfinite(h.history["loss"][0])

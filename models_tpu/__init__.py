@@ -46,9 +46,11 @@ from .data import Dataset, Loader, generate_data, sample_batch
 
 # inputs
 from .inputs import (
+    AverageEmbeddingsByWeightFeature,
     EmbeddingFeatures,
     SequenceEmbeddingFeatures,
     Continuous,
+    ContinuousEmbedding,
     ContinuousProjection,
     Embeddings,
     EmbeddingTable,
@@ -149,6 +151,7 @@ from .transforms import (
 from . import losses
 from .metrics import (
     AUC,
+    Metric,
     AvgPrecisionAt,
     BinaryAccuracy,
     ItemCoverageAt,
@@ -211,3 +214,34 @@ from .parallel import distributed
 
 # persistence
 from .utils.io import export_serving, load_model, load_serving, save_model
+from .compat import (
+    ConcatFeatures,
+    ContinuousFeatures,
+    ElementwiseSum,
+    ElementwiseSumItemMulti,
+    EmbeddingOptions,
+    EmbeddingWithMetadata,
+    FeatureConfig,
+    InBatchSamplerV2,
+    IndexBlock,
+    ItemSampler,
+    LogLossMetric,
+    ParallelPredictionBlock,
+    PopularityBasedSamplerV2,
+    PredictionTask,
+    PrepareListFeatures,
+    QueryItemIdsEmbeddingsBlock,
+    RetrievalModel,
+    SequenceAggregator,
+    StackFeatures,
+    TableConfig,
+    TabularBlock,
+    TensorInitializer,
+    ToDense,
+    ToOneHot,
+    ToSparse,
+    TopKIndexBlock,
+    YoutubeDNNRetrievalModelV2,
+    is_transformers_available,
+    right_shift_layer,
+)

@@ -90,3 +90,11 @@ def MatrixFactorizationBlock(
     query = EmbeddingEncoder(EmbeddingTable(dim, user_col, seed=seed))
     item = EmbeddingEncoder(EmbeddingTable(dim, item_col, seed=seed + 1))
     return DualEncoderBlock(query, item, aggregation=aggregation, block_name="mf")
+
+
+def QueryItemIdsEmbeddingsBlock(
+    schema: Schema, dim: int, seed: int = 0, aggregation=None
+) -> ParallelBlock:
+    """V1 name for the user-id × item-id embedding towers (reference
+    ``retrieval/matrix_factorization.py:31``)."""
+    return MatrixFactorizationBlock(schema, dim, seed=seed, aggregation=aggregation)

@@ -550,3 +550,65 @@ def test_wandb_logger_noop_without_wandb():
     cb.set_model(object())
     cb.on_epoch_end(0, {"loss": 1.0})
     cb.finish()  # must not raise without wandb installed
+
+
+def test_reference_namespace_coverage():
+    """Every meaningful public symbol of the reference's tf namespace resolves
+    here (by name) — TF/Keras internals excepted. A user porting `import
+    merlin.models.tf as mm` code should find every name."""
+    import re
+
+    import models_tpu as mm
+
+    ref_init = "/root/reference/merlin/models/tf/__init__.py"
+    if not __import__("os").path.exists(ref_init):
+        pytest.skip("reference absent")
+    src = open(ref_init).read()
+    names = set()
+    for m in re.finditer(r"from [\w\.]+ import \(?([^)]+?)\)?\n(?=\S)", src, re.S):
+        for part in re.split(r"[,\n]", m.group(1)):
+            part = part.strip()
+            if " as " in part:
+                part = part.split(" as ")[-1].strip()
+            if part and part.isidentifier():
+                names.add(part)
+    # TF/Keras internals with no meaning on this stack
+    NA = {
+        "Layer", "Loss", "LossType", "Optimizer", "ListWrapper", "_DictWrapper",
+        "KerasSequenceValidator", "configure_tensorflow", "repr_utils",
+        "benchmark", "OptimizerBlocks",
+    }
+    missing = sorted(n for n in names - NA if not hasattr(mm, n))
+    assert not missing, f"reference symbols without an equivalent: {missing}"
+
+
+def test_compat_shims_behave():
+    import jax.numpy as jnp
+
+    import models_tpu as mm
+    from models_tpu.core.types import SequenceFeature
+
+    # TensorInitializer round-trips through EmbeddingTable
+    w = np.arange(20, dtype=np.float32).reshape(5, 4)
+    t = mm.EmbeddingTable(4, mm.create_categorical_column("x", 4),
+                          initializer=mm.TensorInitializer(w))
+    np.testing.assert_allclose(t.to_array(), w)
+
+    # ToDense strips masks; ToSparse is identity
+    sf = SequenceFeature(jnp.ones((2, 3)), jnp.ones((2, 3), bool))
+    assert isinstance(mm.ToDense()({"s": sf})["s"], jnp.ndarray)
+    assert mm.ToSparse()(sf) is sf
+    out = mm.ToOneHot(5)(jnp.array([1, 3]))
+    assert out.shape == (2, 5)
+
+    # EmbeddingOptions → Embeddings kwargs
+    opts = mm.EmbeddingOptions(embedding_dim_default=16)
+    emb = mm.Embeddings(
+        mm.Schema([mm.create_categorical_column("a", 10)]), **opts.to_kwargs()
+    )
+    assert emb["a"].dim == 16
+
+    # SequenceAggregator resolves registry entries (dict-in like all aggregations)
+    agg = mm.SequenceAggregator("mean")
+    out = agg({"s": SequenceFeature(jnp.ones((1, 2, 4)), jnp.ones((1, 2), bool))})
+    np.testing.assert_allclose(np.asarray(out), 1.0)

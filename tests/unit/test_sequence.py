@@ -109,3 +109,76 @@ def test_replace_masked_embeddings():
     # no mask in context: untouched
     out3 = block(SequenceFeature(emb, jnp.ones((2, 4), bool)), context=ModelContext(), training=False)
     np.testing.assert_allclose(np.asarray(out3.values), 1.0)
+
+
+def test_sequence_transforms_config_roundtrip():
+    """Sequence transforms serialize through the declarative config tree
+    (reference test_seq_predict_*_serialize_deserialize)."""
+    from models_tpu.core.config import from_config, to_config
+    from models_tpu.data import generate_data
+    from models_tpu.transforms.sequence import (
+        SequenceMaskLast,
+        SequenceMaskRandom,
+        SequencePredictLast,
+        SequencePredictNext,
+    )
+
+    schema = generate_data("sequence-testing", num_rows=8).schema
+    for cls, kw in (
+        (SequencePredictNext, {}),
+        (SequencePredictLast, {}),
+        (SequenceMaskRandom, {"masking_prob": 0.3}),
+        (SequenceMaskLast, {}),
+    ):
+        t = cls(schema, target="item_id_seq", **kw)
+        tree, arrays = to_config(t)
+        t2 = from_config(tree, arrays)
+        assert type(t2) is cls
+        assert t2.target == "item_id_seq"
+
+
+def test_replace_masked_embeddings_no_mask_is_noop():
+    """Without a prediction mask in context, ReplaceMaskedEmbeddings passes
+    inputs through untouched (reference test_replace_masked_input_embeddings_no_target)."""
+    import jax.numpy as jnp
+
+    from models_tpu.core.types import ModelContext, SequenceFeature
+    from models_tpu.transforms.sequence import ReplaceMaskedEmbeddings
+
+    r = ReplaceMaskedEmbeddings()
+    sf = SequenceFeature(jnp.ones((2, 3, 4)), jnp.ones((2, 3), bool))
+    out = r(sf, training=True, context=ModelContext())
+    np.testing.assert_array_equal(np.asarray(out.values), np.asarray(sf.values))
+
+
+def test_predict_next_shapes_and_shift():
+    """SequencePredictNext: inputs drop the last position, target is the
+    shifted sequence (reference test_seq_predict_next_output_shape)."""
+    import jax.numpy as jnp
+
+    from models_tpu.core.types import ModelContext, SequenceFeature
+    from models_tpu.data import generate_data, sample_batch
+    from models_tpu.transforms.sequence import SequencePredictNext
+
+    ds = generate_data("sequence-testing", num_rows=16)
+    x, y = sample_batch(ds, batch_size=8)
+    pre = SequencePredictNext(ds.schema, target="item_id_seq")
+    ctx = ModelContext()
+    x2, y2 = pre(x, targets=y, context=ctx)
+    # static-shape contract: length stays L; the PREDICTION MASK does the
+    # slicing (position t predicts x[t+1]; the last valid position is masked)
+    L = np.asarray(x["item_id_seq"].values).shape[1]
+    assert np.asarray(x2["item_id_seq"].values).shape[1] == L
+    tgt = y2["item_id_seq"] if isinstance(y2, dict) else y2
+    assert isinstance(tgt, SequenceFeature)
+    inp = np.asarray(x["item_id_seq"].values)
+    pm = np.asarray(tgt.mask)
+    assert not pm[:, -1].any()  # last position never predicted
+    # where predicted: target[t] == input[t+1]
+    tv = np.asarray(tgt.values)
+    np.testing.assert_array_equal(tv[:, :-1][pm[:, :-1]], inp[:, 1:][pm[:, :-1]])
+    # a full-length row predicts L-1 positions
+    in_mask = np.asarray(x["item_id_seq"].mask)
+    full = in_mask.all(axis=1)
+    if full.any():
+        assert (pm[full].sum(axis=1) == L - 1).all()

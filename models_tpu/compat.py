@@ -11,8 +11,8 @@ are intentionally absent.)
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, NamedTuple, Optional, Sequence, Union
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -37,10 +37,6 @@ def SequenceAggregator(combiner: str = "mean"):
 
 # ---- V1 alias names --------------------------------------------------------
 
-def _alias(obj, note):
-    return obj
-
-
 from .inputs.continuous import Continuous as ContinuousFeatures  # noqa: F401,E402
 from .outputs.sampling import (  # noqa: F401,E402
     CandidateSampler as ItemSampler,
@@ -63,10 +59,15 @@ TabularBlock = ParallelBlock  # dict-in/dict-out block with pre/post/aggregation
 
 
 def right_shift_layer(right, left):
-    """The ``>>`` composition helper (reference ``tf/core/base.py``)."""
-    from .core.combinators import SequentialBlock
+    """The ``>>`` composition helper (reference ``tf/core/base.py:552``): a
+    list/str/Tags left operand becomes a Filter selection, matching the
+    reference's ``['col'] >> block`` idiom."""
     from .core.block import as_block
+    from .core.combinators import Filter, SequentialBlock
+    from .schema import Tags
 
+    if isinstance(left, (list, tuple, str, Tags)) and not isinstance(left, Block):
+        left = Filter(left)
     return SequentialBlock([as_block(left), as_block(right)])
 
 
@@ -120,7 +121,9 @@ class EmbeddingOptions:
         if self.infer_embedding_sizes:
             dim = self.embedding_dims  # per-name overrides; rest inferred
         elif self.embedding_dims:
-            dim = dict(self.embedding_dims)
+            # reference semantics (embedding.py:1057): unlisted columns get
+            # embedding_dim_default, not cardinality inference
+            dim = _DimDict(self.embedding_dims, self.embedding_dim_default or 64)
         else:
             dim = self.embedding_dim_default
         return {
@@ -130,21 +133,44 @@ class EmbeddingOptions:
         }
 
 
+class _DimDict(dict):
+    """Per-name dims with a default for unlisted names (EmbeddingOptions)."""
+
+    def __init__(self, base, default):
+        super().__init__(base)
+        self.default = int(default)
+
+    def __contains__(self, key):
+        return True
+
+    def __missing__(self, key):
+        return self.default
+
+
 class TensorInitializer:
     """Initializer returning a fixed tensor (reference ``tf_utils.py:389``) —
-    usable as ``EmbeddingTable(initializer=TensorInitializer(arr))``."""
+    usable as ``EmbeddingTable(initializer=TensorInitializer(arr))``. The only
+    accepted shape difference is the table's multiple-of-8 row padding."""
 
     def __init__(self, value):
         self.value = np.asarray(value)
 
     def __call__(self, key, shape, dtype=jnp.float32):
         arr = jnp.asarray(self.value, dtype)
-        if tuple(shape) != tuple(arr.shape):
-            # pad rows (TPU tables pad to a multiple of 8)
-            out = jnp.zeros(shape, dtype)
-            out = out.at[: arr.shape[0]].set(arr)
-            return out
-        return arr
+        if tuple(shape) == tuple(arr.shape):
+            return arr
+        if (
+            arr.ndim != len(shape)
+            or tuple(arr.shape[1:]) != tuple(shape[1:])
+            or arr.shape[0] > shape[0]
+            or shape[0] - arr.shape[0] >= 8
+        ):
+            raise ValueError(
+                f"TensorInitializer value shape {tuple(arr.shape)} does not match "
+                f"table shape {tuple(shape)} (only multiple-of-8 row padding differs)"
+            )
+        out = jnp.zeros(shape, dtype)
+        return out.at[: arr.shape[0]].set(arr)
 
 
 # ---- ToDense / ToSparse / ToOneHot ----------------------------------------

@@ -103,6 +103,12 @@ class Loader:
         # step variant per bucket actually seen (a handful).
         if pad not in ("max", "bucket"):
             raise ValueError(f"pad must be 'max' or 'bucket', got {pad!r}")
+        if pad == "bucket" and global_size > 1:
+            raise ValueError(
+                "pad='bucket' is per-host data-dependent: multi-process ranks "
+                "would compile different-shaped SPMD programs around the same "
+                "collectives. Use pad='max' for multi-host training."
+            )
         self.pad = pad
         self._cache_mode = cache
         self._cache_limit = int(cache_limit_bytes)

@@ -119,8 +119,9 @@ class TopKMetric(Metric):
     def init_state(self):
         return {"total": jnp.zeros(()), "count": jnp.zeros(())}
 
-    def _compute(self, rel, num_relevant, k=None):
-        return _TOPK_FNS[self.metric_fn_name](k if k is not None else self.k, rel, num_relevant)
+    def _compute(self, rel, num_relevant):
+        # clamp to the candidate width here so no caller can bypass it
+        return _TOPK_FNS[self.metric_fn_name](min(self.k, rel.shape[1]), rel, num_relevant)
 
     def update(
         self, state, outputs, targets, sample_weight=None, label_relevant_counts=None
@@ -134,7 +135,7 @@ class TopKMetric(Metric):
             if label_relevant_counts is not None
             else jnp.sum(targets.astype(jnp.float32), axis=-1)
         )
-        vals = self._compute(rel, num_rel, k=min(self.k, rel.shape[1]))
+        vals = self._compute(rel, num_rel)
         w = jnp.ones_like(vals) if sample_weight is None else sample_weight.reshape(-1).astype(vals.dtype)
         return {
             "total": state["total"] + jnp.sum(vals * w),
@@ -203,7 +204,7 @@ class TopKMetricsAggregator(Metric):
         )
         new_state = {}
         for m in self.metrics:
-            vals = m._compute(rel, num_rel, k=min(m.k, rel.shape[1]))
+            vals = m._compute(rel, num_rel)
             w = (
                 jnp.ones_like(vals)
                 if sample_weight is None

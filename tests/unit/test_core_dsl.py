@@ -612,3 +612,51 @@ def test_compat_shims_behave():
     agg = mm.SequenceAggregator("mean")
     out = agg({"s": SequenceFeature(jnp.ones((1, 2, 4)), jnp.ones((1, 2), bool))})
     np.testing.assert_allclose(np.asarray(out), 1.0)
+
+
+def test_embedding_options_partial_dict_uses_default():
+    """Reference semantics: unlisted columns get embedding_dim_default, not
+    cardinality inference (embedding.py:1057)."""
+    import models_tpu as mm
+
+    schema = mm.Schema(
+        [mm.create_categorical_column("a", 10), mm.create_categorical_column("b", 1000)]
+    )
+    opts = mm.EmbeddingOptions(embedding_dims={"a": 32}, embedding_dim_default=64)
+    emb = mm.Embeddings(schema, **opts.to_kwargs())
+    assert emb["a"].dim == 32
+    assert emb["b"].dim == 64  # default, not inferred
+
+
+def test_right_shift_layer_with_selection():
+    import models_tpu as mm
+    from models_tpu.core.combinators import Filter
+
+    seen = {}
+    probe = mm.Lambda(lambda d: seen.update(d) or jnp.ones(1), block_name="probe")
+    blk = mm.right_shift_layer(probe, ["a"])
+    assert isinstance(blk.layers[0], Filter)
+    blk({"a": jnp.ones((2, 3)), "b": jnp.ones((2, 5))})
+    assert set(seen) == {"a"}  # selection applied before the right block
+
+
+def test_tensor_initializer_shape_errors():
+    import models_tpu as mm
+
+    init = mm.TensorInitializer(np.ones((10, 4)))
+    with pytest.raises(ValueError, match="does not match"):
+        init(None, (10, 8))  # wrong dim
+    with pytest.raises(ValueError, match="does not match"):
+        init(None, (8, 4))  # fewer rows than the value
+    with pytest.raises(ValueError, match="does not match"):
+        init(None, (64, 4))  # padding gap >= 8 means a real mismatch
+    out = init(None, (16, 4))  # legitimate multiple-of-8 padding
+    assert out.shape == (16, 4)
+
+
+def test_bucket_padding_rejects_multihost():
+    from models_tpu.data import Loader, generate_data
+
+    ds = generate_data("sequence-testing", num_rows=32)
+    with pytest.raises(ValueError, match="multi-host"):
+        Loader(ds, batch_size=8, pad="bucket", global_size=2, global_rank=0)

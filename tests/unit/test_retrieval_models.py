@@ -429,3 +429,37 @@ def test_two_tower_candidate_embeddings_export(ecommerce_data):
     )
     assert vecs.shape[1] == 8
     assert np.isfinite(vecs).all()
+
+
+def test_youtube_dnn_model_test_roundtrip(testing_data, tmp_path):
+    """YoutubeDNN through the full fit→save→reload→identical-predictions
+    harness (the reference's canonical model_test pattern)."""
+    model = YoutubeDNNRetrievalModel(testing_data.schema, num_sampled=16, embedding_dim=16)
+    model_test(model, testing_data, tmp_path=tmp_path)
+
+
+def test_session_transformer_model_test_roundtrip(tmp_path):
+    from models_tpu.models.session import SessionBasedTransformerModel
+    from models_tpu.transformer.block import GPT2Block
+
+    ds = generate_data("sequence-testing", num_rows=64)
+    model = SessionBasedTransformerModel(
+        ds.schema, transformer=GPT2Block(d_model=16, n_head=2, n_layer=1), embedding_dim=8
+    )
+    # session models need a sequence pre for training; harness-level fit uses
+    # the plain path, so fit manually then reuse the save/reload comparison
+    from models_tpu.transforms.sequence import SequencePredictNext
+    from models_tpu.utils.io import load_model
+    from models_tpu.data import Loader
+    import numpy as np
+
+    model.compile()
+    model.fit(ds, epochs=1, batch_size=16,
+              pre=SequencePredictNext(ds.schema, target="item_id_seq"), verbose=0)
+    path = str(tmp_path / "sess")
+    model.save(path)
+    m2 = load_model(path)
+    x, _ = Loader(ds, batch_size=16, drop_last=True).peek()
+    p1 = np.asarray(model.predict(dict(x)))
+    p2 = np.asarray(m2.predict(dict(x)))
+    np.testing.assert_allclose(p1, p2, rtol=1e-5)

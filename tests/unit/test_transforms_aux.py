@@ -266,3 +266,31 @@ def test_cross_batch_queue_fills_during_jitted_fit():
     assert np.isfinite(h.history["loss"]).all()
     q_ids = np.asarray(sampler.queue.ids.value)
     assert (q_ids >= 0).all()  # 128 rows x 2 epochs through a 48-slot ring
+
+
+def test_popularity_correction_from_parquet(tmp_path):
+    """PopularityLogitsCorrection.from_parquet reads item frequencies from a
+    parquet column (reference transforms/bias.py:78 from_parquet)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    freqs = np.array([100.0, 10.0, 1.0, 1.0], np.float32)
+    pq.write_table(pa.table({"frequency": freqs}), str(tmp_path / "f.parquet"))
+    corr = PopularityLogitsCorrection.from_parquet(str(tmp_path / "f.parquet"))
+    c = np.asarray(corr.correction(jnp.array([0, 2])))
+    assert c[0] > c[1]  # popular item gets the larger log-prob
+    np.testing.assert_allclose(c[0] - c[1], np.log(100.0) - np.log(1.0), rtol=1e-5)
+
+
+def test_profiler_callback_writes_trace(tmp_path):
+    from models_tpu.utils.callbacks import ProfilerCallback
+
+    cb = ProfilerCallback(log_dir=str(tmp_path / "trace"), start_step=1, num_steps=1)
+    _ = jnp.ones(4) + 1  # some device work
+    cb.on_batch_end(0, {})  # starts at step+1 == 1
+    _ = (jnp.ones(64) * 2).sum()
+    cb.on_batch_end(1, {})  # stops
+    assert not cb._active
+    import os
+
+    assert os.path.isdir(str(tmp_path / "trace"))  # trace files captured

@@ -425,3 +425,20 @@ def test_bucket_padding_trains_session_model():
     h = m.fit(loader, epochs=1, pre=SequencePredictNext(ds.schema, target="item_id_seq"),
               verbose=0)
     assert np.isfinite(h.history["loss"][0])
+
+
+def test_dataset_utility_methods():
+    ds = generate_data("testing", num_rows=100)
+    assert ds.head(5).num_rows == 5
+    assert ds.take(10).num_rows == 10
+    cols = ds.select_columns(["user_id", "item_id"])
+    assert set(cols.column_names) == {"user_id", "item_id"}
+    assert len(cols.schema) == 2
+    sh = ds.shuffle(seed=3)
+    assert sh.num_rows == 100
+    a = ds.to_numpy_dict()["item_id"]
+    b = sh.to_numpy_dict()["item_id"]
+    assert not np.array_equal(a, b)
+    np.testing.assert_array_equal(np.sort(a), np.sort(b))
+    r = repr(ds)
+    assert "rows=100" in r

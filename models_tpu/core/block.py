@@ -130,19 +130,31 @@ class Block(nnx.Module):
 
         return SequentialBlock([self, WithShortcut(block, aggregation=aggregation)])
 
+    def _fresh_copy(self, i: int) -> "Block":
+        """Deepcopy with re-seeded initializers: a plain deepcopy of an unbuilt
+        block duplicates its seeds and every copy would initialize identically
+        (the reference's Keras clone re-initializes instead)."""
+        import copy
+
+        cp = copy.deepcopy(self)
+        for b in iter_blocks(cp):
+            if isinstance(getattr(b, "seed", None), int):
+                b.seed = b.seed + 7919 * i
+        return cp
+
     def repeat(self, num: int) -> "Block":
         """Stack ``num`` fresh copies of this block sequentially (reference
         ``Block.repeat``). Copies share the class+config, not the parameters."""
         from .combinators import SequentialBlock
-        import copy
 
-        return SequentialBlock([self] + [copy.deepcopy(self) for _ in range(num - 1)])
+        return SequentialBlock([self] + [self._fresh_copy(i) for i in range(1, num)])
 
     def repeat_in_parallel(self, num: int, prefix: str = "branch", aggregation=None) -> "Block":
         from .combinators import ParallelBlock
-        import copy
 
-        branches = {f"{prefix}_{i}": (self if i == 0 else copy.deepcopy(self)) for i in range(num)}
+        branches = {
+            f"{prefix}_{i}": (self if i == 0 else self._fresh_copy(i)) for i in range(num)
+        }
         return ParallelBlock(branches, aggregation=aggregation)
 
     def as_model(self):

@@ -660,3 +660,33 @@ def test_bucket_padding_rejects_multihost():
     ds = generate_data("sequence-testing", num_rows=32)
     with pytest.raises(ValueError, match="multi-host"):
         Loader(ds, batch_size=8, pad="bucket", global_size=2, global_rank=0)
+
+
+def test_fluent_graph_building():
+    """connect / connect_branch / connect_with_residual / connect_with_shortcut /
+    repeat_in_parallel (reference Block fluent API, tf/core/base.py)."""
+    from models_tpu.blocks.mlp import Dense, MLPBlock
+
+    x = jnp.ones((2, 6))
+
+    seq = Dense(4, seed=1).connect(Dense(3, seed=2))
+    assert seq(x).shape == (2, 3)
+
+    branched = Dense(4, seed=1).connect_branch(
+        Dense(2, seed=3), Dense(5, seed=4), aggregation="concat"
+    )
+    assert branched(x).shape == (2, 7)
+
+    res = MLPBlock([6], seed=5).connect_with_residual(Dense(6, seed=6))
+    assert res(x).shape == (2, 6)
+
+    short = Dense(4, seed=7).connect_with_shortcut(Dense(4, seed=8))
+    assert short(x).shape[0] == 2
+
+    par = Dense(4, seed=9).repeat_in_parallel(3, aggregation="concat")
+    out = par(x)
+    assert out.shape == (2, 12)
+    # copies are independently initialized post-build (fresh Dense builds lazily
+    # per branch; here the template was unbuilt so each branch builds its own)
+    cols = np.asarray(out).reshape(2, 3, 4)
+    assert not np.allclose(cols[:, 0], cols[:, 1])

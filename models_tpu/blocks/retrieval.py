@@ -59,15 +59,15 @@ def TwoTowerBlock(
     seed: int = 0,
 ) -> ParallelBlock:
     """Schema-split dual encoder: USER-tagged features → query tower, ITEM-tagged
-    → item tower (copy of query tower when absent; reference
+    → item tower (re-seeded copy of query tower when absent; reference
     ``retrieval/two_tower.py:32``)."""
-    import copy
-
     user_schema = schema.select_by_tag(Tags.USER).excluding_by_tag(Tags.TARGET)
     item_schema = schema.select_by_tag(Tags.ITEM).excluding_by_tag(Tags.TARGET)
     if not len(user_schema) or not len(item_schema):
         raise ValueError("TwoTowerBlock needs USER- and ITEM-tagged columns")
-    item_tower = item_tower if item_tower is not None else copy.deepcopy(query_tower)
+    # _fresh_copy re-seeds initializers: a plain deepcopy would make both
+    # towers start with identical weights where input dims coincide
+    item_tower = item_tower if item_tower is not None else query_tower._fresh_copy(1)
     query = SequentialBlock(
         [InputBlockV2(user_schema, dim=embedding_dim, seed=seed), query_tower]
     )

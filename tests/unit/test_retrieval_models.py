@@ -463,3 +463,21 @@ def test_session_transformer_model_test_roundtrip(tmp_path):
     p1 = np.asarray(model.predict(dict(x)))
     p2 = np.asarray(m2.predict(dict(x)))
     np.testing.assert_allclose(p1, p2, rtol=1e-5)
+
+
+def test_two_tower_towers_initialize_differently(ecommerce_data):
+    """Regression: when the item tower is a copy of the query tower, the copy
+    must re-seed — identical tower initializations bias early training."""
+    from models_tpu.blocks.mlp import Dense
+    from models_tpu.core.block import iter_blocks
+    from models_tpu.models import TwoTowerModel
+
+    m = TwoTowerModel(ecommerce_data.schema, query_tower=(16, 8), embedding_dim=8)
+    m.compile()
+    m.build(ecommerce_data)
+    denses = [b for b in iter_blocks(m) if isinstance(b, Dense) and b.units == 8]
+    assert len(denses) >= 2
+    k0 = np.asarray(denses[0].kernel.value)
+    k1 = np.asarray(denses[1].kernel.value)
+    if k0.shape == k1.shape:
+        assert not np.allclose(k0, k1)

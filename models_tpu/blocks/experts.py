@@ -108,11 +108,13 @@ class CGCBlock(Block):
         expert_block = as_block(expert_block)
         self.task_names = list(outputs)
         self.final_layer = final_layer
-        self.shared_experts = _StackedExperts(copy.deepcopy(expert_block), num_shared_experts)
+        # each group gets a RE-SEEDED template (plain deepcopy would make the
+        # first expert of every group initialize identically)
+        self.shared_experts = _StackedExperts(expert_block, num_shared_experts)
         self.task_experts = nnx.Dict(
             {
-                t: _StackedExperts(copy.deepcopy(expert_block), num_task_experts)
-                for t in self.task_names
+                t: _StackedExperts(expert_block._fresh_copy(101 + j), num_task_experts)
+                for j, t in enumerate(self.task_names)
             }
         )
         self.task_gates = nnx.Dict(
@@ -162,7 +164,9 @@ def PLEBlock(
     layers = [
         CGCBlock(
             outputs,
-            expert_block if isinstance(expert_block, (list, tuple)) else copy.deepcopy(expert_block),
+            expert_block
+            if isinstance(expert_block, (list, tuple))
+            else expert_block._fresh_copy(i),  # re-seeded per layer
             num_task_experts=num_task_experts,
             num_shared_experts=num_shared_experts,
             final_layer=(i == num_layers - 1),

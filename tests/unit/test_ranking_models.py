@@ -389,3 +389,23 @@ def test_logits_temperature_on_binary_head(ecommerce_data):
     # T=2 halves logits -> predictions closer to 0.5, same ranking
     assert np.abs(p2 - 0.5).mean() < np.abs(p1 - 0.5).mean()
     assert (np.argsort(p1) == np.argsort(p2)).mean() > 0.99
+
+
+def test_cgc_groups_initialize_differently():
+    """Regression: the shared group and every task group must NOT share expert
+    initializations (deepcopy symmetry across groups/layers)."""
+    from models_tpu.blocks.experts import CGCBlock
+    from models_tpu.blocks.mlp import Dense
+    from models_tpu.core.block import iter_blocks
+
+    block = CGCBlock(["t1", "t2"], (8,), num_task_experts=1, num_shared_experts=1)
+    block(jnp.ones((2, 12)))  # build
+    kernels = [
+        np.asarray(b.kernel.value)
+        for b in iter_blocks(block)
+        if isinstance(b, Dense) and b.built and b.kernel.value.shape == (12, 8)
+    ]
+    assert len(kernels) >= 3  # shared + 2 task groups
+    for i in range(len(kernels)):
+        for j in range(i + 1, len(kernels)):
+            assert not np.allclose(kernels[i], kernels[j]), (i, j)

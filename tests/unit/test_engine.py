@@ -228,3 +228,29 @@ def test_adafactor_optimizer_option(ecommerce):
     m.compile(optimizer="adafactor", learning_rate=0.01)
     h = m.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
     assert np.isfinite(h.history["loss"][0])
+
+
+def test_training_is_deterministic(ecommerce):
+    """Same seeds + shuffle=False ⇒ bitwise-identical loss trajectories across
+    runs (reproducibility contract: stateless dropout, fixed init seeds)."""
+    def run():
+        m = _simple_model(ecommerce.schema, seed=9)
+        m.compile(optimizer="adam", learning_rate=0.02)
+        h = m.fit(ecommerce, epochs=2, batch_size=32, shuffle=False, verbose=0)
+        return np.asarray(h.history["loss"])
+
+    np.testing.assert_array_equal(run(), run())
+
+
+def test_shuffled_training_is_seed_deterministic(ecommerce):
+    from models_tpu.data import Loader
+
+    def run(seed):
+        m = _simple_model(ecommerce.schema, seed=4)
+        m.compile(optimizer="adam", learning_rate=0.02)
+        h = m.fit(Loader(ecommerce, batch_size=32, shuffle=True, seed=seed),
+                  epochs=2, verbose=0)
+        return np.asarray(h.history["loss"])
+
+    np.testing.assert_array_equal(run(11), run(11))
+    assert not np.array_equal(run(11), run(12))  # different shuffle -> different path

@@ -271,6 +271,80 @@ def _booking_schema() -> Schema:
     )
 
 
+
+
+def _movielens_1m_schema() -> Schema:
+    return Schema(
+        [
+            cat("userId", 6040, tags=(Tags.USER, Tags.USER_ID)),
+            cat("movieId", 3684, tags=(Tags.ITEM, Tags.ITEM_ID)),
+            cat("title", 3684),
+            cat("genres", 18, tags=Tags.ITEM, is_list=True, max_seq_length=1),
+            cat("gender", 2),
+            cat("age", 7),
+            cat("occupation", 21),
+            cat("zipcode", 3439),
+            cont("TE_age_rating", tags=Tags.USER),
+            cont("TE_gender_rating", tags=Tags.USER),
+            cont("TE_occupation_rating", tags=Tags.USER),
+            cont("TE_zipcode_rating", tags=Tags.USER),
+            cont("TE_movieId_rating", tags=Tags.ITEM),
+            cont("TE_userId_rating", tags=Tags.USER),
+            ColumnSchema("rating_binary", tags=(Tags.BINARY_CLASSIFICATION, Tags.TARGET),
+                         dtype="int32"),
+            _regression_target("rating"),
+        ]
+    )
+
+
+def _tenrec_video_schema() -> Schema:
+    return Schema(
+        [
+            cat("user_id", 100_000, tags=(Tags.USER, Tags.USER_ID, "id")),
+            cat("item_id", 179_280, tags=(Tags.ITEM, Tags.ITEM_ID, "id")),
+            cat("video_category", 5, tags=Tags.ITEM),
+            cat("gender", 5, tags=Tags.USER),
+            cat("age", 10, tags=Tags.USER),
+            ColumnSchema("click", tags=(Tags.BINARY_CLASSIFICATION, Tags.TARGET), dtype="int32"),
+            ColumnSchema("follow", tags=(Tags.BINARY_CLASSIFICATION, Tags.TARGET), dtype="int32"),
+            ColumnSchema("like", tags=(Tags.BINARY_CLASSIFICATION, Tags.TARGET), dtype="int32"),
+            ColumnSchema("share", tags=(Tags.BINARY_CLASSIFICATION, Tags.TARGET), dtype="int32"),
+            ColumnSchema("watching_times", tags=(Tags.REGRESSION, Tags.TARGET), dtype="int32",
+                         int_domain=Domain(0, 5, is_categorical=False)),
+        ]
+    )
+
+
+def _ecommerce_large_schema() -> Schema:
+    user_cats = {
+        "user_categories": 6086, "user_shops": 116741, "user_brands": 58015,
+        "user_intentions": 33786, "user_profile": 98, "user_group": 14,
+        "user_gender": 3, "user_age": 8, "user_consumption_1": 4,
+        "user_consumption_2": 4, "user_is_occupied": 3, "user_geography": 5,
+    }
+    item_cats = {
+        "item_category": 8581, "item_shop": 604498, "item_intention": 96258,
+        "item_brand": 208179,
+    }
+    cross_cats = {
+        "user_item_categories": 7735, "user_item_shops": 384343,
+        "user_item_brands": 142632, "user_item_intentions": 74317,
+    }
+    cols: List[ColumnSchema] = []
+    for name, card in user_cats.items():
+        cols.append(cat(name, card, tags=Tags.USER))
+    cols.append(cat("user_id", 294736, tags=(Tags.USER, Tags.USER_ID)))
+    for name, card in item_cats.items():
+        cols.append(cat(name, card, tags=Tags.ITEM))
+    cols.append(cat("item_id", 3078306, tags=(Tags.ITEM, Tags.ITEM_ID)))
+    for name, card in cross_cats.items():
+        cols.append(cat(name, card, tags=("user_item",)))
+    cols.append(cat("position", 4, tags=Tags.CONTEXT))
+    cols.append(_binary_target("click", domain_max=0))
+    cols.append(_binary_target("conversion", domain_max=0))
+    return Schema(cols)
+
+
 KNOWN_DATASETS: Dict[str, Callable[[], Schema]] = {
     "e-commerce": _ecommerce_schema,
     "music-streaming": _music_streaming_schema,
@@ -279,7 +353,10 @@ KNOWN_DATASETS: Dict[str, Callable[[], Schema]] = {
     "testing": _testing_schema,
     "social": _social_schema,
     "movielens-100k": _movielens_100k_schema,
+    "movielens-1m": _movielens_1m_schema,
     "movielens-25m": _movielens_25m_schema,
+    "tenrec-video": _tenrec_video_schema,
+    "e-commerce-large": _ecommerce_large_schema,
     "aliccp": _aliccp_schema,
     "aliccp-small": _aliccp_small_schema,
     "criteo": _criteo_schema,

@@ -348,6 +348,9 @@ _REF_SCHEMA_DIRS = {
     "sequence-testing": "testing/sequence_testing",
     "movielens-25m": "entertainment/movielens/25m",
     "movielens-100k": "entertainment/movielens/100k",
+    "movielens-1m": "entertainment/movielens/1m",
+    "tenrec-video": "entertainment/tenrec_video",
+    "e-commerce-large": "ecommerce/large",
 }
 
 

@@ -39,7 +39,7 @@ def get_movielens(
     path: Optional[str] = None, variant: str = "ml-100k", num_rows: int = 100_000
 ) -> Tuple[Dataset, Dataset]:
     """MovieLens 100k / 25M (reference ``entertainment/movielens/dataset.py:40``)."""
-    name = {"ml-100k": "movielens-100k", "ml-25m": "movielens-25m"}.get(variant, variant)
+    name = {"ml-100k": "movielens-100k", "ml-1m": "movielens-1m", "ml-25m": "movielens-25m"}.get(variant, variant)
     if path is not None:
         raw = _load_movielens_raw(path, variant)
         if raw is not None:

@@ -516,3 +516,20 @@ def test_tt_embedding_l2_reg():
         float(np.sum(np.square(np.asarray(c.value)))) for c in (t.core1, t.core2, t.core3)
     )
     np.testing.assert_allclose(float(t.regularization_loss()), expect, rtol=1e-6)
+
+
+def test_tt_threshold_on_ecommerce_large():
+    """e-commerce-large's 3M-item catalog: tt_compression_threshold routes the
+    huge domains to TT tables, small ones stay dense — the intended production
+    recipe for giant-catalog CTR models."""
+    from models_tpu.data.synthetic import known_schema
+    from models_tpu.inputs import Embeddings, TTEmbeddingTable
+
+    schema = known_schema("e-commerce-large")
+    emb = Embeddings(schema, dim=16, tt_compression_threshold=500_000, tt_ranks=8)
+    huge = [n for n in ("item_id", "item_shop") if isinstance(emb[n], TTEmbeddingTable)]
+    assert set(huge) == {"item_id", "item_shop"}
+    assert isinstance(emb["user_gender"], EmbeddingTable)
+    # a lookup across both kinds works
+    out = emb({"item_id": jnp.array([3_000_000]), "user_gender": jnp.array([1])})
+    assert out["item_id"].shape == (1, 16) and out["user_gender"].shape == (1, 16)

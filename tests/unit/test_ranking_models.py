@@ -409,3 +409,58 @@ def test_cgc_groups_initialize_differently():
     for i in range(len(kernels)):
         for j in range(i + 1, len(kernels)):
             assert not np.allclose(kernels[i], kernels[j]), (i, j)
+
+
+def test_cross_layer_exact_math():
+    """DCN-v2 cross: out = x0 * (W x + b) + x, with x0 threaded through depth
+    (reference tf/blocks/cross.py:29)."""
+    from models_tpu.blocks.cross import Cross
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((3, 6)), jnp.float32)
+    c = Cross(seed=1)
+    _, out = c(x0)  # first layer: x = x0
+    W = np.asarray(c.dense.u.value) if c.dense.u is not None else None
+    # DenseMaybeLowRank full-rank path stores the kernel in `u`
+    b = np.asarray(c.dense.bias.value) if c.dense.bias is not None else 0.0
+    expect = np.asarray(x0) * (np.asarray(x0) @ W + b) + np.asarray(x0)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
+
+    # second layer keeps the ORIGINAL x0
+    c2 = Cross(seed=2)
+    x0_held, out2 = c2((x0, out))
+    assert x0_held is x0
+    W2 = np.asarray(c2.dense.u.value)
+    b2 = np.asarray(c2.dense.bias.value)
+    expect2 = np.asarray(x0) * (np.asarray(out) @ W2 + b2) + np.asarray(out)
+    np.testing.assert_allclose(np.asarray(out2), expect2, rtol=1e-5)
+
+
+def test_cross_low_rank_factorization():
+    """Low-rank cross: W = U V with rank r — parameter count shrinks, math is
+    x0 * (U (V x) + b) + x."""
+    from models_tpu.blocks.cross import Cross
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 8)), jnp.float32)
+    c = Cross(low_rank_dim=2, seed=3)
+    _, out = c(x)
+    U = np.asarray(c.dense.u.value)
+    V = np.asarray(c.dense.v.value)
+    assert V.shape == (8, 2) and U.shape == (2, 8)
+    b = np.asarray(c.dense.bias.value)
+    expect = np.asarray(x) * ((np.asarray(x) @ V) @ U + b) + np.asarray(x)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
+
+
+def test_fm_block_structure():
+    """FMBlock = first-order wide term + 0.5((Σv)² − Σv²) pairwise term
+    (reference interaction.py:256)."""
+    from models_tpu.blocks.interaction import FMPairwiseInteraction
+
+    rng = np.random.default_rng(2)
+    emb = jnp.asarray(rng.standard_normal((2, 5, 4)), jnp.float32)  # (B, F, D)
+    out = np.asarray(FMPairwiseInteraction()(emb))
+    v = np.asarray(emb)
+    expect = 0.5 * ((v.sum(1) ** 2) - (v ** 2).sum(1))  # per-dim (B, D), like the reference
+    np.testing.assert_allclose(out, expect, rtol=1e-4)

@@ -1085,10 +1085,26 @@ class BaseModel(Block):
         self,
         data: Union[Dataset, Loader, dict],
         batch_size: Optional[int] = None,
+        pre=None,
     ):
+        """``pre=``: a transform applied to each batch before the forward pass
+        (reference ``predict_pre``, ``tf/models/base.py:1215``)."""
         if not self._compiled:
             self.compile()
+        pre_block = as_block(pre) if pre is not None else None
+
+        def apply_pre(x, y=None):
+            if pre_block is None:
+                return x
+            saved, self._pre_transform = getattr(self, "_pre_transform", None), pre_block
+            try:
+                x, _ = self._apply_pre(x, y, training=False, step=0)
+            finally:
+                self._pre_transform = saved
+            return x
+
         if isinstance(data, dict):
+            data = apply_pre(data)
             self.build((data, None))
             graphdef, params, rest = self._split()
             self._graphdef = graphdef
@@ -1099,7 +1115,8 @@ class BaseModel(Block):
         self._graphdef = graphdef
         predict_step = self._make_predict_step()
         chunks = []
-        for x, _ in loader:
+        for x, y in loader:
+            x = apply_pre(x, y)
             out = predict_step(params, rest, x)
             valid = np.asarray(x[ROW_VALID_KEY]) if ROW_VALID_KEY in x else None
             out_np = jax.tree_util.tree_map(np.asarray, out)

@@ -254,3 +254,25 @@ def test_shuffled_training_is_seed_deterministic(ecommerce):
 
     np.testing.assert_array_equal(run(11), run(11))
     assert not np.array_equal(run(11), run(12))  # different shuffle -> different path
+
+
+def test_predict_pre_hook():
+    """predict(pre=) applies the sequence protocol before inference (reference
+    predict_pre, tf/models/base.py:1215) — last-item conditioning changes the
+    scores vs the raw sequence."""
+    from models_tpu.models.session import SessionBasedTransformerModel
+    from models_tpu.transformer.block import GPT2Block
+    from models_tpu.transforms.sequence import SequencePredictLast, SequencePredictNext
+
+    ds = generate_data("sequence-testing", num_rows=64)
+    m = SessionBasedTransformerModel(
+        ds.schema, transformer=GPT2Block(d_model=16, n_head=2, n_layer=1), embedding_dim=8
+    )
+    m.compile()
+    m.fit(ds, epochs=1, batch_size=16,
+          pre=SequencePredictNext(ds.schema, target="item_id_seq"), verbose=0)
+    p_raw = np.asarray(m.predict(ds, batch_size=16))
+    p_last = np.asarray(m.predict(ds, batch_size=16,
+                                  pre=SequencePredictLast(ds.schema, target="item_id_seq")))
+    assert p_raw.shape[0] == p_last.shape[0]
+    assert not np.allclose(p_raw, p_last)

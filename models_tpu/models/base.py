@@ -1128,12 +1128,13 @@ class BaseModel(Block):
         return jax.tree_util.tree_map(lambda *xs: np.concatenate(xs, axis=0), *chunks)
 
     def batch_predict(
-        self, data: Union[Dataset, Loader], batch_size: int = 1024, prefix: str = "prediction"
+        self, data: Union[Dataset, Loader], batch_size: int = 1024, prefix: str = "prediction",
+        pre=None,
     ) -> Dataset:
         """Offline sweep → Dataset with prediction columns appended
         (reference ``batch_predict`` ``tf/models/base.py:1559``)."""
         dataset = data.dataset if isinstance(data, Loader) else data
-        preds = self.predict(data, batch_size=batch_size)
+        preds = self.predict(data, batch_size=batch_size, pre=pre)
         table = dataset.to_table()
         import pyarrow as pa
 

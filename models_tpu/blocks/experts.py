@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from ..core.block import Block, as_block, call_block
+from ..core.block import Block, as_block, call_block, fresh_copy
 from ..core.combinators import ParallelBlock, SequentialBlock
 from .mlp import Dense, MLPBlock
 
@@ -108,12 +108,15 @@ class CGCBlock(Block):
         expert_block = as_block(expert_block)
         self.task_names = list(outputs)
         self.final_layer = final_layer
-        # each group gets a RE-SEEDED template (plain deepcopy would make the
-        # first expert of every group initialize identically)
-        self.shared_experts = _StackedExperts(expert_block, num_shared_experts)
+        # each group gets a RE-SEEDED DEEPCOPY template: plain deepcopy would
+        # make the first expert of every group initialize identically, and
+        # embedding the caller's instance directly would alias its parameters
+        # with any other use of that object. Group salts are spaced 1009 apart
+        # so they can never collide with PLE's per-layer salts (< 1009 apart).
+        self.shared_experts = _StackedExperts(fresh_copy(expert_block, 0), num_shared_experts)
         self.task_experts = nnx.Dict(
             {
-                t: _StackedExperts(expert_block._fresh_copy(101 + j), num_task_experts)
+                t: _StackedExperts(fresh_copy(expert_block, 1009 * (j + 1)), num_task_experts)
                 for j, t in enumerate(self.task_names)
             }
         )
@@ -166,7 +169,7 @@ def PLEBlock(
             outputs,
             expert_block
             if isinstance(expert_block, (list, tuple))
-            else expert_block._fresh_copy(i),  # re-seeded per layer
+            else fresh_copy(expert_block, i),  # re-seeded per layer (salts < 1009)
             num_task_experts=num_task_experts,
             num_shared_experts=num_shared_experts,
             final_layer=(i == num_layers - 1),

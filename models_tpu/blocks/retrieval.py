@@ -65,9 +65,11 @@ def TwoTowerBlock(
     item_schema = schema.select_by_tag(Tags.ITEM).excluding_by_tag(Tags.TARGET)
     if not len(user_schema) or not len(item_schema):
         raise ValueError("TwoTowerBlock needs USER- and ITEM-tagged columns")
-    # _fresh_copy re-seeds initializers: a plain deepcopy would make both
-    # towers start with identical weights where input dims coincide
-    item_tower = item_tower if item_tower is not None else query_tower._fresh_copy(1)
+    # fresh_copy re-seeds initializers (and accepts raw-module/string specs):
+    # a plain deepcopy would make both towers start with identical weights
+    from ..core.block import fresh_copy
+
+    item_tower = item_tower if item_tower is not None else fresh_copy(query_tower, 1)
     query = SequentialBlock(
         [InputBlockV2(user_schema, dim=embedding_dim, seed=seed), query_tower]
     )

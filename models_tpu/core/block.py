@@ -134,13 +134,7 @@ class Block(nnx.Module):
         """Deepcopy with re-seeded initializers: a plain deepcopy of an unbuilt
         block duplicates its seeds and every copy would initialize identically
         (the reference's Keras clone re-initializes instead)."""
-        import copy
-
-        cp = copy.deepcopy(self)
-        for b in iter_blocks(cp):
-            if isinstance(getattr(b, "seed", None), int):
-                b.seed = b.seed + 7919 * i
-        return cp
+        return fresh_copy(self, i)
 
     def repeat(self, num: int) -> "Block":
         """Stack ``num`` fresh copies of this block sequentially (reference
@@ -224,6 +218,20 @@ def iter_blocks(root, _seen=None):
     for child in children:
         if isinstance(child, (nnx.Module, nnx.List, nnx.Dict, list, tuple)):
             yield from iter_blocks(child, _seen)
+
+
+def fresh_copy(obj, salt: int):
+    """Deepcopy ANY block-like object (Block, raw nnx module, string spec via
+    as_block) with re-seeded lazy initializers. ``salt`` spaces the seed offsets;
+    call sites at different nesting levels must use disjoint salt ranges."""
+    import copy
+
+    obj = as_block(obj)
+    cp = copy.deepcopy(obj)
+    for b in iter_blocks(cp):
+        if isinstance(getattr(b, "seed", None), int):
+            b.seed = b.seed + 7919 * salt
+    return cp
 
 
 def as_block(obj) -> Block:

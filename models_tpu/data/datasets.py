@@ -48,12 +48,25 @@ def get_movielens(
 
 
 def _load_movielens_raw(path: str, variant: str):
-    """Parse classic raw MovieLens files when present (u.data / ratings.csv)."""
+    """Parse classic raw MovieLens files when present: 100k ``u.data`` (TSV),
+    1M ``ratings.dat`` (``::``-separated), 25M ``ratings.csv``."""
     udata = os.path.join(path, "u.data")
+    ratings_dat = os.path.join(path, "ratings.dat")
     ratings_csv = os.path.join(path, "ratings.csv")
     if os.path.exists(udata):
         arr = np.loadtxt(udata, dtype=np.int64)
         users, items, ratings = arr[:, 0], arr[:, 1], arr[:, 2]
+    elif os.path.exists(ratings_dat):
+        rows = []
+        with open(ratings_dat) as fh:
+            for line in fh:
+                parts = line.strip().split("::")
+                if len(parts) >= 3:
+                    rows.append((int(parts[0]), int(parts[1]), float(parts[2])))
+        if not rows:
+            return None
+        arr = np.asarray(rows)
+        users, items, ratings = arr[:, 0].astype(np.int64), arr[:, 1].astype(np.int64), arr[:, 2]
     elif os.path.exists(ratings_csv):
         arr = np.genfromtxt(ratings_csv, delimiter=",", skip_header=1)
         users, items, ratings = arr[:, 0].astype(np.int64), arr[:, 1].astype(np.int64), arr[:, 2]

@@ -178,6 +178,9 @@ class BaseModel(Block):
         self._compiled = False
         self._built = False
         self.stop_training = False
+        # nnx.data: assigned a Block by fit/evaluate/predict(pre=...) later —
+        # a bare None-first assignment would freeze the slot static (CLAUDE.md)
+        self._pre_transform = nnx.data(None)
 
     # ------------------------------------------------------------------
     # forward plumbing — subclasses define __call__
@@ -742,7 +745,7 @@ class BaseModel(Block):
             self.compile()
         loader = self._as_loader(data, batch_size, shuffle=shuffle, drop_last=True)
         self.build(loader)
-        self._pre_transform = as_block(pre) if pre is not None else None
+        self._pre_transform = as_block(pre) if pre is not None else nnx.data(None)
 
         sparse = getattr(self, "_emb_opt", None)
         tap_shapes = None

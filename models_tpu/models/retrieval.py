@@ -197,6 +197,12 @@ def TwoTowerModel(
         return block
 
     query = build_tower(query_tower, user_schema, seed)
+    if item_tower is None and isinstance(query_tower, Block):
+        # never alias one Block instance into both towers (shared parameters);
+        # a re-seeded copy matches the reference's clone semantics
+        from ..core.block import fresh_copy
+
+        item_tower = fresh_copy(query_tower, 1)
     candidate = build_tower(item_tower if item_tower is not None else query_tower,
                             item_schema, seed + 100)
 

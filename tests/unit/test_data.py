@@ -445,3 +445,20 @@ def test_dataset_utility_methods():
     np.testing.assert_array_equal(np.sort(a), np.sort(b))
     r = repr(ds)
     assert "rows=100" in r
+
+
+def test_movielens_1m_ratings_dat_parser(tmp_path):
+    """ml-1m raw format: UserID::MovieID::Rating::Timestamp."""
+    from models_tpu.data.datasets import get_movielens
+
+    rng = np.random.default_rng(0)
+    lines = [
+        f"{rng.integers(1, 30)}::{rng.integers(1, 60)}::{rng.integers(1, 6)}::97830{i}"
+        for i in range(120)
+    ]
+    (tmp_path / "ratings.dat").write_text("\n".join(lines) + "\n")
+    train, valid = get_movielens(path=str(tmp_path), variant="ml-1m")
+    assert train.num_rows + valid.num_rows == 120
+    cols = train.to_numpy_dict()
+    assert set(cols) >= {"userId", "movieId", "rating", "rating_binary"}
+    assert cols["rating"].max() <= 5.0

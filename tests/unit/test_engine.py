@@ -276,3 +276,24 @@ def test_predict_pre_hook():
                                   pre=SequencePredictLast(ds.schema, target="item_id_seq")))
     assert p_raw.shape[0] == p_last.shape[0]
     assert not np.allclose(p_raw, p_last)
+
+
+def test_predict_pre_after_plain_fit(ecommerce):
+    """Regression: fit WITHOUT pre froze _pre_transform as a static None slot;
+    a later predict(pre=...) assignment crashed with an NNX static-attribute
+    error. The slot must be nnx.data."""
+    from models_tpu.transforms.features import ToTarget
+
+    m = _simple_model(ecommerce.schema)
+    m.compile()
+    m.fit(ecommerce, epochs=1, batch_size=32, verbose=0)  # no pre
+
+    calls = []
+
+    def probe(x, y):
+        calls.append(1)
+        return x, y
+
+    p = m.predict(ecommerce, batch_size=64, pre=probe)
+    assert calls  # the pre hook actually ran
+    assert np.isfinite(np.asarray(p)).all()

@@ -465,19 +465,46 @@ def test_session_transformer_model_test_roundtrip(tmp_path):
     np.testing.assert_allclose(p1, p2, rtol=1e-5)
 
 
-def test_two_tower_towers_initialize_differently(ecommerce_data):
-    """Regression: when the item tower is a copy of the query tower, the copy
-    must re-seed — identical tower initializations bias early training."""
-    from models_tpu.blocks.mlp import Dense
+def test_two_tower_towers_initialize_differently():
+    """Regression: an implicit item-tower copy must (a) not ALIAS the query
+    tower's modules and (b) re-seed so the towers initialize differently."""
+    import jax.numpy as jnp
+
+    from models_tpu.blocks.mlp import Dense, MLPBlock
+    from models_tpu.blocks.retrieval import TwoTowerBlock
+    from models_tpu.core.block import iter_blocks
+    from models_tpu.data import generate_data, sample_batch
+    from models_tpu.core.types import to_device_batch
+
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+
+    # symmetric schema: both towers see one 8-dim embedding -> identical shapes
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 20, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 20, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    tower = MLPBlock([8], seed=3)
+    block = TwoTowerBlock(schema, query_tower=tower, embedding_dim=8)
+    x = {"user_id": jnp.arange(4), "item_id": jnp.arange(4)}
+    block(x)  # build both towers
+    denses = [b for b in iter_blocks(block) if isinstance(b, Dense) and b.units == 8]
+    assert len(denses) == 2
+    assert denses[0] is not denses[1]  # no module aliasing
+    k0, k1 = np.asarray(denses[0].kernel.value), np.asarray(denses[1].kernel.value)
+    assert k0.shape == k1.shape  # same dims by construction (shared embed dim)
+    assert not np.allclose(k0, k1)  # re-seeded init
+
+
+def test_two_tower_model_block_tower_not_aliased(ecommerce_data):
+    """TwoTowerModel with a BLOCK query tower and no item tower must clone, not
+    reuse, the instance."""
+    from models_tpu.blocks.mlp import MLPBlock
     from models_tpu.core.block import iter_blocks
     from models_tpu.models import TwoTowerModel
 
-    m = TwoTowerModel(ecommerce_data.schema, query_tower=(16, 8), embedding_dim=8)
-    m.compile()
-    m.build(ecommerce_data)
-    denses = [b for b in iter_blocks(m) if isinstance(b, Dense) and b.units == 8]
-    assert len(denses) >= 2
-    k0 = np.asarray(denses[0].kernel.value)
-    k1 = np.asarray(denses[1].kernel.value)
-    if k0.shape == k1.shape:
-        assert not np.allclose(k0, k1)
+    tower = MLPBlock([8], no_activation_last_layer=True, seed=5)
+    m = TwoTowerModel(ecommerce_data.schema, query_tower=tower, embedding_dim=8)
+    towers = [b for b in iter_blocks(m) if isinstance(b, type(tower)) and b is tower]
+    assert len(towers) <= 1  # the caller's instance appears at most once

@@ -290,9 +290,9 @@ def test_predict_pre_after_plain_fit(ecommerce):
 
     calls = []
 
-    def probe(x, y):
+    def probe(x, targets=None, **kw):
         calls.append(1)
-        return x, y
+        return x, targets
 
     p = m.predict(ecommerce, batch_size=64, pre=probe)
     assert calls  # the pre hook actually ran

@@ -464,3 +464,42 @@ def test_fm_block_structure():
     v = np.asarray(emb)
     expect = 0.5 * ((v.sum(1) ** 2) - (v ** 2).sum(1))  # per-dim (B, D), like the reference
     np.testing.assert_allclose(out, expect, rtol=1e-4)
+
+
+def test_wide_and_deep_learns_crossable_signal():
+    """W&D with wide crosses learns an XOR-of-categories rule that the wide
+    (linear one-hot) path alone cannot express but the cross features can."""
+    from models_tpu.data import Dataset
+    from models_tpu.models import WideAndDeepModel
+    from models_tpu.schema import Schema, Tags, create_categorical_column, create_continuous_column
+
+    rng = np.random.default_rng(0)
+    n = 1024
+    a = rng.integers(0, 2, n)
+    b = rng.integers(0, 2, n)
+    y = (a ^ b).astype(np.int32)  # pure interaction signal
+    schema = Schema(
+        [
+            create_categorical_column("a", 1),
+            create_categorical_column("b", 1),
+            create_continuous_column("click", tags=(Tags.TARGET,)),
+        ]
+    )
+    ds = Dataset({"a": a, "b": b, "click": y.astype(np.float32)}, schema=schema)
+    model = WideAndDeepModel(schema, embedding_dim=4, deep_block=(8,), seed=2)
+    model.compile(learning_rate=0.05)
+    h = model.fit(ds, epochs=8, batch_size=128, shuffle=False, verbose=0)
+    assert h.history["loss"][-1] < 0.45, h.history["loss"]  # XOR learned (BCE << log 2)
+
+
+def test_ncf_has_gmf_and_mlp_paths(music):
+    """NCF = GMF (elementwise product) + MLP tower fused (reference
+    benchmark.py:32): two embedding tables per id (one per path)."""
+    from models_tpu.core.block import iter_blocks
+    from models_tpu.inputs import EmbeddingTable
+    from models_tpu.models import NCFModel
+
+    schema = music.schema.excluding_by_name(["play_percentage", "like"])
+    m = NCFModel(schema, embedding_dim=8, mlp_block=(16,))
+    tables = [b for b in iter_blocks(m) if isinstance(b, EmbeddingTable)]
+    assert len(tables) >= 4  # user/item x GMF/MLP

@@ -68,7 +68,8 @@ class SparseEmbeddingOptimizer:
             table.sparse_slots = nnx.Dict({})
 
     # ---- update ------------------------------------------------------------
-    def apply(self, table, ids: jnp.ndarray, grads: jnp.ndarray, step: jnp.ndarray):
+    def apply(self, table, ids: jnp.ndarray, grads: jnp.ndarray, step: jnp.ndarray,
+              mesh=None, axis: str = "model"):
         """Scatter-update the table (and slots) at the looked-up rows.
 
         ``ids``: (N,) int32 flattened; ``grads``: (N, D) row gradients. Duplicate
@@ -80,12 +81,22 @@ class SparseEmbeddingOptimizer:
         traffic ~ touched rows, not table size): XLA's own ``.at[ids].add``
         lowering on this TPU serializes row updates (CLAUDE.md) which made the
         sparse path a pessimization in round 1.
+
+        With ``mesh`` and a table whose rows divide the model axis (the same
+        routing condition as the sharded lookup), the whole update — slot math
+        included — runs inside ONE ``shard_map``: each device read-modify-writes
+        only the rows it owns on its local table/slot shards. Nothing
+        table-sized ever crosses ICI (SOK trains sharded tables sparsely; this
+        is the matching write path, reference ``tf/distributed/embedding.py``).
         """
         from ..ops.scatter import dedup_rows, pallas_row_scatter_add
 
         flat_ids = ids.reshape(-1)
         flat_g = grads.reshape(-1, grads.shape[-1])
         sids, gsum, valid = dedup_rows(flat_ids, flat_g)
+        n_shards = dict(mesh.shape).get(axis, 1) if mesh is not None else 1
+        if n_shards > 1 and table.padded_rows % n_shards == 0:
+            return self._apply_sharded(table, sids, gsum, valid, step, mesh, axis)
         lr = self.learning_rate
 
         if self.kind == "sgd":
@@ -122,6 +133,64 @@ class SparseEmbeddingOptimizer:
         table.table.value = pallas_row_scatter_add(
             table.table.value, sids, -lr * mhat / (jnp.sqrt(vhat) + self.eps), valid
         )
+
+    def _apply_sharded(self, table, sids, gsum, valid, step, mesh, axis):
+        """One shard_map over the model axis doing the full sparse update on
+        local shards (ids/row-grads replicated — one (B, D)-sized broadcast is
+        the only collective; table and slots never move)."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.scatter import pallas_row_scatter_add
+
+        n = dict(mesh.shape)[axis]
+        rows_per = table.padded_rows // n
+        lr, eps, kind = self.learning_rate, self.eps, self.kind
+        slot_names = sorted(table.sparse_slots) if table.sparse_slots is not None else []
+        slots = {k: table.sparse_slots[k].value for k in slot_names}
+        b1, b2 = self.beta1, self.beta2
+
+        def local(tbl, slots, sids, gsum, valid, step):
+            shard = jax.lax.axis_index(axis)
+            local_ids = sids - shard * rows_per
+            owned = valid & (local_ids >= 0) & (local_ids < rows_per)
+            safe = jnp.clip(local_ids, 0, rows_per - 1).astype(jnp.int32)
+            if kind == "sgd":
+                return pallas_row_scatter_add(tbl, safe, -lr * gsum, owned), slots
+            if kind == "adagrad":
+                acc = slots["acc"]
+                acc_rows = jnp.take(acc, safe, axis=0) + gsum * gsum
+                new_acc = pallas_row_scatter_add(acc, safe, gsum * gsum, owned)
+                denom = jnp.sqrt(acc_rows) + eps
+                new_tbl = pallas_row_scatter_add(tbl, safe, -lr * gsum / denom, owned)
+                return new_tbl, {"acc": new_acc}
+            m, v = slots["m"], slots["v"]
+            m_old = jnp.take(m, safe, axis=0)
+            v_old = jnp.take(v, safe, axis=0)
+            m_new = b1 * m_old + (1 - b1) * gsum
+            v_new = b2 * v_old + (1 - b2) * gsum * gsum
+            new_m = pallas_row_scatter_add(m, safe, m_new - m_old, owned)
+            new_v = pallas_row_scatter_add(v, safe, v_new - v_old, owned)
+            t = jnp.maximum(step.astype(jnp.float32) + 1.0, 1.0)
+            mhat = m_new / (1 - b1**t)
+            vhat = v_new / (1 - b2**t)
+            new_tbl = pallas_row_scatter_add(
+                tbl, safe, -lr * mhat / (jnp.sqrt(vhat) + eps), owned
+            )
+            return new_tbl, {"m": new_m, "v": new_v}
+
+        sharded = P(axis, None)
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(sharded, {k: sharded for k in slots}, P(), P(), P(), P()),
+            out_specs=(sharded, {k: sharded for k in slots}),
+        )
+        new_tbl, new_slots = fn(
+            table.table.value, slots, sids, gsum, valid, jnp.asarray(step)
+        )
+        table.table.value = new_tbl
+        for k in slot_names:
+            table.sparse_slots[k].value = new_slots[k]
 
 
 def LazyAdam(learning_rate: float = 0.001, beta1: float = 0.9, beta2: float = 0.999,

@@ -7,7 +7,8 @@ Embeddings:585). TPU-native differences:
   cardinalities — XLA sees fixed shapes;
 - lookups are ``jnp.take`` (XLA dynamic-gather) on one chip; the mesh-sharded path
   (``models_tpu/parallel``) re-annotates the same tables with ``NamedSharding`` row
-  sharding and swaps in the all-to-all Pallas lookup — no user-facing change;
+  sharding and swaps in the bucketed all_to_all lookup (``ops/embedding_lookup.py
+  a2a_lookup``, psum fallback for non-dividing batches) — no user-facing change;
 - multi-hot/sequence features arrive as :class:`SequenceFeature` (padded + mask);
   combiners are mask-aware means/sums, never ragged ops;
 - shared tables: columns with the same int-domain name share one table, exactly like

@@ -31,9 +31,11 @@ from ..core.types import SequenceFeature
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
-# default placement: embedding table rows → model axis; everything else replicated
+# default placement: embedding table rows (and their sparse-optimizer slots) →
+# model axis; everything else replicated
 DEFAULT_RULES: List[Tuple[str, P]] = [
     (r"\btable\b", P(MODEL_AXIS, None)),
+    (r"\bsparse_slots\b", P(MODEL_AXIS, None)),
 ]
 
 

@@ -395,3 +395,100 @@ def test_topk_scores_method_dispatch():
         s, i = topk_scores(q, cand, 5, method=method, tile=2048)
         np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+# ---------------------------------------------------------------------------
+# all_to_all sharded lookup (SOK lookup_sparse parity; SURVEY §7 kernel #1)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "shape,data_axis",
+    [
+        ({"data": 1, "model": 4}, None),
+        ({"data": 2, "model": 2}, "data"),
+        ({"data": 4, "model": 2}, "data"),
+        ({"data": 2, "model": 4}, None),
+    ],
+)
+def test_a2a_lookup_matches_take(shape, data_axis):
+    from models_tpu.ops.embedding_lookup import a2a_lookup
+    from models_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    R, D, B = 64, 8, 48
+    table = jnp.asarray(rng.standard_normal((R, D)).astype(np.float32))
+    # include shard-skewed ids (everything owned by shard 0) and boundary rows
+    ids = np.concatenate([rng.integers(0, R, B - 4), [0, R - 1, 0, 1]]).astype(np.int32)
+    ids = jnp.asarray(ids)
+    mesh = make_mesh(shape, devices=jax.devices("cpu")[: int(np.prod(list(shape.values())))])
+    out = a2a_lookup(table, ids, mesh, data_axis=data_axis)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6
+    )
+    # backward: row grads land exactly as the dense gather's scatter-add
+    w = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    g = jax.grad(lambda t: jnp.sum(a2a_lookup(t, ids, mesh, data_axis=data_axis) * w))(table)
+    g_ref = jax.grad(lambda t: jnp.sum(jnp.take(t, ids, axis=0) * w))(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_lookup_auto_dispatches_a2a_and_falls_back():
+    from models_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"model": 4}, devices=jax.devices("cpu")[:4])
+    table = jnp.arange(64, dtype=jnp.float32).reshape(16, 4)
+    ids_div = jnp.array([0, 5, 9, 15, 2, 2, 7, 11], jnp.int32)  # 8 % 4 == 0 → a2a
+    ids_odd = jnp.array([0, 5, 9, 15, 2], jnp.int32)  # 5 % 4 != 0 → psum fallback
+    for ids in (ids_div, ids_odd):
+        out = sharded_lookup(table, ids, mesh)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6
+        )
+    with pytest.raises(ValueError):
+        sharded_lookup(table, ids_odd, mesh, strategy="a2a")
+
+
+def test_sharded_row_scatter_add_unique_and_valid():
+    from models_tpu.ops.embedding_lookup import sharded_row_scatter_add
+    from models_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"model": 2}, devices=jax.devices("cpu")[:2])
+    table = jnp.zeros((8, 4), jnp.float32)
+    ids = jnp.array([1, 6, 3], jnp.int32)
+    upd = jnp.ones((3, 4), jnp.float32) * jnp.array([1.0, 2.0, 3.0])[:, None]
+    valid = jnp.array([True, True, False])
+    out = np.asarray(sharded_row_scatter_add(table, ids, upd, valid, mesh))
+    assert out[1, 0] == 1.0 and out[6, 0] == 2.0
+    assert out[3, 0] == 0.0  # invalid position dropped
+
+
+def test_binned_topk_bf16_sweep_matches_naive():
+    """Empirical bound for binned_topk's bin_margin (ADVICE r2): sweep
+    bf16-precision catalogs dense with near-ties (duplicated rows + sub-ulp
+    perturbations) and require the two-phase selection to agree with the naive
+    full-matmul top-k computed at the same precision."""
+    from models_tpu.ops.topk import binned_topk
+
+    k = 10
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        C, D, B = 4096, 32, 8
+        base = rng.standard_normal((C // 4, D)).astype(np.float32)
+        cand = np.repeat(base, 4, axis=0)  # exact duplicates across bins
+        cand += rng.standard_normal(cand.shape).astype(np.float32) * 1e-3
+        q = rng.standard_normal((B, D)).astype(np.float32)
+        qb = jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32)
+        cb = jnp.asarray(cand).astype(jnp.bfloat16).astype(jnp.float32)
+        s, i = binned_topk(qb, cb, k)
+        naive = jnp.matmul(qb, cb.T, preferred_element_type=jnp.float32)
+        s_ref, _ = jax.lax.top_k(naive, k)
+        # differently-shaped einsums accumulate in different orders: scores of
+        # the SAME elements differ by ~1 ulp. The selection must agree to
+        # within that rounding — no element materially better than the k-th
+        # may be missed (this bounds the margin bin_margin must absorb).
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-6)
+        # and the selected ids' NAIVE scores must reproduce the naive top-k
+        sel = np.take_along_axis(np.asarray(naive), np.asarray(i), axis=1)
+        np.testing.assert_allclose(
+            -np.sort(-sel, axis=1), np.asarray(s_ref), rtol=1e-6
+        )

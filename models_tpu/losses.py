@@ -94,6 +94,21 @@ def bpr_loss(labels, logits, sample_weight=None):
 
 @loss_registry.register_with_multiple_names("bpr-max", "bpr_max")
 def bpr_max_loss(labels, logits, sample_weight=None, reg: float = 1.0):
+    """Reference-exact BPR-max (``tf/losses/pairwise.py:242``): per-ELEMENT
+    ``-log(sigmoid(sub_j) * w_j) + reg * w_j * negs_j^2`` averaged over (B, N).
+    Note the reference deviates from Hidasi et al. 2018 eq. 12 (which takes the
+    log of the softmax-weighted SUM); we match the reference so tuned configs
+    transfer. The paper form is available as :func:`bpr_max_paper_loss`."""
+    dist, negs = _pos_neg_distance(labels, logits)
+    w = jax.nn.softmax(negs, axis=-1)
+    per = -jnp.log(jax.nn.sigmoid(dist) * w + 1e-24) + reg * w * jnp.square(negs)
+    return _weighted_mean(per, sample_weight)
+
+
+@loss_registry.register_with_multiple_names("bpr-max-paper", "bpr_max_paper")
+def bpr_max_paper_loss(labels, logits, sample_weight=None, reg: float = 1.0):
+    """BPR-max as published (Hidasi et al. 2018 eq. 12): row-wise
+    ``-log(sum_j w_j * sigmoid(dist_j)) + reg * sum_j w_j * negs_j^2``."""
     dist, negs = _pos_neg_distance(labels, logits)
     w = jax.nn.softmax(negs, axis=-1)
     per = -jnp.log(jnp.sum(w * jax.nn.sigmoid(dist), axis=-1) + 1e-12)
@@ -122,9 +137,14 @@ def top1_v2_loss(labels, logits, sample_weight=None):
 
 @loss_registry.register_with_multiple_names("top1_max", "top1-max")
 def top1_max_loss(labels, logits, sample_weight=None):
+    """Reference-exact TOP1-max (``tf/losses/pairwise.py:329``): the
+    softmax-weighted per-element matrix is mean-reduced over ALL (B, N)
+    elements (Keras' default reduction) — i.e. 1/N times the paper's row-wise
+    weighted sum. The scale only rescales the LR, but parity means tuned
+    reference configs transfer unchanged."""
     dist, negs = _pos_neg_distance(labels, logits)
     w = jax.nn.softmax(negs, axis=-1)
-    per = jnp.sum(w * (jax.nn.sigmoid(-dist) + jax.nn.sigmoid(jnp.square(negs))), axis=-1)
+    per = w * (jax.nn.sigmoid(-dist) + jax.nn.sigmoid(jnp.square(negs)))
     return _weighted_mean(per, sample_weight)
 
 

@@ -61,7 +61,10 @@ def extract_topk(
 
 
 def recall_at(k: int, rel: jnp.ndarray, num_relevant: jnp.ndarray) -> jnp.ndarray:
-    return rel[:, :k].sum(axis=1) / jnp.maximum(num_relevant, 1.0)
+    # reference parity (tf/metrics/topk.py:59): the divisor is clipped to k —
+    # "recall@k" counts hits against the top-k-ACHIEVABLE relevant set, so a
+    # row with 50 relevant items and 10 hits at k=10 scores 1.0, not 0.2
+    return rel[:, :k].sum(axis=1) / jnp.clip(num_relevant, 1.0, float(k))
 
 
 def precision_at(k: int, rel: jnp.ndarray, num_relevant: jnp.ndarray) -> jnp.ndarray:
@@ -121,7 +124,20 @@ class TopKMetric(Metric):
 
     def _compute(self, rel, num_relevant):
         # clamp to the candidate width here so no caller can bypass it
-        return _TOPK_FNS[self.metric_fn_name](min(self.k, rel.shape[1]), rel, num_relevant)
+        k = min(self.k, rel.shape[1])
+        if k < self.k and not getattr(self, "_clamp_warned", False):
+            # shapes are static → this fires at trace time, once per metric
+            # (the reference ERRORS here; we clamp but must not mislead:
+            # recall@10 over an 8-wide candidate set is recall@8)
+            import warnings
+
+            warnings.warn(
+                f"{self.name}: only {rel.shape[1]} candidates available — "
+                f"computing @{k} but reporting under the @{self.k} name",
+                stacklevel=3,
+            )
+            self._clamp_warned = True
+        return _TOPK_FNS[self.metric_fn_name](k, rel, num_relevant)
 
     def update(
         self, state, outputs, targets, sample_weight=None, label_relevant_counts=None

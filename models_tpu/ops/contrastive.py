@@ -22,8 +22,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-MIN_FLOAT = jnp.finfo(jnp.float32).min / 100.0
-LOGQ_EPS = 1e-6
+from ..core.constants import LOGQ_EPS, MIN_FLOAT
 
 
 def _tile_logits(query, neg_emb_t, neg_id_t, pos_id, bias_t, temperature):
@@ -48,9 +47,10 @@ def sampled_softmax_loss(
     neg_bias: Optional[jnp.ndarray] = None,  # (N,) additive logit bias (logQ)
     temperature: float = 1.0,
     tile: int = 8192,
+    pos_bias: Optional[jnp.ndarray] = None,  # (Q,) positive logit bias (logQ)
 ) -> jnp.ndarray:
     loss, _ = _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias,
-                       temperature, tile)
+                       temperature, tile, pos_bias)
     return loss
 
 
@@ -98,7 +98,8 @@ def _loss_from_lse(pos_logit, m, s, weights):
     return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-9)
 
 
-def _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, temperature, tile):
+def _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, temperature,
+             tile, pos_bias=None):
     Q, D = query.shape
 
     if _use_flash(query, neg_emb):
@@ -107,6 +108,11 @@ def _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, tempera
         pos_logit = jnp.einsum(
             "qd,qd->q", query, pos_emb, preferred_element_type=jnp.float32
         ) / temperature
+        if pos_bias is not None:
+            # positive logQ correction (reference tf/outputs/contrastive.py:317):
+            # the bias lands on raw scores BEFORE temperature scaling, so it is
+            # divided by T here — same convention as neg_bias in _tile_logits
+            pos_logit = pos_logit + pos_bias / temperature
         m, s = flash_ce.lse_forward(
             query, pos_logit, neg_emb, pos_id, neg_id, neg_bias, temperature,
             downscore=(pos_id is not None and neg_id is not None),
@@ -118,6 +124,8 @@ def _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, tempera
     pos_logit = jnp.einsum(
         "qd,qd->q", query, pos_emb, preferred_element_type=jnp.float32
     ) / temperature  # (Q,)
+    if pos_bias is not None:
+        pos_logit = pos_logit + pos_bias / temperature
 
     def body(carry, t):
         m, s = carry  # running max (Q,), running sum of exp (Q,)
@@ -140,14 +148,15 @@ def _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, tempera
     return loss, (m, s)
 
 
-def _fwd(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, temperature, tile):
+def _fwd(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, temperature, tile,
+         pos_bias=None):
     loss, (m, s) = _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias,
-                            temperature, tile)
-    return loss, (query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, m, s)
+                            temperature, tile, pos_bias)
+    return loss, (query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, pos_bias, m, s)
 
 
 def _bwd(temperature, tile, res, g):
-    query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, m, s = res
+    query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias, pos_bias, m, s = res
     Q, D = query.shape
     N = neg_emb.shape[0]
     lse = m + jnp.log(s)
@@ -161,6 +170,8 @@ def _bwd(temperature, tile, res, g):
     pos_logit = jnp.einsum(
         "qd,qd->q", query, pos_emb, preferred_element_type=jnp.float32
     ) / temperature
+    if pos_bias is not None:
+        pos_logit = pos_logit + pos_bias / temperature
     p_pos = jnp.exp(pos_logit - lse)
     coef_pos = gw * (p_pos - 1.0) / temperature  # (Q,)
     d_query = coef_pos[:, None] * pos_emb.astype(jnp.float32)
@@ -180,7 +191,7 @@ def _bwd(temperature, tile, res, g):
             d_query.astype(query.dtype),
             d_pos,
             d_neg.astype(neg_emb.dtype),
-            None, None, None, None,
+            None, None, None, None, None,
         )
 
     xs = _tile_inputs(neg_emb, neg_id, neg_bias, tile)
@@ -201,7 +212,7 @@ def _bwd(temperature, tile, res, g):
         d_query.astype(query.dtype),
         d_pos,
         d_neg.astype(neg_emb.dtype),
-        None, None, None, None,
+        None, None, None, None, None,
     )
 
 

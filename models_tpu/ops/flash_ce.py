@@ -25,7 +25,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-MIN_FLOAT = jnp.finfo(jnp.float32).min / 100.0
+from ..core.constants import MIN_FLOAT
 
 TQ = 512
 TN = 1024

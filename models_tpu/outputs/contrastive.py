@@ -32,8 +32,7 @@ from ..schema import ColumnSchema, Schema, Tags
 from .base import DotProduct, EmbeddingTablePrediction, ModelOutput
 from .sampling import Candidate, CandidateSampler, InBatchSampler
 
-MIN_FLOAT = jnp.finfo(jnp.float32).min / 100.0
-LOGQ_EPS = 1e-6
+from ..core.constants import LOGQ_EPS, MIN_FLOAT
 
 
 class ContrastiveOutput(ModelOutput):
@@ -238,6 +237,10 @@ class ContrastiveOutput(ModelOutput):
             cast_compute(positive.embedding),
             preferred_element_type=jnp.float32,
         )[:, None]  # (B,1)
+        if self.logq_sampling_correction and positive.sampling_prob is not None:
+            # the reference corrects the POSITIVE score too
+            # (tf/outputs/contrastive.py:317)
+            pos_score = pos_score - jnp.log(positive.sampling_prob + LOGQ_EPS)[:, None]
         neg_scores = jnp.matmul(
             cast_compute(query), cast_compute(negatives.embedding).T,
             preferred_element_type=jnp.float32,
@@ -263,6 +266,21 @@ class ContrastiveOutput(ModelOutput):
             query, positive, weights = self._query_and_positive(inputs, context, targets)
             if positive.id is not None:
                 negatives = self._sample_negatives(positive, training, step, context=context)
+                if (
+                    self.logq_sampling_correction
+                    and len(self.samplers) == 1
+                    and positive.sampling_prob is None
+                ):
+                    # reference parity: samplers that know their analytic
+                    # distribution stamp the POSITIVE's sampling prob as well
+                    # (``sampler.with_sampling_probs(positive)``,
+                    # tf/outputs/contrastive.py:384)
+                    spfn = getattr(self.samplers[0], "sampling_probs", None)
+                    max_id = getattr(self.samplers[0], "max_id", None)
+                    if spfn is not None and max_id is not None:
+                        positive = positive._replace(
+                            sampling_prob=spfn(positive.id, max_id)
+                        )
 
                 # fused flash-style CE when logits aren't needed downstream
                 need_logits = bool(context.get("need_logits", True)) if context is not None else True
@@ -293,6 +311,9 @@ class ContrastiveOutput(ModelOutput):
                         neg_bias = pad_pen if neg_bias is None else neg_bias + pad_pen
                     from ..core.policy import cast_compute as _cc
 
+                    pos_bias = None
+                    if self.logq_sampling_correction and positive.sampling_prob is not None:
+                        pos_bias = -jnp.log(positive.sampling_prob + LOGQ_EPS)
                     loss = sampled_softmax_loss(
                         _cc(query),
                         _cc(positive.embedding),
@@ -303,6 +324,7 @@ class ContrastiveOutput(ModelOutput):
                         neg_bias,
                         temp,
                         min(self.fused_tile, negatives.embedding.shape[0]),
+                        pos_bias=pos_bias,
                     )
                     return Prediction(outputs=loss, precomputed_loss=loss)
 

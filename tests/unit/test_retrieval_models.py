@@ -360,9 +360,17 @@ def test_contrastive_popularity_sampler_string():
     ctx2["step"] = 0
     p2 = head_nologq(q, training=True, context=ctx2)
     assert p1.outputs.shape == p2.outputs.shape
-    # positive column identical; negative columns shifted by -log(prob) > 0
+    # BOTH columns shift by -log(prob) > 0: the reference corrects the
+    # positive's score too (tf/outputs/contrastive.py:317) — the positive
+    # shift is exactly -log(P_zipf(pos_id))
+    from models_tpu.core.constants import LOGQ_EPS
+
+    sampler = head.samplers[0]
+    pos_prob = np.asarray(sampler.sampling_probs(ctx.features["item_id"], sampler.max_id))
     np.testing.assert_allclose(
-        np.asarray(p1.outputs[:, 0]), np.asarray(p2.outputs[:, 0]), rtol=1e-5
+        np.asarray(p1.outputs[:, 0]),
+        np.asarray(p2.outputs[:, 0]) - np.log(pos_prob + LOGQ_EPS),
+        rtol=1e-5,
     )
     assert (np.asarray(p1.outputs[:, 1:]) >= np.asarray(p2.outputs[:, 1:]) - 1e-5).all()
     assert not np.allclose(np.asarray(p1.outputs[:, 1:]), np.asarray(p2.outputs[:, 1:]))

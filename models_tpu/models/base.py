@@ -647,7 +647,7 @@ class BaseModel(Block):
                 prefix = table._tap_key + ":"
                 for key, ids in tap_ids.items():
                     if key.startswith(prefix):
-                        sparse.apply(table, ids, gt[key], step)
+                        sparse.apply(table, ids, gt[key], step, mesh=mesh)
             if with_metrics:
                 metric_states = model._update_metrics(metric_states, pred_dict, x, task_metrics)
             _, new_emb, new_dense, new_rest2 = nnx.split(model, emb_type, nnx.Param, ...)
@@ -768,10 +768,12 @@ class BaseModel(Block):
                 default=self._tx, rules=[(b, optax.set_to_zero()) for b in frozen]
             ).build(params)
         if mesh is not None:
-            from ..parallel.mesh import replicate, shard_state
+            from ..parallel.mesh import shard_state
 
             params = shard_state(params, mesh, shard_rules)
-            rest = replicate(rest, mesh)
+            # rest rides the same rules: sparse-optimizer slots co-shard with
+            # their tables (everything unmatched stays replicated)
+            rest = shard_state(rest, mesh, shard_rules)
             if emb_params is not None:
                 emb_params = shard_state(emb_params, mesh, shard_rules)
         self._graphdef = graphdef
@@ -1033,12 +1035,48 @@ class BaseModel(Block):
         return history
 
     def _apply_pre(self, x, y, training: bool, step: int):
+        """Apply the ``pre=`` transform to one batch. The transform is traced
+        into a JITTED function (cached per (block, training)): on the TPU
+        tunnel every eager op costs ~0.4s RTT, so an eagerly-applied sequence
+        transform would dominate fit/predict wall-clock. Non-jittable
+        transforms (host-side ops) fall back to eager — once, the failure is
+        cached."""
         x = to_device_batch(x)
-        context = ModelContext(features=x, targets=y, step=step)
-        out = call_block(self._pre_transform, x, targets=y, training=training, context=context)
-        if isinstance(out, tuple):
-            return out
-        return out, context.targets if context.targets is not None else y
+        pre = self._pre_transform
+
+        def eager(x, y):
+            context = ModelContext(features=x, targets=y, step=step)
+            out = call_block(pre, x, targets=y, training=training, context=context)
+            if isinstance(out, tuple):
+                return out
+            return out, context.targets if context.targets is not None else y
+
+        cache = getattr(self, "_pre_jit_cache", None)
+        if cache is None:
+            cache = self._pre_jit_cache = {}
+        key = (id(pre), training)
+        entry = cache.get(key)
+        if entry == "eager":
+            return eager(x, y)
+        if entry is None:
+            graphdef, state = nnx.split(pre)
+
+            def fn(state, x, y, step):
+                blk = nnx.merge(graphdef, state)
+                context = ModelContext(features=x, targets=y, step=step)
+                out = call_block(blk, x, targets=y, training=training, context=context)
+                if isinstance(out, tuple):
+                    return out
+                t = context.get("targets")
+                return out, (t if t is not None else y)
+
+            entry = cache[key] = (jax.jit(fn), state)
+        jfn, state = entry
+        try:
+            return jfn(state, x, y, jnp.asarray(step))
+        except Exception:
+            cache[key] = "eager"
+            return eager(x, y)
 
     def evaluate(
         self,

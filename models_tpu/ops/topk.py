@@ -182,13 +182,18 @@ def _kround_topk(values: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]
     return jnp.stack(out_v, axis=1), jnp.stack(out_p, axis=1)
 
 
+_BINNED_BIN_SIZE = 128
+_BINNED_MARGIN = 2
+
+
 def binned_topk(
     queries: jnp.ndarray,
     candidates: jnp.ndarray,
     k: int,
     ids: Optional[jnp.ndarray] = None,
-    bin_size: int = 128,
-    bin_margin: int = 2,
+    bin_size: int = _BINNED_BIN_SIZE,
+    bin_margin: int = _BINNED_MARGIN,
+    phase_a_precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Provably-exact two-phase top-k at near-matmul speed (pure XLA, no
     Pallas, no data-dependent control flow).
@@ -212,10 +217,17 @@ def binned_topk(
     Exactness: every element strictly greater than the true k-th score θ lives
     in a bin whose max exceeds θ, and at most k-1 bins do — so all such bins
     rank in the top-k bins by max; the selected pool also holds ≥ k elements
-    ≥ θ (one per selected bin). A top-k of the pool is therefore a valid exact
-    top-k at the score function's precision (TPU DEFAULT matmul precision —
-    bf16 multiply, f32 accumulate — like every matmul in this framework;
-    ``bin_margin`` extra bins absorb phase-A/phase-B rounding differences).
+    ≥ θ (one per selected bin). The proof holds when phase A and phase B score
+    identically; on TPU both run at DEFAULT matmul precision (bf16 multiply,
+    f32 accumulate) but through differently-shaped einsums, so accumulation
+    order can differ by ~1 ulp — ``bin_margin`` extra bins absorb that (the
+    margin is a measured buffer, not part of the proof; an element whose
+    phase-A bin max rounds below the (k+margin)-th bin threshold could in
+    principle be dropped — never observed across the bf16 sweep in
+    ``tests/unit/test_ops.py::test_binned_topk_bf16_sweep_matches_naive``).
+    ``phase_a_precision``: pass ``jax.lax.Precision.HIGHEST`` to run phase A's
+    scoring in full f32 (≈2-3x phase-A cost) when bitwise-robust selection
+    against adversarial near-tie catalogs matters more than speed.
     Measured on TPU v5e (1M×128 catalog, B=256, k=10): ~1.3 ms vs 7.7 ms for
     the Pallas streaming kernel (whose k-round merge over every tile is
     VPU-bound) and ~620 ms naive.
@@ -236,7 +248,10 @@ def binned_topk(
     # Phase A: fused matmul -> per-bin max over the full bins
     c3 = candidates[: L * bin_size].reshape(L, bin_size, D)
     bin_max = jnp.max(
-        jnp.einsum("bd,lsd->bls", queries, c3, preferred_element_type=jnp.float32),
+        jnp.einsum(
+            "bd,lsd->bls", queries, c3,
+            preferred_element_type=jnp.float32, precision=phase_a_precision,
+        ),
         axis=2,
     )  # (B, L)
 
@@ -319,7 +334,8 @@ def topk_scores(
         method = "pallas" if prefer_pallas else "blockwise"
     B = queries.shape[0]
     D = queries.shape[1]
-    gather_bytes = B * k * 128 * D * 4  # binned phase-B buffer
+    # binned phase-B buffer: (B, k+margin bins, bin_size, D) candidate gather
+    gather_bytes = B * (k + _BINNED_MARGIN) * _BINNED_BIN_SIZE * D * 4
     if method == "binned" or (method == "auto" and gather_bytes <= 512 * 2**20):
         return binned_topk(queries, candidates, k, ids=ids)
     if method == "pallas" or (method == "auto" and on_tpu):

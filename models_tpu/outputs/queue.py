@@ -67,13 +67,15 @@ class CachedCrossBatchSampler(CandidateSampler):
     contrastive head downscores them to MIN_FLOAT so warm-up batches never
     score against zero vectors."""
 
-    _n_instances = 0
-
     def __init__(self, capacity: int = 4096, dim: int = 64):
         super().__init__()
         self.queue = FIFOQueue(capacity, dim)
-        CachedCrossBatchSampler._n_instances += 1
-        self._state_key = f"fifo_queue_{CachedCrossBatchSampler._n_instances}"
+        # unique per live object — a resettable class counter could collide
+        # with an instance unpickled by load_model before build()-time
+        # _rekey_stateful_blocks assigns canonical traversal-position keys
+        import uuid
+
+        self._state_key = f"fifo_queue_{uuid.uuid4().hex[:12]}"
 
     def state_update_targets(self):
         """field name -> Variable, for the engine's functional state updates."""

@@ -115,7 +115,12 @@ def _hash_combine(h, v):
 
 class HashedCross(Block):
     """Hashed cross of N categorical features into ``num_bins`` buckets
-    (reference ``HashedCross:694``). Output int bucket ids (B,) or one-hot."""
+    (reference ``HashedCross:694``). Output int bucket ids (B,) or one-hot.
+
+    List features are supported (the reference crosses sparse/ragged inputs,
+    ``tf/transforms/features.py:694``): list×list crosses positionwise, a
+    scalar broadcasts along the sequence axis, and the output is a
+    :class:`SequenceFeature` whose mask is the AND of the input masks."""
 
     def __init__(self, schema: Schema, num_bins: int = 1000, output_mode: str = "int",
                  output_name: Optional[str] = None):
@@ -125,16 +130,43 @@ class HashedCross(Block):
         self.output_name = output_name or ("cross_" + "_".join(self.schema.column_names))
 
     def __call__(self, inputs: TensorDict, **kwargs):
-        h = jnp.full((), 0x811C9DC5, dtype=jnp.uint32)
-        first = True
+        vals = []
+        mask = None
+        seq_len = None
         for col in self.schema:
             v = inputs[col.name]
             if isinstance(v, SequenceFeature):
-                raise ValueError("HashedCross does not support list features")
+                if seq_len is not None and v.values.shape[1] != seq_len:
+                    raise ValueError(
+                        "HashedCross list features must share one sequence length"
+                    )
+                seq_len = v.values.shape[1]
+                mask = v.mask if mask is None else (mask & v.mask)
+                vals.append(v.values)
+            else:
+                vals.append(v)
+        h = jnp.full((), 0x811C9DC5, dtype=jnp.uint32)
+        first = True
+        for v in vals:
             v = v.astype(jnp.uint32)
+            if seq_len is not None and v.ndim == 1:
+                v = jnp.broadcast_to(v[:, None], (v.shape[0], seq_len))
             h = _hash_combine(jnp.broadcast_to(h, v.shape) if first else h, v)
             first = False
         bucket = (h % jnp.uint32(self.num_bins)).astype(jnp.int32)
+        if seq_len is not None:
+            if mask is not None:
+                # masked positions hash to bucket 0 deterministically
+                bucket = jnp.where(mask, bucket, 0)
+            out_vals = (
+                jax.nn.one_hot(bucket, self.num_bins)
+                if self.output_mode == "one_hot"
+                else bucket
+            )
+            return SequenceFeature(
+                out_vals,
+                mask if mask is not None else jnp.ones(bucket.shape, bool),
+            )
         if self.output_mode == "one_hot":
             return jax.nn.one_hot(bucket, self.num_bins)
         return bucket

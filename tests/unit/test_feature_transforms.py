@@ -177,17 +177,18 @@ def test_hashed_cross_one_hot_sums_to_one():
     np.testing.assert_array_equal(out.sum(axis=1), 1.0)
 
 
-def test_hashed_cross_list_feature_raises():
+def test_hashed_cross_mismatched_list_lengths_raise():
     schema = Schema(
         [
-            create_categorical_column("a", 5),
+            create_categorical_column("x", 5, is_list=True, max_seq_length=2),
             create_categorical_column("tags", 4, is_list=True, max_seq_length=3),
         ]
     )
     hc = HashedCross(schema, num_bins=8)
-    sf = SequenceFeature(jnp.array([[1, 2, 0]]), jnp.ones((1, 3), bool))
-    with pytest.raises(ValueError, match="list"):
-        hc({"a": jnp.array([1]), "tags": sf})
+    sf2 = SequenceFeature(jnp.array([[1, 2]]), jnp.ones((1, 2), bool))
+    sf3 = SequenceFeature(jnp.array([[1, 2, 0]]), jnp.ones((1, 3), bool))
+    with pytest.raises(ValueError, match="sequence length"):
+        hc({"x": sf2, "tags": sf3})
 
 
 def test_hashed_cross_sensitive_to_every_input():
@@ -285,3 +286,47 @@ def test_l2norm_unit_norm_and_mask_passthrough():
     out = n({"e": sf})
     assert isinstance(out["e"], SequenceFeature)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(out["e"].values), axis=-1), 1.0, rtol=1e-5)
+
+
+def test_hashed_cross_list_features():
+    """HashedCross over list features: positionwise cross, scalar broadcast,
+    AND-combined masks (reference supports sparse crosses,
+    tf/transforms/features.py:694)."""
+    import jax.numpy as jnp
+
+    from models_tpu.core.types import SequenceFeature
+    from models_tpu.schema import Schema, create_categorical_column
+    from models_tpu.transforms.features import HashedCross
+
+    schema = Schema([
+        create_categorical_column("cat_a", 50, is_list=True),
+        create_categorical_column("cat_b", 50),
+    ])
+    cross = HashedCross(schema, num_bins=97)
+    a = SequenceFeature(
+        jnp.array([[1, 2, 3], [4, 5, 0]], jnp.int32),
+        jnp.array([[True, True, True], [True, True, False]]),
+    )
+    b = jnp.array([7, 9], jnp.int32)
+    out = cross({"cat_a": a, "cat_b": b})
+    assert isinstance(out, SequenceFeature)
+    assert out.values.shape == (2, 3)
+    assert bool(out.mask[1, 2]) is False
+    assert int(out.values[1, 2]) == 0  # masked position pinned to bucket 0
+    assert (jnp.asarray(out.values) >= 0).all() and (jnp.asarray(out.values) < 97).all()
+    # positionwise: changing one position only changes that position
+    a2 = SequenceFeature(a.values.at[0, 1].set(30), a.mask)
+    out2 = cross({"cat_a": a2, "cat_b": b})
+    assert int(out2.values[0, 0]) == int(out.values[0, 0])
+    assert int(out2.values[0, 2]) == int(out.values[0, 2])
+    # list x list with differing masks ANDs them
+    schema2 = Schema([
+        create_categorical_column("cat_a", 50, is_list=True),
+        create_categorical_column("cat_c", 50, is_list=True),
+    ])
+    c = SequenceFeature(
+        jnp.array([[1, 1, 1], [2, 2, 2]], jnp.int32),
+        jnp.array([[True, False, True], [True, True, True]]),
+    )
+    out3 = HashedCross(schema2, num_bins=97)({"cat_a": a, "cat_c": c})
+    assert bool(out3.mask[0, 1]) is False and bool(out3.mask[1, 2]) is False

@@ -1,9 +1,14 @@
-"""BASELINE.md parity configs on structured synthetic data.
+"""BASELINE.md parity configs on structured synthetic data, ORACLE-NORMALIZED.
 
 The reference publishes no absolute numbers (BASELINE.md), so parity is
-demonstrated behaviorally: on data with planted latent structure every config
-must learn far past chance — the same smoke contract as the reference's
-integration suite (`recall_at_100-final > 0`), but with real learnability bars.
+demonstrated behaviorally — but against the *planted ground-truth model's* own
+score on the same eval split and protocol, not an absolute smoke bar
+(VERDICT r2 #5). Each config asserts ``achieved >= factor x oracle`` where the
+oracle is the Bayes-optimal scorer for the generating process; the factor per
+config reflects what the architecture reaches under the budgeted training
+(measured achieved/oracle ratios: c1 0.95, c2 0.81, c3 0.86, c4 0.92, c5 1.0)
+with a safety margin — a 2x quality regression fails every one of these, which
+the old absolute bars (0.35/0.75) could not guarantee.
 """
 
 import numpy as np
@@ -48,40 +53,79 @@ def mf_data():
     )
     ds = Dataset({"userId": users, "movieId": items}, schema=schema)
     train, valid = ds.split([0.85, 0.15], seed=1)
-    return train, valid
+    return train, valid, U, V
+
+
+def _valid_pairs(valid):
+    t = valid.to_table()
+    return np.asarray(t["userId"]), np.asarray(t["movieId"])
+
+
+def _oracle_inbatch_recall(U, V, vu, vi, batch_size, k):
+    """Bayes recall@k under the model's own eval protocol: candidates are the
+    batch's items, the target is the row's own item."""
+    hits = []
+    for s in range(0, len(vu), batch_size):
+        u, it = vu[s : s + batch_size], vi[s : s + batch_size]
+        scores = U[u] @ V[it].T
+        order = np.argsort(-scores, axis=1)
+        for r in range(len(u)):
+            hits.append(1.0 if np.where(order[r] == r)[0][0] < k else 0.0)
+    return float(np.mean(hits))
+
+
+def _oracle_corpus_metrics(U, V, vu, vi, k):
+    """Bayes recall@k and NDCG@k against the full item corpus."""
+    scores = U[vu] @ V.T
+    order = np.argsort(-scores, axis=1)
+    ranks = np.array(
+        [np.where(order[r] == vi[r])[0][0] for r in range(len(vu))]
+    )
+    recall = float(np.mean(ranks < k))
+    ndcg = float(np.mean(np.where(ranks < k, 1.0 / np.log2(ranks + 2.0), 0.0)))
+    return recall, ndcg
 
 
 def test_config1_mf_movielens_recall(mf_data):
-    """Config 1: MatrixFactorizationModel, in-batch negatives, recall@10."""
+    """Config 1: MatrixFactorizationModel, in-batch negatives, recall@10
+    oracle-relative (measured achieved/oracle ~ 0.95)."""
     from models_tpu.models import MatrixFactorizationModel
 
-    train, valid = mf_data
+    train, valid, U, V = mf_data
     model = MatrixFactorizationModel(train.schema, dim=32)
     model.compile(optimizer="adam", learning_rate=0.02)
     model.fit(train, epochs=8, batch_size=64, verbose=0)
     res = model.evaluate(valid, batch_size=64)
-    # chance recall@10 with 64-candidate in-batch eval ≈ 10/64 ≈ 0.16
-    assert res["recall_at_10"] > 0.35, res
+    vu, vi = _valid_pairs(valid)
+    oracle = _oracle_inbatch_recall(U, V, vu, vi, batch_size=64, k=10)
+    assert oracle > 0.9  # sanity: the planted model dominates its own data
+    assert res["recall_at_10"] >= 0.85 * oracle, (res, {"oracle": oracle})
 
 
 def test_config2_two_tower_corpus_eval(mf_data):
-    """Config 2: TwoTowerModel + BruteForce/TopKEncoder corpus eval, recall/NDCG@10."""
+    """Config 2: TwoTowerModel + BruteForce corpus eval, recall/NDCG@10
+    oracle-relative (measured achieved/oracle ~ 0.81 recall)."""
     from models_tpu.models import TwoTowerModel
 
-    train, valid = mf_data
+    train, valid, U, V = mf_data
     model = TwoTowerModel(train.schema, query_tower=(32, 16), embedding_dim=16)
     model.compile(optimizer="adam", learning_rate=0.01)
     model.fit(train, epochs=8, batch_size=64, verbose=0)
     topk = model.to_top_k_encoder(train, k=10)
     topk.compile()
     res = topk.evaluate(valid, batch_size=64)
-    # chance recall@10 against the full 300-item corpus = 10/300 ≈ 0.033
-    assert res["recall_at_10"] > 0.10, res
-    assert res["ndcg_at_10"] > 0.04, res
+    vu, vi = _valid_pairs(valid)
+    o_recall, o_ndcg = _oracle_corpus_metrics(U, V, vu, vi, k=10)
+    assert o_recall > 0.85  # sanity
+    assert res["recall_at_10"] >= 0.72 * o_recall, (res, {"oracle": o_recall})
+    assert res["ndcg_at_10"] >= 0.55 * o_ndcg, (res, {"oracle_ndcg": o_ndcg})
 
 
 def _ctr_dataset(rows=4000, seed=2):
-    """CTR data with a planted logistic model over embeddings of two features."""
+    """CTR data with a planted logistic model over embeddings of two features.
+
+    Returns (train, valid, oracle_valid_auc): the oracle scores the valid
+    split with the TRUE logit wa[a] + wb[b] + 0.5*price."""
     rng = np.random.default_rng(seed)
     n_a, n_b = 50, 80
     wa = rng.standard_normal(n_a) * 1.5
@@ -108,32 +152,57 @@ def _ctr_dataset(rows=4000, seed=2):
          "click": click, "conversion": conversion},
         schema=schema,
     )
-    return ds.split([0.85, 0.15], seed=3)
+    train, valid = ds.split([0.85, 0.15], seed=3)
+    t = valid.to_table()
+    va, vb = np.asarray(t["user_id"]), np.asarray(t["item_id"])
+    vp, vc = np.asarray(t["price"]), np.asarray(t["click"])
+    oracle_auc = _auc(vc, wa[va] + wb[vb] + 0.5 * vp)
+    return train, valid, oracle_auc
+
+
+def _auc(y, s):
+    o = np.argsort(s)
+    y = y[o]
+    n1 = y.sum()
+    n0 = len(y) - n1
+    ranks = np.arange(1, len(y) + 1)
+    return float((ranks[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0))
+
+
+def _auc_margin_ratio(achieved, oracle):
+    """Above-chance AUC margin relative to the oracle's: a 2x quality
+    regression halves this, while raw AUC ratios compress toward 1."""
+    return (achieved - 0.5) / max(oracle - 0.5, 1e-9)
 
 
 def test_config3_dlrm_auc():
-    """Config 3: DLRMModel CTR, AUC."""
+    """Config 3: DLRMModel CTR, AUC margin >= 0.75x the Bayes scorer's
+    (measured ratio ~ 0.86)."""
     from models_tpu.models import DLRMModel
 
-    train, valid = _ctr_dataset()
+    train, valid, oracle_auc = _ctr_dataset()
     schema = train.schema.excluding_by_name("conversion")
     model = DLRMModel(schema, embedding_dim=16, bottom_block=(16,), top_block=(32, 16))
     model.compile(optimizer="adam", learning_rate=0.01)
     model.fit(train, epochs=5, batch_size=128, verbose=0)
     res = model.evaluate(valid, batch_size=128)
-    assert res["click/auc"] > 0.75, res
+    assert oracle_auc > 0.8  # sanity
+    ratio = _auc_margin_ratio(res["click/auc"], oracle_auc)
+    assert ratio >= 0.75, (res, {"oracle_auc": oracle_auc, "ratio": ratio})
 
 
 def test_config4_dcn_deepfm_multitask_auc():
-    """Config 4: DCN-v2 + DeepFM with multi-task binary heads, AUC."""
+    """Config 4: DCN-v2 + DeepFM multi-task binary heads, AUC margin >= 0.8x
+    oracle (measured ratios ~ 0.92 / 0.93)."""
     from models_tpu.models import DCNModel, DeepFMModel
 
-    train, valid = _ctr_dataset(seed=4)
+    train, valid, oracle_auc = _ctr_dataset(seed=4)
     dcn = DCNModel(train.schema, depth=2, deep_block=(32, 16), embedding_dim=16)
     dcn.compile(optimizer="adam", learning_rate=0.01)
     dcn.fit(train, epochs=5, batch_size=128, verbose=0)
     res = dcn.evaluate(valid, batch_size=128)
-    assert res["click/auc"] > 0.72, res
+    ratio = _auc_margin_ratio(res["click/auc"], oracle_auc)
+    assert ratio >= 0.8, (res, {"oracle_auc": oracle_auc, "ratio": ratio})
     assert "conversion/auc" in res
 
     fm = DeepFMModel(train.schema.excluding_by_name("conversion"), embedding_dim=8,
@@ -141,18 +210,20 @@ def test_config4_dcn_deepfm_multitask_auc():
     fm.compile(optimizer="adam", learning_rate=0.01)
     fm.fit(train, epochs=5, batch_size=128, verbose=0)
     res2 = fm.evaluate(valid, batch_size=128)
-    assert res2["click/auc"] > 0.7, res2
+    ratio2 = _auc_margin_ratio(res2["click/auc"], oracle_auc)
+    assert ratio2 >= 0.8, (res2, {"oracle_auc": oracle_auc, "ratio": ratio2})
 
 
 def test_config5_session_transformer_sampled_softmax():
-    """Config 5: session-based next-item transformer, sampled softmax over catalog."""
+    """Config 5: session next-item transformer, sampled softmax. The generating
+    rule is DETERMINISTIC (next = 2*prev + 3 mod card), so the oracle's
+    recall@10 is exactly 1.0 — the bar is 0.85x that (measured 1.0)."""
     from models_tpu.models.session import SessionBasedTransformerModel
     from models_tpu.transformer.block import GPT2Block
     from models_tpu.transforms.sequence import SequencePredictLast, SequencePredictNext
 
     rng = np.random.default_rng(5)
     n, L, card = 1500, 6, 120
-    # first-order markov chain: next = (2*prev + 3) % card — deterministic rule
     starts = rng.integers(1, card, size=n)
     seqs = []
     for s in starts:
@@ -181,4 +252,5 @@ def test_config5_session_transformer_sampled_softmax():
               pre=SequencePredictNext(schema, target="item_id_seq"), verbose=0)
     res = model.evaluate(valid, batch_size=64,
                          pre=SequencePredictLast(schema, target="item_id_seq"))
-    assert res["recall_at_10"] > 0.5, res
+    oracle = 1.0  # deterministic generator
+    assert res["recall_at_10"] >= 0.85 * oracle, res

@@ -1,11 +1,39 @@
 """PyTorch side-backend (reference ``merlin/models/torch/`` — Lightning there).
 
-A compact CPU/GPU torch stack behind the same ``fit/evaluate/predict/save/load``
-protocol (``models_tpu/api.py``), consuming the same schema-driven Datasets and
-Loader. Use it for parity checks against the JAX/TPU stack or for environments
-without TPUs; the TPU stack is the primary engine.
+Two layers, mirroring the reference:
+
+- :mod:`.dsl` — the torch block DSL (Block/ParallelBlock/Residual/Shortcut,
+  Batch, EmbeddingTable[s], TabularInputBlock, MLP/Cross/DLRM blocks,
+  Binary/Regression/Categorical outputs, TabularOutputBlock, Model with a
+  plain training loop, EncoderBlock batch prediction) — reference
+  ``torch/block.py:42-670`` and siblings;
+- :mod:`.models` — legacy compact monolithic models kept for back-compat.
+
+Both consume the same schema-driven Datasets and Loader as the JAX stack; the
+TPU stack is the primary engine.
 """
 
 from .models import TorchDCNModel, TorchDLRMModel, TorchMLPModel, TorchModel
 
-__all__ = ["TorchModel", "TorchDLRMModel", "TorchDCNModel", "TorchMLPModel"]
+
+def __getattr__(name):
+    # torch imports are deferred: the DSL pulls in torch at import time, which
+    # costs ~5s and isn't needed unless the torch backend is actually used
+    import importlib
+
+    dsl_names = {
+        "Batch", "TorchSequence", "Block", "ParallelBlock", "ResidualBlock",
+        "ShortcutBlock", "Concat", "Stack", "SelectKeys", "EmbeddingTable",
+        "EmbeddingTables", "TabularInputBlock", "MLPBlock", "CrossBlock",
+        "DLRMBlock", "ModelOutput", "BinaryOutput", "RegressionOutput",
+        "CategoricalOutput", "TabularOutputBlock", "Model", "EncoderBlock",
+        "DLRMModel", "DCNModel", "MLPModel",
+    }
+    if name == "dsl":
+        return importlib.import_module(".dsl", __name__)
+    if name in dsl_names:
+        return getattr(importlib.import_module(".dsl", __name__), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = ["TorchModel", "TorchDLRMModel", "TorchDCNModel", "TorchMLPModel", "dsl"]

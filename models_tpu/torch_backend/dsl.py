@@ -1,0 +1,709 @@
+"""Torch block DSL: the reference's second full stack, compactly.
+
+Reference: ``merlin/models/torch/block.py:42-670`` (Block/ParallelBlock/
+ResidualBlock/ShortcutBlock/repeat), ``torch/batch.py:26,135`` (Sequence/
+Batch), ``torch/inputs/tabular.py:32`` (TabularInputBlock), ``torch/inputs/
+embedding.py`` (EmbeddingTable[s]), ``torch/outputs/*`` (ModelOutput,
+BinaryOutput, RegressionOutput, CategoricalOutput, TabularOutputBlock),
+``torch/models/base.py:45`` (Model), ``torch/predict.py`` (batch prediction).
+
+Rebuilt torch-idiomatically without Lightning/Dask: blocks are plain
+``nn.Module``s composed by containers that thread an optional :class:`Batch`
+(features/targets/sequence masks) alongside the activations — the same
+double-input convention as the reference (``forward(inputs, batch=None)``).
+Schema-driven construction (cardinalities, tags, routing) comes from the
+shared ``models_tpu.schema`` — one schema drives both the JAX and torch
+stacks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence as Seq, Union
+
+import numpy as np
+
+from ..core.types import SequenceFeature
+from ..schema import ColumnSchema, Schema, Tags, infer_embedding_dim
+
+import torch
+import torch.nn as nn
+
+
+# ---------------------------------------------------------------------------
+# Batch (reference torch/batch.py:26,135)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TorchSequence:
+    """Padded sequence values + masks (reference ``Sequence``)."""
+
+    lengths: Dict[str, torch.Tensor] = field(default_factory=dict)
+    masks: Dict[str, torch.Tensor] = field(default_factory=dict)
+
+    def length(self, name: str) -> torch.Tensor:
+        return self.lengths[name]
+
+    def mask(self, name: str) -> torch.Tensor:
+        return self.masks[name]
+
+
+@dataclass
+class Batch:
+    """Features/targets/sequence-info triple threaded through blocks
+    (reference ``Batch:135``). ``from_loader_batch`` adapts the shared
+    Loader's numpy batches (SequenceFeature → padded tensor + mask)."""
+
+    features: Dict[str, torch.Tensor] = field(default_factory=dict)
+    targets: Dict[str, torch.Tensor] = field(default_factory=dict)
+    sequences: TorchSequence = field(default_factory=TorchSequence)
+
+    @classmethod
+    def from_loader_batch(cls, x, y=None) -> "Batch":
+        feats: Dict[str, torch.Tensor] = {}
+        seqs = TorchSequence()
+        for name, v in x.items():
+            if isinstance(v, SequenceFeature):
+                feats[name] = torch.as_tensor(np.asarray(v.values))
+                m = torch.as_tensor(np.asarray(v.mask))
+                seqs.masks[name] = m
+                seqs.lengths[name] = m.sum(-1)
+            else:
+                feats[name] = torch.as_tensor(np.asarray(v))
+        targets: Dict[str, torch.Tensor] = {}
+        if isinstance(y, dict):
+            targets = {k: torch.as_tensor(np.asarray(v)) for k, v in y.items()}
+        elif y is not None:
+            targets = {"target": torch.as_tensor(np.asarray(y))}
+        return cls(features=feats, targets=targets, sequences=seqs)
+
+    def flatten_as_dict(self) -> Dict[str, torch.Tensor]:
+        return dict(self.features)
+
+
+def _call(module: nn.Module, inputs, batch: Optional[Batch]):
+    """Call with the double-input convention when the module accepts it."""
+    import inspect
+
+    try:
+        sig = inspect.signature(module.forward)
+        if "batch" in sig.parameters:
+            return module(inputs, batch=batch)
+    except (ValueError, TypeError):
+        pass
+    return module(inputs)
+
+
+# ---------------------------------------------------------------------------
+# containers (reference torch/block.py:42-670)
+# ---------------------------------------------------------------------------
+
+class Block(nn.Module):
+    """Sequential container threading (inputs, batch) (reference ``Block:42``)."""
+
+    def __init__(self, *modules: nn.Module, name: Optional[str] = None):
+        super().__init__()
+        self.values = nn.ModuleList(modules)
+        self._name = name
+
+    def forward(self, inputs, batch: Optional[Batch] = None):
+        out = inputs
+        for m in self.values:
+            out = _call(m, out, batch)
+        return out
+
+    def append(self, module: nn.Module) -> "Block":
+        self.values.append(module)
+        return self
+
+    def prepend(self, module: nn.Module) -> "Block":
+        self.values.insert(0, module)
+        return self
+
+    def repeat(self, n: int = 1) -> "Block":
+        """n deep copies chained (reference ``repeat:678``)."""
+        import copy
+
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
+        return Block(*[copy.deepcopy(self) for _ in range(n)])
+
+    def __getitem__(self, idx: int) -> nn.Module:
+        return self.values[idx]
+
+    def __len__(self) -> int:
+        return len(self.values)
+
+
+class ParallelBlock(Block):
+    """Named branches over one input → dict of outputs, optional post
+    aggregation (reference ``ParallelBlock:125``). Dict inputs route to
+    same-named branches when keys match; otherwise every branch sees the full
+    input."""
+
+    def __init__(self, branches: Union[Dict[str, nn.Module], Seq[nn.Module]],
+                 agg: Optional[nn.Module] = None):
+        super().__init__()
+        if not isinstance(branches, dict):
+            branches = {str(i): b for i, b in enumerate(branches)}
+        self.branches = nn.ModuleDict(branches)
+        self.agg = agg
+
+    def forward(self, inputs, batch: Optional[Batch] = None):
+        out = {}
+        for name, branch in self.branches.items():
+            if isinstance(inputs, dict) and set(inputs) >= {name} and len(self.branches) == len(inputs):
+                branch_in = inputs[name]
+            else:
+                branch_in = inputs
+            res = _call(branch, branch_in, batch)
+            if isinstance(res, dict):
+                out.update(res)
+            else:
+                out[name] = res
+        if self.agg is not None:
+            return _call(self.agg, out, batch)
+        return out
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.branches[key]
+        return super().__getitem__(key)
+
+    def keys(self):
+        return self.branches.keys()
+
+    def repeat_parallel(self, n: int = 1, agg=None) -> "ParallelBlock":
+        import copy
+
+        return ParallelBlock(
+            {f"{k}_{i}": copy.deepcopy(v) for i in range(n) for k, v in self.branches.items()},
+            agg=agg,
+        )
+
+
+class ResidualBlock(Block):
+    """out = shortcut(x) + block(x) (reference ``ResidualBlock:417``)."""
+
+    def __init__(self, *modules: nn.Module, activation: Optional[Callable] = None):
+        super().__init__(*modules)
+        self.activation = activation
+
+    def forward(self, inputs, batch: Optional[Batch] = None):
+        out = super().forward(inputs, batch=batch)
+        out = inputs + out
+        return self.activation(out) if self.activation else out
+
+
+class ShortcutBlock(Block):
+    """Return {'output': block(x), 'shortcut': x} (reference ``:454``)."""
+
+    def __init__(self, *modules: nn.Module, output_name: str = "output",
+                 shortcut_name: str = "shortcut"):
+        super().__init__(*modules)
+        self.output_name = output_name
+        self.shortcut_name = shortcut_name
+
+    def forward(self, inputs, batch: Optional[Batch] = None):
+        out = super().forward(inputs, batch=batch)
+        return {self.output_name: out, self.shortcut_name: inputs}
+
+
+# ---------------------------------------------------------------------------
+# aggregations (reference torch/transforms/agg.py)
+# ---------------------------------------------------------------------------
+
+class Concat(nn.Module):
+    """Concat a dict of (B, ...) tensors on the last axis, sorted by key
+    (deterministic like the JAX stack's sorted aggregations)."""
+
+    def __init__(self, dim: int = -1):
+        super().__init__()
+        self.dim = dim
+
+    def forward(self, inputs: Dict[str, torch.Tensor]) -> torch.Tensor:
+        parts = []
+        for k in sorted(inputs):
+            t = inputs[k]
+            if t.dim() == 1:
+                t = t.unsqueeze(-1)
+            parts.append(t)
+        return torch.cat(parts, dim=self.dim)
+
+
+class Stack(nn.Module):
+    def __init__(self, dim: int = 1):
+        super().__init__()
+        self.dim = dim
+
+    def forward(self, inputs: Dict[str, torch.Tensor]) -> torch.Tensor:
+        return torch.stack([inputs[k] for k in sorted(inputs)], dim=self.dim)
+
+
+# ---------------------------------------------------------------------------
+# inputs (reference torch/inputs/{select,embedding,tabular}.py)
+# ---------------------------------------------------------------------------
+
+class SelectKeys(nn.Module):
+    """Filter a feature dict by schema (reference ``SelectKeys``)."""
+
+    def __init__(self, schema: Schema):
+        super().__init__()
+        self.schema = schema
+        self.names = set(schema.column_names)
+
+    def forward(self, inputs: Dict[str, torch.Tensor]) -> Dict[str, torch.Tensor]:
+        return {k: v for k, v in inputs.items() if k in self.names}
+
+
+class EmbeddingTable(nn.Module):
+    """Single table, multiple features allowed; sequence ids mean-pooled with
+    their mask (reference ``torch/inputs/embedding.py`` EmbeddingTable)."""
+
+    def __init__(self, dim: int, col_schema: Union[ColumnSchema, Seq[ColumnSchema]],
+                 seq_combiner: str = "mean"):
+        super().__init__()
+        cols = [col_schema] if isinstance(col_schema, ColumnSchema) else list(col_schema)
+        self.cols = cols
+        self.dim = dim
+        self.seq_combiner = seq_combiner
+        self.table = nn.Embedding(cols[0].cardinality, dim)
+
+    def forward(self, inputs, batch: Optional[Batch] = None):
+        if isinstance(inputs, dict):
+            return {c.name: self._one(c.name, inputs[c.name], batch)
+                    for c in self.cols if c.name in inputs}
+        return self._one(self.cols[0].name, inputs, batch)
+
+    def _one(self, name: str, ids: torch.Tensor, batch: Optional[Batch]):
+        emb = self.table(ids.long())
+        if emb.dim() == 3:
+            mask = None
+            if batch is not None and name in batch.sequences.masks:
+                mask = batch.sequences.masks[name].to(emb.dtype)
+            if self.seq_combiner == "mean":
+                if mask is None:
+                    return emb.mean(1)
+                return (emb * mask.unsqueeze(-1)).sum(1) / mask.sum(1).clamp(min=1).unsqueeze(-1)
+            if self.seq_combiner == "sum":
+                if mask is None:
+                    return emb.sum(1)
+                return (emb * mask.unsqueeze(-1)).sum(1)
+        return emb
+
+
+def EmbeddingTables(schema: Schema, dim: Optional[Union[int, Dict[str, int]]] = None,
+                    seq_combiner: str = "mean") -> ParallelBlock:
+    """One table per categorical domain (reference ``EmbeddingTables``)."""
+    cat = schema.categorical
+    by_domain: Dict[str, List[ColumnSchema]] = {}
+    for col in cat:
+        by_domain.setdefault(col.domain_name, []).append(col)
+    tables = {}
+    for domain, cols in by_domain.items():
+        if isinstance(dim, dict):
+            d = dim.get(domain) or infer_embedding_dim(cols[0])
+        else:
+            d = dim or infer_embedding_dim(cols[0])
+        tables[domain] = EmbeddingTable(d, cols, seq_combiner=seq_combiner)
+    return ParallelBlock(tables)
+
+
+class TabularInputBlock(ParallelBlock):
+    """Schema-routed input block (reference ``torch/inputs/tabular.py:32``):
+    categorical → embeddings, continuous → float passthrough, aggregated by
+    ``agg`` ("concat" default)."""
+
+    def __init__(self, schema: Schema, dim: Optional[int] = None,
+                 agg: Union[str, nn.Module, None] = "concat",
+                 seq_combiner: str = "mean"):
+        feat = schema.excluding_by_tag(Tags.TARGET)
+        branches: Dict[str, nn.Module] = {}
+        if len(feat.categorical):
+            branches["categorical"] = Block(
+                SelectKeys(feat.categorical), EmbeddingTables(feat.categorical, dim,
+                                                              seq_combiner=seq_combiner)
+            )
+        if len(feat.continuous):
+            branches["continuous"] = Block(SelectKeys(feat.continuous), _AsFloat())
+        if isinstance(agg, str):
+            agg = {"concat": Concat(), "stack": Stack()}[agg]
+        super().__init__(branches, agg=agg)
+        self.schema = feat
+        # output width for downstream lazy-free construction
+        out = 0
+        for col in feat.categorical:
+            out += dim or infer_embedding_dim(col)
+        out += len(list(feat.continuous))
+        self.out_dim = out
+
+
+class _AsFloat(nn.Module):
+    def forward(self, inputs, batch: Optional[Batch] = None):
+        out = {}
+        for k, v in inputs.items():
+            t = v.float()
+            if t.dim() == 3:  # pooled sequence continuous
+                if batch is not None and k in batch.sequences.masks:
+                    m = batch.sequences.masks[k].to(t.dtype).unsqueeze(-1)
+                    t = (t * m).sum(1) / m.sum(1).clamp(min=1)
+                else:
+                    t = t.mean(1)
+            elif t.dim() == 2 and batch is not None and k in batch.sequences.masks:
+                m = batch.sequences.masks[k].to(t.dtype)
+                t = (t * m).sum(1, keepdim=True) / m.sum(1, keepdim=True).clamp(min=1)
+            if t.dim() == 1:
+                t = t.unsqueeze(-1)
+            out[k] = t
+        return out
+
+
+# ---------------------------------------------------------------------------
+# architecture blocks (reference torch/blocks/{mlp,dlrm,cross}.py)
+# ---------------------------------------------------------------------------
+
+def MLPBlock(units: Seq[int], in_dim: int, activation=nn.ReLU,
+             dropout: float = 0.0) -> Block:
+    """(reference ``torch/blocks/mlp.py`` MLPBlock — built eagerly from a
+    known in_dim; schemas make input widths static)."""
+    layers: List[nn.Module] = []
+    prev = in_dim
+    for d in units:
+        layers.append(nn.Linear(prev, d))
+        layers.append(activation())
+        if dropout:
+            layers.append(nn.Dropout(dropout))
+        prev = d
+    blk = Block(*layers)
+    blk.out_dim = prev
+    return blk
+
+
+class CrossBlock(nn.Module):
+    """DCN-v2 crosses: x_{i+1} = x0 * (W x_i + b) + x_i (reference
+    ``torch/blocks/cross.py``); optional low-rank factorization."""
+
+    def __init__(self, in_dim: int, depth: int = 1, low_rank: Optional[int] = None):
+        super().__init__()
+        if low_rank:
+            self.layers = nn.ModuleList([
+                nn.Sequential(nn.Linear(in_dim, low_rank, bias=False),
+                              nn.Linear(low_rank, in_dim))
+                for _ in range(depth)
+            ])
+        else:
+            self.layers = nn.ModuleList([nn.Linear(in_dim, in_dim) for _ in range(depth)])
+
+    def forward(self, x0, batch: Optional[Batch] = None):
+        x = x0
+        for lin in self.layers:
+            x = x0 * lin(x) + x
+        return x
+
+
+class DLRMBlock(nn.Module):
+    """DLRM interaction body (reference ``torch/blocks/dlrm.py``): per-feature
+    embeddings at one dim, bottom MLP over continuous → same dim, pairwise dot
+    interactions + bottom shortcut, top handled by the caller."""
+
+    def __init__(self, schema: Schema, dim: int = 16, bottom_block: Seq[int] = (32,)):
+        super().__init__()
+        feat = schema.excluding_by_tag(Tags.TARGET)
+        self.cat_schema = feat.categorical
+        self.embeddings = EmbeddingTables(self.cat_schema, dim)
+        self.cont = Block(SelectKeys(feat.continuous), _AsFloat()) if len(feat.continuous) else None
+        n_cont = len(list(feat.continuous))
+        self.bottom = (
+            MLPBlock(list(bottom_block) + [dim], n_cont) if n_cont else None
+        )
+        F = len(self.embeddings.branches) + (1 if self.bottom is not None else 0)
+        self.out_dim = F * (F - 1) // 2 + (dim if self.bottom is not None else 0)
+
+    def forward(self, inputs: Dict[str, torch.Tensor], batch: Optional[Batch] = None):
+        embs = self.embeddings({k: v for k, v in inputs.items()
+                                if k in set(self.cat_schema.column_names)}, batch=batch)
+        z = torch.stack([embs[k] for k in sorted(embs)], dim=1)  # (B, F, D)
+        bottom_out = None
+        if self.bottom is not None:
+            cont = Concat()(self.cont(inputs, batch=batch))
+            bottom_out = self.bottom(cont)
+            z = torch.cat([z, bottom_out.unsqueeze(1)], dim=1)
+        gram = torch.einsum("bfd,bgd->bfg", z, z)
+        F = z.shape[1]
+        iu = torch.triu_indices(F, F, offset=1)
+        inter = gram[:, iu[0], iu[1]]
+        if bottom_out is not None:
+            inter = torch.cat([inter, bottom_out], dim=-1)
+        return inter
+
+
+# ---------------------------------------------------------------------------
+# outputs (reference torch/outputs/*)
+# ---------------------------------------------------------------------------
+
+class ModelOutput(Block):
+    """Head base: target column binding + default loss (reference
+    ``torch/outputs/base.py:28``)."""
+
+    def __init__(self, *modules: nn.Module, target: Optional[str] = None,
+                 loss: Optional[nn.Module] = None):
+        super().__init__(*modules)
+        self.target = target
+        self.loss = loss
+
+    def output_activation(self, t: torch.Tensor) -> torch.Tensor:
+        return t
+
+
+class BinaryOutput(ModelOutput):
+    """Sigmoid head (reference ``torch/outputs/classification.py:31``)."""
+
+    def __init__(self, col: Union[str, ColumnSchema], in_dim: int):
+        name = col if isinstance(col, str) else col.name
+        super().__init__(nn.Linear(in_dim, 1), target=name,
+                         loss=nn.BCEWithLogitsLoss())
+
+    def output_activation(self, t):
+        return torch.sigmoid(t)
+
+
+class RegressionOutput(ModelOutput):
+    """Linear head (reference ``torch/outputs/regression.py``)."""
+
+    def __init__(self, col: Union[str, ColumnSchema], in_dim: int):
+        name = col if isinstance(col, str) else col.name
+        super().__init__(nn.Linear(in_dim, 1), target=name, loss=nn.MSELoss())
+
+
+class CategoricalOutput(ModelOutput):
+    """num_classes softmax head (reference ``classification.py:101``)."""
+
+    def __init__(self, col: ColumnSchema, in_dim: int):
+        super().__init__(nn.Linear(in_dim, col.cardinality), target=col.name,
+                         loss=nn.CrossEntropyLoss())
+
+    def output_activation(self, t):
+        return torch.softmax(t, dim=-1)
+
+
+def TabularOutputBlock(schema: Schema, in_dim: int) -> ParallelBlock:
+    """One head per target column by tag (reference
+    ``torch/outputs/tabular.py`` TabularOutputBlock)."""
+    heads: Dict[str, nn.Module] = {}
+    for col in schema.targets:
+        tags = [str(t) for t in col.tags]
+        if str(Tags.REGRESSION) in tags or col.dtype.startswith("float"):
+            heads[col.name] = RegressionOutput(col, in_dim)
+        else:
+            heads[col.name] = BinaryOutput(col, in_dim)
+    if not heads:
+        raise ValueError("schema has no target columns")
+    return ParallelBlock(heads)
+
+
+# ---------------------------------------------------------------------------
+# Model (reference torch/models/base.py:45) — plain torch loop, no Lightning
+# ---------------------------------------------------------------------------
+
+class Model(nn.Module):
+    """Sequential blocks ending in ModelOutput head(s), with
+    fit/evaluate/predict over the shared Loader (reference ``Model:45``;
+    the Lightning Trainer collapses into a plain loop)."""
+
+    def __init__(self, *blocks: nn.Module, schema: Optional[Schema] = None):
+        super().__init__()
+        self.blocks = nn.ModuleList(blocks)
+        self.schema = schema
+
+    def forward(self, inputs, batch: Optional[Batch] = None):
+        out = inputs
+        for b in self.blocks:
+            out = _call(b, out, batch)
+        return out
+
+    # -- helpers ---------------------------------------------------------
+    def model_outputs(self) -> List[ModelOutput]:
+        outs: List[ModelOutput] = []
+
+        def walk(m):
+            if isinstance(m, ModelOutput):
+                outs.append(m)
+                return
+            for c in m.children():
+                walk(c)
+
+        walk(self)
+        return outs
+
+    def _head_losses(self, raw, batch: Batch):
+        heads = {h.target: h for h in self.model_outputs()}
+        if not isinstance(raw, dict):
+            raw = {next(iter(heads)): raw}
+        targets = dict(batch.targets)
+        if "target" in targets and len(heads) == 1:
+            # the loader yields a bare array for single-target data
+            targets[next(iter(heads))] = targets.pop("target")
+        losses = {}
+        for name, out in raw.items():
+            head = heads.get(name)
+            if head is None or name not in targets:
+                continue
+            target = targets[name]
+            if isinstance(head.loss, nn.CrossEntropyLoss):
+                losses[name] = head.loss(out, target.long())
+            else:
+                losses[name] = head.loss(out.squeeze(-1), target.float())
+        return losses
+
+    # -- training --------------------------------------------------------
+    def fit(self, data, epochs: int = 1, batch_size: int = 256,
+            learning_rate: float = 1e-3, verbose: int = 0):
+        from ..data.loader import Loader
+
+        loader = data if isinstance(data, Loader) else Loader(data, batch_size, shuffle=True)
+        opt = torch.optim.Adam(self.parameters(), lr=learning_rate)
+        history = {"loss": []}
+        for epoch in range(epochs):
+            total, count = 0.0, 0
+            for x, y in loader:
+                batch = Batch.from_loader_batch(x, y)
+                raw = self.forward(batch.features, batch=batch)
+                losses = self._head_losses(raw, batch)
+                if not losses:
+                    raise ValueError("no head produced a loss — check targets")
+                loss = sum(losses.values())
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+                total += float(loss.detach())
+                count += 1
+            history["loss"].append(total / max(count, 1))
+            if verbose:
+                print(f"epoch {epoch + 1}: loss={history['loss'][-1]:.4f}")
+        self.history = history
+        return history
+
+    def evaluate(self, data, batch_size: int = 256) -> Dict[str, float]:
+        from ..data.loader import Loader, ROW_VALID_KEY
+
+        loader = data if isinstance(data, Loader) else Loader(data, batch_size)
+        heads = {h.target: h for h in self.model_outputs()}
+        probs = {t: [] for t in heads}
+        labels = {t: [] for t in heads}
+        with torch.no_grad():
+            for x, y in loader:
+                batch = Batch.from_loader_batch(x, y)
+                valid = np.asarray(x[ROW_VALID_KEY]) if ROW_VALID_KEY in x else None
+                raw = self.forward(batch.features, batch=batch)
+                if not isinstance(raw, dict):
+                    raw = {next(iter(heads)): raw}
+                targets = dict(batch.targets)
+                if "target" in targets and len(heads) == 1:
+                    targets[next(iter(heads))] = targets.pop("target")
+                for t, head in heads.items():
+                    if t not in raw or t not in targets:
+                        continue
+                    p = head.output_activation(raw[t]).squeeze(-1).numpy()
+                    lab = targets[t].numpy()
+                    if valid is not None:
+                        p, lab = p[valid], lab[valid]
+                    probs[t].append(p)
+                    labels[t].append(lab)
+        out: Dict[str, float] = {}
+        for t, head in heads.items():
+            if not probs[t]:
+                continue
+            p = np.concatenate(probs[t])
+            lab = np.concatenate(labels[t]).astype(np.float64)
+            if isinstance(head, RegressionOutput):
+                out[f"{t}/rmse"] = float(np.sqrt(np.mean((p - lab) ** 2)))
+                continue
+            out[f"{t}/binary_accuracy"] = float(((p > 0.5) == lab).mean())
+            pos, neg = int(lab.sum()), int((1 - lab).sum())
+            if pos and neg:
+                ranks = np.argsort(np.argsort(p)) + 1.0
+                out[f"{t}/auc"] = float(
+                    (ranks[lab > 0.5].sum() - pos * (pos + 1) / 2) / (pos * neg)
+                )
+        return out
+
+    def predict(self, data, batch_size: int = 256):
+        """Batch prediction sweep (the reference's ``predict`` module /
+        DaskPredictor — partition-wise encode without Dask)."""
+        from ..data.loader import Loader, ROW_VALID_KEY
+
+        heads = {h.target: h for h in self.model_outputs()}
+        if isinstance(data, dict):
+            batch = Batch.from_loader_batch(data)
+            with torch.no_grad():
+                raw = self.forward(batch.features, batch=batch)
+            if not isinstance(raw, dict):
+                raw = {next(iter(heads)): raw}
+            return {t: heads[t].output_activation(v).squeeze(-1).numpy()
+                    for t, v in raw.items() if t in heads}
+        loader = data if isinstance(data, Loader) else Loader(data, batch_size)
+        chunks: Dict[str, List[np.ndarray]] = {t: [] for t in heads}
+        with torch.no_grad():
+            for x, _ in loader:
+                batch = Batch.from_loader_batch(x)
+                valid = np.asarray(x[ROW_VALID_KEY]) if ROW_VALID_KEY in x else None
+                raw = self.forward(batch.features, batch=batch)
+                if not isinstance(raw, dict):
+                    raw = {next(iter(heads)): raw}
+                for t in heads:
+                    if t not in raw:
+                        continue
+                    p = heads[t].output_activation(raw[t]).squeeze(-1).numpy()
+                    chunks[t].append(p[valid] if valid is not None else p)
+        return {t: np.concatenate(v) for t, v in chunks.items() if v}
+
+    # -- persistence -----------------------------------------------------
+    def save(self, path: str):
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        torch.save(self.state_dict(), os.path.join(path, "weights.pt"))
+        if self.schema is not None:
+            self.schema.save(os.path.join(path, "schema.json"))
+
+    def load_weights(self, path: str) -> "Model":
+        import os
+
+        self.load_state_dict(torch.load(os.path.join(path, "weights.pt")))
+        return self
+
+
+class EncoderBlock(Model):
+    """Inference-only composition: forward + batch predict, refuses fit
+    (reference ``torch/predict.py:20``)."""
+
+    def fit(self, *a, **k):  # noqa: D102
+        raise RuntimeError("EncoderBlock is inference-only (reference EncoderBlock)")
+
+
+# ---------------------------------------------------------------------------
+# model zoo over the DSL (reference torch/models/ranking.py)
+# ---------------------------------------------------------------------------
+
+def DLRMModel(schema: Schema, dim: int = 16, bottom_block: Seq[int] = (32,),
+              top_block: Seq[int] = (64, 32)) -> Model:
+    """(reference ``torch/models/ranking.py:18``)."""
+    body = DLRMBlock(schema, dim=dim, bottom_block=bottom_block)
+    top = MLPBlock(top_block, body.out_dim)
+    return Model(body, top, TabularOutputBlock(schema, top.out_dim), schema=schema)
+
+
+def DCNModel(schema: Schema, depth: int = 2, deep_block: Seq[int] = (64, 32),
+             dim: Optional[int] = None, low_rank: Optional[int] = None) -> Model:
+    """(reference ``torch/models/ranking.py:83``)."""
+    inputs = TabularInputBlock(schema, dim=dim)
+    cross = CrossBlock(inputs.out_dim, depth=depth, low_rank=low_rank)
+    deep = MLPBlock(deep_block, inputs.out_dim)
+    return Model(inputs, cross, deep, TabularOutputBlock(schema, deep.out_dim),
+                 schema=schema)
+
+
+def MLPModel(schema: Schema, units: Seq[int] = (64, 32)) -> Model:
+    inputs = TabularInputBlock(schema)
+    mlp = MLPBlock(units, inputs.out_dim)
+    return Model(inputs, mlp, TabularOutputBlock(schema, mlp.out_dim), schema=schema)

@@ -47,9 +47,130 @@ def get_movielens(
     return _from_path_or_synthetic(path, name, num_rows)
 
 
+def movielens_100k_workflow() -> "object":
+    """The reference's default ml-100k NVTabular workflow re-stated over
+    :mod:`models_tpu.data.workflow` ops (reference
+    ``entertainment/movielens/dataset.py:324-460``): Categorify ids + genres +
+    demographics, target-encode movieId vs rating (kfold=5, p_smooth=20,
+    normalized), log-count-encode userId, bucketize age by decade, and emit
+    ``rating``/``rating_binary`` targets."""
+    from .workflow import (
+        Bucketize, Categorify, GroupbyCount, LambdaOp, TargetEncoding, Workflow,
+    )
+
+    return Workflow(
+        [
+            Categorify(["movieId", "userId", "genres", "gender", "zip_code"]),
+            TargetEncoding("movieId", target="rating", kfold=5, p_smooth=20.0,
+                           out="TE_movieId_rating", normalize=True, tags=Tags.ITEM),
+            GroupbyCount("userId", log=True, out="userId_count", tags=Tags.USER),
+            Bucketize({"age": [0, 10, 20, 30, 40, 50, 60, 70, 80, 90]}, tags=Tags.USER),
+            LambdaOp("rating", lambda v: (v > 3).astype("int32"), out="rating_binary",
+                     tags=("binary_classification", "target"), dtype="int32"),
+            LambdaOp("rating", lambda v: v.astype("float32"),
+                     tags=("regression", "target"), dtype="float32"),
+        ]
+    )
+
+
+_ML100K_GENRES = [
+    "unknown", "Action", "Adventure", "Animation", "Childrens", "Comedy",
+    "Crime", "Documentary", "Drama", "Fantasy", "Film_Noir", "Horror",
+    "Musical", "Mystery", "Romance", "Sci-Fi", "Thriller", "War", "Western",
+]
+
+
+def _load_movielens_100k_full(path: str):
+    """Full raw ml-100k preparation when the side files are present
+    (``u.user``, ``u.item``, ``ua.base``/``ua.test``): joins demographics and
+    genre strings like the reference, then runs
+    :func:`movielens_100k_workflow` — ``get_movielens(path)`` returns
+    model-ready data from the raw download."""
+    import pandas as pd
+
+    u_user = os.path.join(path, "u.user")
+    u_item = os.path.join(path, "u.item")
+    ua_base = os.path.join(path, "ua.base")
+    ua_test = os.path.join(path, "ua.test")
+    if not (os.path.exists(u_user) and os.path.exists(u_item)):
+        return None
+    users = pd.read_csv(
+        u_user, names=["userId", "age", "gender", "occupation", "zip_code"], sep="|"
+    )
+    movies = pd.read_csv(
+        u_item,
+        names=["movieId", "title", "release_date", "video_release_date", "imdb_URL"]
+        + _ML100K_GENRES,
+        sep="|", encoding="latin1",
+    )
+    flags = movies[_ML100K_GENRES].astype(bool)
+    movies["genres"] = [
+        ",".join([g for g, on in zip(_ML100K_GENRES, row) if on])
+        for row in flags.to_numpy()
+    ]
+    movies = movies[["movieId", "title", "genres"]]
+
+    names = ["userId", "movieId", "rating", "timestamp"]
+    if os.path.exists(ua_base) and os.path.exists(ua_test):
+        train_df = pd.read_csv(ua_base, names=names, sep="\t")
+        valid_df = pd.read_csv(ua_test, names=names, sep="\t")
+    else:
+        all_df = pd.read_csv(os.path.join(path, "u.data"), names=names, sep="\t")
+        all_df = all_df.sample(frac=1.0, random_state=42).reset_index(drop=True)
+        n_valid = int(len(all_df) * 0.2)
+        train_df, valid_df = all_df[:-n_valid], all_df[-n_valid:]
+
+    def prep(df):
+        df = df.merge(users, on="userId", how="left")
+        df = df.merge(movies, on="movieId", how="left")
+        data = {c: np.asarray(df[c]) for c in
+                ["userId", "movieId", "rating", "age", "gender", "zip_code",
+                 "genres", "title"]}
+        from ..schema import ColumnSchema, create_continuous_column
+
+        cols = [
+            ColumnSchema("userId", dtype="int64"),
+            ColumnSchema("movieId", dtype="int64"),
+            create_continuous_column("rating"),
+            create_continuous_column("age"),
+            ColumnSchema("gender", dtype="bytes"),
+            ColumnSchema("zip_code", dtype="bytes"),
+            ColumnSchema("genres", dtype="bytes"),
+            ColumnSchema("title", dtype="bytes"),
+        ]
+        return Dataset(data, schema=Schema(cols))
+
+    wf = movielens_100k_workflow()
+    train = wf.fit_transform(prep(train_df))
+    valid = wf.transform(prep(valid_df))
+
+    # id-tag the categorified key columns (TagAsItemID/TagAsUserID)
+    def retag(ds):
+        cols = []
+        for c in ds.schema:
+            if c.name == "movieId":
+                cols.append(c.with_tags((Tags.ITEM, Tags.ITEM_ID)))
+            elif c.name == "userId":
+                cols.append(c.with_tags((Tags.USER, Tags.USER_ID)))
+            elif c.name in ("genres",):
+                cols.append(c.with_tags((Tags.ITEM,)))
+            else:
+                cols.append(c)
+        return Dataset({n: np.asarray(ds.to_table()[n]) for n in ds.to_table().column_names},
+                       schema=Schema(cols))
+
+    return retag(train), retag(valid)
+
+
 def _load_movielens_raw(path: str, variant: str):
-    """Parse classic raw MovieLens files when present: 100k ``u.data`` (TSV),
-    1M ``ratings.dat`` (``::``-separated), 25M ``ratings.csv``."""
+    """Parse classic raw MovieLens files when present: 100k full layout
+    (``u.*``/``ua.*`` — runs the reference-equivalent preprocessing workflow,
+    :func:`movielens_100k_workflow`) or ``u.data`` alone (ratings-only), 1M
+    ``ratings.dat`` (``::``-separated), 25M ``ratings.csv``."""
+    if variant in ("ml-100k", "movielens-100k"):
+        full = _load_movielens_100k_full(path)
+        if full is not None:
+            return full
     udata = os.path.join(path, "u.data")
     ratings_dat = os.path.join(path, "ratings.dat")
     ratings_csv = os.path.join(path, "ratings.csv")
@@ -290,3 +411,110 @@ def get_booking(path: Optional[str] = None, num_rows: int = 50_000) -> Tuple[Dat
     ``path`` (no egress in this environment) a synthetic dataset with the real
     schema layout is generated."""
     return _from_path_or_synthetic(path, "booking", num_rows)
+
+
+def get_dressipi2022(
+    path: Optional[str] = None, num_rows: int = 50_000,
+    category_coverage_min: float = 0.8,
+) -> Tuple[Dataset, Dataset]:
+    """Dressipi RecSys'22 challenge sessions (reference
+    ``ecommerce/dressipi/dataset.py:53-127``). With ``path`` holding the raw
+    release (``train_sessions.csv``, ``train_purchases.csv``,
+    ``item_features.csv``) the reference's preparation runs natively:
+
+    - item features filtered to the reference's kept category ids plus any
+      category covering >= ``category_coverage_min`` of items, minus its
+      dropped set, then pivoted to one ``f_<id>`` column per category
+      (missing -> -1);
+    - sessions/purchases joined with item features; ``date`` becomes
+      ``timestamp`` (ms) and ``day``;
+    - the last 30 days of sessions form the validation split; each split is
+      joined with its sessions' purchases (renamed ``purchase_id``).
+
+    Without ``path``, synthesizes from the stored ``dressipi2022-preprocessed``
+    schema (the reference's own no-download escape hatch).
+    """
+    if path is not None and os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "train_sessions.csv")
+    ):
+        return _load_dressipi_raw(path, category_coverage_min)
+    return _from_path_or_synthetic(path, "dressipi2022-preprocessed", num_rows)
+
+
+def _load_dressipi_raw(path: str, category_coverage_min: float):
+    import pandas as pd
+
+    feats = pd.read_csv(os.path.join(path, "item_features.csv"))
+    coverage = feats["feature_category_id"].value_counts() / feats["item_id"].nunique()
+    keep = [3, 4, 5, 17, 24, 30, 45, 46, 53, 55, 58, 63, 65, 73]
+    feats = feats[
+        feats["feature_category_id"].isin(keep)
+        | feats["feature_category_id"].isin(coverage[coverage >= category_coverage_min].index)
+    ]
+    feats = feats[~feats["feature_category_id"].isin([30, 4, 46, 28, 53, 1])]
+    feats = feats.pivot(index="item_id", columns="feature_category_id").reset_index()
+    feats.columns = ["item_id"] + feats.columns.get_level_values(1)[1:].tolist()
+    fcols = [c for c in feats.columns if isinstance(c, (int, np.integer))]
+    feats[fcols] = feats[fcols].fillna(-1).astype("int64")
+    feats.columns = [
+        "f_" + str(c) if isinstance(c, (int, np.integer)) else str(c) for c in feats.columns
+    ]
+
+    def prep(df):
+        df = df.merge(feats, on="item_id", how="left")
+        df["date"] = pd.to_datetime(df["date"])
+        df["timestamp"] = df["date"].astype("int64") // 10**6  # ms
+        df = df.sort_values(["session_id", "date"]).reset_index(drop=True)
+        df["day"] = (df["date"] - df["date"].min()).dt.days
+        return df
+
+    sessions = prep(pd.read_csv(os.path.join(path, "train_sessions.csv")))
+    purchases = prep(pd.read_csv(os.path.join(path, "train_purchases.csv")))
+    purchases = purchases.rename(columns={"item_id": "purchase_id"})
+
+    cut = sessions["day"].max() - 30
+    splits = []
+    for mask in (sessions["day"] <= cut, sessions["day"] > cut):
+        part = sessions[mask].reset_index(drop=True)
+        pur = purchases[purchases["session_id"].isin(part["session_id"].unique())]
+        part = part.merge(pur[["session_id", "purchase_id"]], on="session_id", how="left")
+        part = part.drop(columns=["date"]).fillna(-1)
+        splits.append(part)
+
+    from ..schema import ColumnSchema, create_categorical_column
+
+    frame = pd.concat(splits)
+    cols = []
+    for name in splits[0].columns:
+        card = int(frame[name].max())
+        if name in ("timestamp",):
+            cols.append(ColumnSchema(name, dtype="int64"))
+        elif name == "purchase_id":
+            cols.append(create_categorical_column(name, card, tags=(Tags.TARGET,)))
+        elif name == "item_id":
+            cols.append(create_categorical_column(name, card, tags=(Tags.ITEM_ID, Tags.ITEM)))
+        elif name == "session_id":
+            cols.append(create_categorical_column(name, card, tags=(Tags.SESSION, Tags.SESSION_ID)))
+        else:
+            cols.append(create_categorical_column(name, card, tags=(Tags.ITEM,)))
+    schema = Schema(cols)
+
+    def to_ds(df):
+        data = {c: np.asarray(df[c]) for c in df.columns}
+        return Dataset(data, schema=schema)
+
+    return to_ds(splits[0]), to_ds(splits[1])
+
+
+def get_sigir(
+    path: Optional[str] = None, num_rows: int = 50_000, table: str = "browsing"
+) -> Tuple[Dataset, Dataset]:
+    """SIGIR'21 e-commerce data challenge (reference stores schemas under
+    ``ecommerce/sigir/{browsing_train,sku_information}``; there is no
+    downloader — the data requires registration). ``table``: "browsing" or
+    "sku". With ``path`` holding prepared parquet, loads it; otherwise
+    synthesizes from the stored schema."""
+    name = {"browsing": "sigir-browsing", "sku": "sigir-sku"}.get(table)
+    if name is None:
+        raise ValueError(f"table must be 'browsing' or 'sku', got {table!r}")
+    return _from_path_or_synthetic(path, name, num_rows)

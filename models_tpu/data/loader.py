@@ -103,13 +103,14 @@ class Loader:
         # step variant per bucket actually seen (a handful).
         if pad not in ("max", "bucket"):
             raise ValueError(f"pad must be 'max' or 'bucket', got {pad!r}")
-        if pad == "bucket" and global_size > 1:
-            raise ValueError(
-                "pad='bucket' is per-host data-dependent: multi-process ranks "
-                "would compile different-shaped SPMD programs around the same "
-                "collectives. Use pad='max' for multi-host training."
-            )
+        # pad='bucket' under multi-host: bucket boundaries are agreed across
+        # ranks from the SHARED shuffle seed (every host computes the global
+        # per-step max length from the full index before slicing its shard) —
+        # all ranks compile identical SPMD shapes. Only the multi-chunk
+        # parquet-streaming path (chunk-order sharding, no global view)
+        # rejects the combination at iteration time.
         self.pad = pad
+        self._bucket_plan: Optional[Dict[str, np.ndarray]] = None
         self._cache_mode = cache
         self._cache_limit = int(cache_limit_bytes)
         self._cache_bytes = 0
@@ -191,6 +192,28 @@ class Loader:
         else:
             idx = np.arange(n)
         if self.global_size > 1:
+            if self.pad == "bucket" and self._list_cols:
+                # global bucket agreement: every rank derives the SAME idx from
+                # the shared seed, so each can compute the global per-step max
+                # length (global step s covers idx[s*B*S:(s+1)*B*S] — strided
+                # sharding maps local batch s of every rank into that span)
+                B, S = self.batch_size, self.global_size
+                plan: Dict[str, np.ndarray] = {}
+                for name in self._list_cols:
+                    lengths = np.diff(cols[name + "__offsets"])
+                    l_idx = lengths[idx]
+                    n_steps = -(-len(idx) // (B * S))
+                    l_pad = np.concatenate(
+                        [l_idx, np.zeros(n_steps * B * S - len(idx), l_idx.dtype)]
+                    )
+                    per_step = l_pad.reshape(n_steps, B * S).max(axis=1)
+                    buckets = 1 << np.ceil(
+                        np.log2(np.maximum(per_step, 1))
+                    ).astype(np.int64)
+                    plan[name] = np.minimum(
+                        np.maximum(buckets, 1), self._list_cols[name]
+                    )
+                self._bucket_plan = plan
             idx = idx[self.global_rank :: self.global_size]
         return self._take_cols(cols, idx)
 
@@ -217,9 +240,14 @@ class Loader:
                 offsets = cols[name + "__offsets"][lo : hi + 1]
                 pad_to_len = self._list_cols[name]
                 if self.pad == "bucket":
-                    longest = int(np.max(np.diff(offsets))) if hi > lo else 1
-                    bucket = 1 << max(0, int(np.ceil(np.log2(max(longest, 1)))))
-                    pad_to_len = max(1, min(pad_to_len, bucket))
+                    plan = self._bucket_plan
+                    if plan is not None and name in plan:
+                        step = lo // self.batch_size
+                        pad_to_len = int(plan[name][min(step, len(plan[name]) - 1)])
+                    else:
+                        longest = int(np.max(np.diff(offsets))) if hi > lo else 1
+                        bucket = 1 << max(0, int(np.ceil(np.log2(max(longest, 1)))))
+                        pad_to_len = max(1, min(pad_to_len, bucket))
                 padded, mask = pad_ragged(values, offsets, pad_to_len)
                 dest[name] = finalize(name, padded, mask)
             else:
@@ -302,6 +330,13 @@ class Loader:
             # (chunk order + within-chunk rows shuffled per epoch; the
             # reference's chunked-buffer strategy). Leftover rows carry over
             # between chunks so batches stay full.
+            if self.pad == "bucket" and self.global_size > 1 and self._list_cols:
+                raise ValueError(
+                    "pad='bucket' with multi-host sharding needs a global view "
+                    "of row lengths; the multi-chunk parquet streaming path "
+                    "shards by chunk order and has none. Use pad='max', or "
+                    "materialize the dataset in memory."
+                )
             rng = np.random.default_rng(self.epoch_seed())
             order = rng.permutation(len(chunks)) if self.shuffle else np.arange(len(chunks))
             if self.global_size > 1:

@@ -345,6 +345,57 @@ def _ecommerce_large_schema() -> Schema:
     return Schema(cols)
 
 
+def _sigir_browsing_schema() -> Schema:
+    """SIGIR'21 e-commerce challenge browsing events (reference stored schema
+    ``ecommerce/sigir/browsing_train/schema.json``)."""
+    return Schema(
+        [
+            cat("session_id_hash", 999, tags=(Tags.ITEM_ID, Tags.ITEM)),
+            cat("event_type", 2),
+            cat("product_action", 4),
+            cat("product_sku_hash", 999),
+            cat("hashed_url", 999),
+            cont("server_timestamp_epoch_ms"),
+        ]
+    )
+
+
+def _sigir_sku_schema() -> Schema:
+    """SIGIR'21 SKU side info (reference ``ecommerce/sigir/sku_information``):
+    the description_vector is a 50-wide dense float list embedding."""
+    return Schema(
+        [
+            cat("product_sku_hash", 999, tags=(Tags.ITEM,)),
+            cont("description_vector", tags=(Tags.ITEM,), is_list=True, max_seq_length=50),
+            cat("category_hash", 174, tags=(Tags.ITEM, Tags.ITEM_ID)),
+            cont("price_bucket"),
+        ]
+    )
+
+
+def _dressipi_schema() -> Schema:
+    """Dressipi RecSys'22 preprocessed sessions (reference stored schema
+    ``ecommerce/dressipi/preprocessed/schema.pbtxt``): session views joined
+    with the pivoted item feature categories (f_*) and the purchased item."""
+    feats = {
+        "f_3": 7, "f_5": 13, "f_7": 37, "f_17": 6, "f_24": 4, "f_45": 10,
+        "f_47": 18, "f_50": 25, "f_55": 51, "f_56": 68, "f_58": 7, "f_61": 7,
+        "f_63": 25, "f_65": 13, "f_68": 50, "f_69": 31, "f_72": 27, "f_73": 4,
+    }
+    cols = [
+        cat("session_id", 920831, tags=(Tags.SESSION, Tags.SESSION_ID)),
+        cat("date", 4284223),
+    ]
+    cols += [cat(name, card, tags=Tags.ITEM) for name, card in feats.items()]
+    cols += [
+        cat("timestamp", 4284223),
+        cat("day", 485),
+        cat("purchase_id", 18544, tags=(Tags.TARGET,)),
+        cat("item_id", 23145, tags=(Tags.ITEM_ID, Tags.ITEM)),
+    ]
+    return Schema(cols)
+
+
 KNOWN_DATASETS: Dict[str, Callable[[], Schema]] = {
     "e-commerce": _ecommerce_schema,
     "music-streaming": _music_streaming_schema,
@@ -362,6 +413,9 @@ KNOWN_DATASETS: Dict[str, Callable[[], Schema]] = {
     "criteo": _criteo_schema,
     "criteo-small": _criteo_small_schema,
     "booking": _booking_schema,
+    "sigir-browsing": _sigir_browsing_schema,
+    "sigir-sku": _sigir_sku_schema,
+    "dressipi2022-preprocessed": _dressipi_schema,
 }
 
 

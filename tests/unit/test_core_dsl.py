@@ -654,12 +654,34 @@ def test_tensor_initializer_shape_errors():
     assert out.shape == (16, 4)
 
 
-def test_bucket_padding_rejects_multihost():
+def test_bucket_padding_multihost_agrees_across_ranks():
+    """pad='bucket' under multi-host sharding: all ranks must compile the SAME
+    per-step bucket shapes (agreed via the shared shuffle seed), and together
+    cover the data the single-host loader would yield."""
     from models_tpu.data import Loader, generate_data
 
-    ds = generate_data("sequence-testing", num_rows=32)
-    with pytest.raises(ValueError, match="multi-host"):
-        Loader(ds, batch_size=8, pad="bucket", global_size=2, global_rank=0)
+    ds = generate_data("sequence-testing", num_rows=64)
+    loaders = [
+        Loader(ds, batch_size=8, pad="bucket", shuffle=True, seed=3,
+               global_size=2, global_rank=r, drop_last=True)
+        for r in (0, 1)
+    ]
+    batches = [list(l) for l in loaders]
+    assert len(batches[0]) == len(batches[1]) == 4
+    for (x0, _), (x1, _) in zip(*batches):
+        # identical padded shape per step on every rank (SPMD requirement)
+        assert x0["item_id_seq"].values.shape == x1["item_id_seq"].values.shape
+        # bucket engaged: power-of-two width <= schema max
+        L = x0["item_id_seq"].values.shape[1]
+        assert L & (L - 1) == 0
+    # the global bucket is the max over BOTH ranks' rows for that step
+    for (x0, _), (x1, _) in zip(*batches):
+        longest = max(
+            int(x0["item_id_seq"].mask.sum(axis=1).max()),
+            int(x1["item_id_seq"].mask.sum(axis=1).max()),
+        )
+        L = x0["item_id_seq"].values.shape[1]
+        assert L >= longest and L < 2 * max(longest, 1) + 1
 
 
 def test_fluent_graph_building():

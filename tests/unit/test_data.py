@@ -462,3 +462,76 @@ def test_movielens_1m_ratings_dat_parser(tmp_path):
     cols = train.to_numpy_dict()
     assert set(cols) >= {"userId", "movieId", "rating", "rating_binary"}
     assert cols["rating"].max() <= 5.0
+
+
+# ---------------------------------------------------------------------------
+# preprocessing workflows (reference NVTabular-equivalent ETL, VERDICT r2 #8)
+# ---------------------------------------------------------------------------
+
+def test_workflow_categorify_target_encoding_count():
+    from models_tpu.data import Dataset
+    from models_tpu.data.workflow import (
+        Bucketize, Categorify, GroupbyCount, LambdaOp, TargetEncoding, Workflow,
+    )
+    from models_tpu.schema import ColumnSchema, Schema, Tags, create_continuous_column
+
+    rng = np.random.default_rng(0)
+    n = 400
+    raw_items = rng.choice([11, 22, 33, 44, 55], size=n, p=[0.4, 0.3, 0.15, 0.1, 0.05])
+    raw_users = rng.integers(100, 120, size=n)
+    rating = rng.integers(1, 6, size=n).astype(np.float64)
+    age = rng.integers(10, 80, size=n).astype(np.float32)
+    ds = Dataset(
+        {"movieId": raw_items, "userId": raw_users, "rating": rating, "age": age},
+        schema=Schema([
+            ColumnSchema("movieId", dtype="int64"),
+            ColumnSchema("userId", dtype="int64"),
+            create_continuous_column("rating"),
+            create_continuous_column("age"),
+        ]),
+    )
+    wf = Workflow([
+        Categorify(["movieId", "userId"]),
+        TargetEncoding("movieId", target="rating", kfold=3, p_smooth=20.0,
+                       out="TE", normalize=True),
+        GroupbyCount("userId", log=True, out="userId_count"),
+        Bucketize({"age": [0, 20, 40, 60, 80]}, tags=Tags.USER),
+        LambdaOp("rating", lambda v: (v > 3).astype("int32"), out="rating_binary",
+                 tags=(Tags.BINARY_CLASSIFICATION, Tags.TARGET), dtype="int32"),
+    ])
+    out = wf.fit_transform(ds)
+    t = out.to_table()
+    ids = np.asarray(t["movieId"])
+    # frequency-ordered ids: most frequent raw value (11) -> id 1
+    assert ids[np.asarray(raw_items) == 11].min() == ids.max() or (ids[np.asarray(raw_items) == 11] == 1).all()
+    assert out.schema.get("movieId").cardinality == 6  # 5 values + OOV slot
+    te = np.asarray(t["TE"])
+    assert abs(float(te.mean())) < 1e-6 and abs(float(te.std()) - 1.0) < 1e-5
+    counts = np.asarray(t["userId_count"])
+    u0 = raw_users[0]
+    assert np.isclose(counts[0], np.log1p((raw_users == u0).sum()))
+    assert out.schema.get("age").cardinality == 6
+    assert set(np.asarray(t["rating_binary"])) <= {0, 1}
+
+    # transform of a NEW split reuses fitted vocab/stats; unseen values -> OOV 0
+    ds2 = Dataset(
+        {"movieId": np.array([11, 99]), "userId": np.array([100, 999]),
+         "rating": np.array([5.0, 1.0]), "age": np.array([25.0, 65.0], np.float32)},
+        schema=ds.schema,
+    )
+    out2 = wf.transform(ds2)
+    t2 = out2.to_table()
+    assert np.asarray(t2["movieId"])[1] == 0  # unseen item -> OOV
+    assert np.asarray(t2["userId_count"])[1] == 0.0  # log1p(0)
+
+
+def test_new_dataset_accessors_synthesize():
+    from models_tpu.data import get_dressipi2022, get_sigir
+
+    train, valid = get_dressipi2022(num_rows=64)
+    assert "purchase_id" in train.to_table().column_names
+    assert train.schema.get("item_id").cardinality == 23146
+    t_b, _ = get_sigir(table="browsing", num_rows=32)
+    assert "session_id_hash" in t_b.to_table().column_names
+    t_s, _ = get_sigir(table="sku", num_rows=32)
+    assert t_s.schema.get("description_vector").is_list

@@ -46,6 +46,59 @@ def _next_salt() -> float:
     return _SALT[0]
 
 
+# ---------------------------------------------------------------------------
+# contention detection (VERDICT r2 #3): the tunnel/TPU is time-shared, and a
+# contended window inflates every timing 1.5-3x. A fixed calibration kernel
+# run before/after each section measures the window's slowdown; sections seen
+# contended are retried and every recorded number carries its contention
+# factor so rounds are comparable.
+# ---------------------------------------------------------------------------
+
+_CAL_STATE = {"min": None}
+
+
+def _calibrate() -> float:
+    """Seconds for a fixed ~few-ms kernel (matmul scan), best of 3."""
+    a = jnp.ones((256, 256), jnp.float32)
+
+    @jax.jit
+    def go(a, salt):
+        def body(c, _):
+            return c @ a * 1e-3 + salt * 1e-9, ()
+
+        c, _ = jax.lax.scan(body, a, None, length=400)
+        return c[0, 0]
+
+    float(go(a, jnp.float32(_next_salt())))  # compile+warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(go(a, jnp.float32(_next_salt())))
+        best = min(best, time.perf_counter() - t0)
+    if _CAL_STATE["min"] is None or best < _CAL_STATE["min"]:
+        _CAL_STATE["min"] = best
+    return best
+
+
+def _section(fn, retries: int = 1, threshold: float = 1.5):
+    """Run a bench section bracketed by calibrations. If the window was
+    contended (calibration > threshold x the session's best calibration),
+    retry up to ``retries`` times and keep the attempt from the cleanest
+    window. Returns (result, contention_factor_of_kept_attempt)."""
+    best = None
+    best_factor = float("inf")
+    for attempt in range(retries + 1):
+        c0 = _calibrate()
+        result = fn()
+        c1 = _calibrate()
+        factor = max(c0, c1) / max(_CAL_STATE["min"], 1e-12)
+        if factor < best_factor:
+            best, best_factor = result, factor
+        if factor <= threshold:
+            break
+    return best, round(best_factor, 2)
+
+
 def _marginal(run, n1, n2, repeats=7):
     """Best-clean-pair marginal seconds/step between two step counts: the MIN
     of positive paired marginals above 0.3x their median.
@@ -155,14 +208,25 @@ def bench_two_tower_compute(policy: str = "float32"):
         step_time = _marginal(run, N1, N2)
     finally:
         set_dtype_policy("float32")
-    return BATCH / step_time, step_time * 1000
+    param_bytes = sum(
+        int(np.prod(jnp.shape(getattr(l, "value", l)))) * 4
+        for l in jax.tree_util.tree_leaves(params)
+    )
+    return BATCH / step_time, step_time * 1000, param_bytes
 
 
 # ---------------------------------------------------------------------------
 def bench_two_tower_pipeline(policy: str = "mixed_bfloat16"):
-    """End-to-end fit() throughput: parquet → Loader → prefetch → jitted steps.
-    Runs the same dtype policy as the compute headline (apples-to-apples)."""
+    """End-to-end fit() throughput: parquet → Loader → device-resident columns
+    → one compiled dispatch per epoch. Runs the same dtype policy as the
+    compute headline (apples-to-apples).
+
+    steps_per_execution covers the whole epoch: with the dataset columns
+    resident in HBM the only per-epoch host work is ONE dispatch (~1 RTT) and
+    ONE stacked scalar fetch (~1 RTT) — the remaining gap to compute-only
+    throughput is published in the breakdown extras."""
     from models_tpu.core.policy import set_dtype_policy
+    from models_tpu.core.types import to_device_batch
     from models_tpu.data import Dataset, Loader, generate_data
     from models_tpu.models import TwoTowerModel
 
@@ -173,22 +237,40 @@ def bench_two_tower_pipeline(policy: str = "mixed_bfloat16"):
         ds.to_parquet(BENCH_DATA, num_partitions=8)
     ds = Dataset.from_parquet(BENCH_DATA)
     model = TwoTowerModel(ds.schema, query_tower=(256, 128), embedding_dim=128)
-    # metrics off the hot path (reference MetricsComputeCallback semantics);
-    # 8 steps per dispatch amortizes the tunnel RTT (Keras steps_per_execution)
+    # metrics off the hot path (reference MetricsComputeCallback semantics)
     model.compile(
         optimizer="adagrad",
         learning_rate=0.05,
         train_metrics_steps=10_000,
-        steps_per_execution=32,
+        steps_per_execution=PIPE_BATCHES,
     )
     loader = Loader(ds, batch_size=BATCH, drop_last=True, shuffle=False)
-    # epochs 1-2 pay compile + parquet decode (cached after); report the best
-    # steady-state epoch (contention windows hit single epochs hard)
+    breakdown = {}
+    # host parquet decode + ragged padding (one-time; cached across epochs)
+    t0 = time.perf_counter()
+    feats_h, targs_h, n_rows = loader.dense_columns()
+    breakdown["host_decode_s"] = round(time.perf_counter() - t0, 3)
+    nbytes = sum(
+        a.nbytes for a in jax.tree_util.tree_leaves((feats_h, targs_h))
+        if hasattr(a, "nbytes")
+    )
+    breakdown["dataset_mb"] = round(nbytes / 2**20, 1)
+    # one-time host→device upload over the ~40MB/s tunnel
+    t0 = time.perf_counter()
+    dev = jax.tree_util.tree_map(jnp.asarray, (feats_h, targs_h))
+    jax.block_until_ready(dev)
+    breakdown["upload_s"] = round(time.perf_counter() - t0, 3)
+    del dev
+    # epochs 1-2 pay compile (cached after); report the best steady-state
+    # epoch (contention windows hit single epochs hard)
     try:
         hist = model.fit(loader, epochs=6, verbose=0)
     finally:
         set_dtype_policy("float32")
-    return float(max(hist.history["examples_per_sec"][2:]))
+    eps = float(max(hist.history["examples_per_sec"][2:]))
+    breakdown["epoch_wall_ms"] = round(1000.0 * BATCH * PIPE_BATCHES / eps, 1)
+    breakdown["steps_per_epoch"] = PIPE_BATCHES
+    return eps, breakdown
 
 
 # ---------------------------------------------------------------------------
@@ -431,26 +513,48 @@ def bench_sparse_optimizer():
 
 
 # ---------------------------------------------------------------------------
+# nominal peak HBM bandwidth of the bench device (TPU v5e), for roofline context
+V5E_HBM_GBPS = 819.0
+
+
 def main():
     # persistent compile cache: repeat bench runs skip the ~60s TPU compiles
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_bench")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    examples_per_sec, step_ms = bench_two_tower_compute()
-    eps_bf16, step_ms_bf16 = bench_two_tower_compute("mixed_bfloat16")
+    contention = {}
+    (fp32_res, contention["two_tower_fp32"]) = _section(bench_two_tower_compute)
+    examples_per_sec, step_ms, param_bytes = fp32_res
+    (bf16_res, contention["two_tower_bf16"]) = _section(
+        lambda: bench_two_tower_compute("mixed_bfloat16")
+    )
+    eps_bf16, step_ms_bf16, _ = bf16_res
     best_policy_early = "mixed_bfloat16" if eps_bf16 >= examples_per_sec else "float32"
-    dlrm_eps, dlrm_ms = bench_dlrm_compute()
-    sess_eps, sess_ms = bench_session_transformer()
-    pipeline_eps = bench_two_tower_pipeline(policy=best_policy_early)
-    topk_qps, topk_ms, build_ms = bench_topk()
-    sparse_4m, dense_4m, sparse_8m = bench_sparse_optimizer()
+    (dlrm_res, contention["dlrm"]) = _section(bench_dlrm_compute)
+    dlrm_eps, dlrm_ms = dlrm_res
+    (sess_res, contention["session"]) = _section(bench_session_transformer)
+    sess_eps, sess_ms = sess_res
+    (pipe_res, contention["pipeline"]) = _section(
+        lambda: bench_two_tower_pipeline(policy=best_policy_early)
+    )
+    pipeline_eps, pipe_breakdown = pipe_res
+    (topk_res, contention["topk"]) = _section(bench_topk)
+    topk_qps, topk_ms, build_ms = topk_res
+    (sparse_res, contention["sparse_opt"]) = _section(bench_sparse_optimizer)
+    sparse_4m, dense_4m, sparse_8m = sparse_res
 
     # headline = the faster of fp32 / mixed_bfloat16 — both are production
     # configs (bf16 has trajectory-parity tests); both recorded in extras
     best_eps, best_policy = max(
         (examples_per_sec, "float32"), (eps_bf16, "mixed_bfloat16")
     )
+    best_step_s = step_ms_bf16 / 1000 if best_policy == "mixed_bfloat16" else step_ms / 1000
+    # roofline context: dense-adagrad two-tower traffic ~ 6x param bytes/step
+    # (read+write of weights and accumulators + grad materialization); the
+    # step is HBM-bound (CLAUDE.md decomposition), so this estimates BW%
+    est_traffic = 6.0 * param_bytes
+    hbm_pct = 100.0 * est_traffic / best_step_s / (V5E_HBM_GBPS * 1e9)
     result = {
         "metric": "two_tower_train_examples_per_sec",
         "value": round(best_eps, 1),
@@ -462,12 +566,15 @@ def main():
             "compute_step_ms": round(step_ms, 3),
             "compute_examples_per_sec_bf16": round(eps_bf16, 1),
             "compute_step_ms_bf16": round(step_ms_bf16, 3),
+            "est_hbm_traffic_mb_per_step": round(est_traffic / 2**20, 1),
+            "est_hbm_bw_util_pct": round(hbm_pct, 1),
             "dlrm_criteo_examples_per_sec": round(dlrm_eps, 1),
             "dlrm_criteo_step_ms": round(dlrm_ms, 3),
             "session_transformer_sessions_per_sec": round(sess_eps, 1),
             "session_transformer_step_ms": round(sess_ms, 3),
             "pipeline_examples_per_sec": round(pipeline_eps, 1),
             "pipeline_vs_compute": round(pipeline_eps / best_eps, 3),
+            "pipeline_breakdown": pipe_breakdown,
             "topk_qps_1M_catalog": round(topk_qps, 1),
             "topk_ms_per_256q": round(topk_ms, 3),
             "index_encode_1M_ms": round(build_ms, 2),
@@ -476,6 +583,9 @@ def main():
             "sparse_vs_dense_speedup": round(dense_4m / sparse_4m, 2),
             "sparse_adagrad_step_ms_8Mx128": round(sparse_8m, 3),
             "dense_adagrad_8Mx128": "OOM (needs 19.1G of 15.75G HBM)",
+            # calibration-kernel slowdown (1.0 = clean) of the window each
+            # section's KEPT attempt ran in; contended sections were retried
+            "contention": contention,
         },
     }
     print(json.dumps(result))

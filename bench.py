@@ -403,7 +403,8 @@ def bench_session_transformer():
 
         return float(go(params, opt_state, jnp.float32(salt)))
 
-    step_time = _marginal(run, 4, 24)
+    # wide step spread: sub-ms steps need (n2-n1)*step >> tunnel jitter
+    step_time = _marginal(run, 4, 64)
     return B / step_time, step_time * 1000
 
 

@@ -518,42 +518,69 @@ class BaseModel(Block):
             step_fn = jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
         return step_fn
 
-    def _make_device_chunk_step(self, loss_fns, task_metrics, with_metrics, k: int, batch_size: int):
+    @staticmethod
+    def _pack_device_columns(feats_h, targs_h, n_rows: int):
+        """Pack every (feature + target) column into ONE (n, F) int32 matrix
+        (f32 bitcast, bool widened) + a static unpack spec. The chunk step
+        then slices ONE array per batch instead of ~15 — each tiny
+        dynamic-slice inside the scan carries a fixed op cost that measured
+        ~1.2ms/step of pure overhead on this TPU."""
+        leaves, treedef = jax.tree_util.tree_flatten((feats_h, targs_h))
+        spec = []
+        cols = []
+        off = 0
+        for leaf in leaves:
+            a = np.asarray(leaf)
+            tail = a.shape[1:]
+            w = int(np.prod(tail)) if tail else 1
+            flat = np.ascontiguousarray(a.reshape(n_rows, w))
+            if flat.dtype == np.bool_:
+                kind, flat = "bool", flat.astype(np.int32)
+            elif flat.dtype.kind == "f":
+                kind, flat = "f32", flat.astype(np.float32).view(np.int32)
+            else:
+                kind, flat = "i32", flat.astype(np.int32)
+            spec.append((kind, off, w, tail))
+            cols.append(flat)
+            off += w
+        packed = np.concatenate(cols, axis=1) if cols else np.zeros((n_rows, 0), np.int32)
+        return packed, tuple(spec), treedef
+
+    def _make_device_chunk_step(self, loss_fns, task_metrics, with_metrics,
+                                k: int, batch_size: int, spec, treedef):
         """k training steps in one executable over DEVICE-RESIDENT data: the
-        full dataset's columns live in HBM (uploaded once by fit) and each step
-        gathers its batch rows on device from a permutation index — zero
-        host→device traffic per step. This is the TPU answer to the reference
-        dataloader's GPU-resident chunk strategy (merlin-dataloader), and the
-        difference between tunnel-bandwidth-bound and compute-bound training."""
+        full dataset's columns live in HBM as one packed matrix (uploaded once
+        by fit) and each step bitcast-unpacks a contiguous slice — zero
+        host→device traffic per step and ONE slice op per batch. This is the
+        TPU answer to the reference dataloader's GPU-resident chunk strategy
+        (merlin-dataloader), and the difference between tunnel-bandwidth-bound
+        and compute-bound training."""
         body = self._train_body(loss_fns, task_metrics, with_metrics, mesh=None)
 
-        def chunk_fn(params, rest, opt_state, metric_states, cols, targets, perm, step0, local0):
-            # permute every column ONCE for the whole chunk (a handful of
-            # full-column gathers, HBM-bound ~0.3ms for a 100MB dataset), so
-            # each step takes a contiguous dynamic_slice — per-step row
-            # gathers across ~14 columns measured ~2.3ms/step of pure
-            # fixed-cost gather overhead on this TPU
+        def unpack(sl):
+            leaves = []
+            for kind, off, w, tail in spec:
+                part = jax.lax.slice_in_dim(sl, off, off + w, axis=1)
+                if kind == "f32":
+                    part = jax.lax.bitcast_convert_type(part, jnp.float32)
+                elif kind == "bool":
+                    part = part != 0
+                leaves.append(part.reshape((sl.shape[0],) + tail))
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        def chunk_fn(params, rest, opt_state, metric_states, packed, perm, step0, local0):
+            # permute the chunk's rows ONCE (one HBM-bound gather of the
+            # packed matrix), then every step slices contiguously
             chunk_idx = jax.lax.dynamic_slice_in_dim(
                 perm, local0 * batch_size, k * batch_size
             )
-            cols_p = jax.tree_util.tree_map(
-                lambda c: jnp.take(c, chunk_idx, axis=0), cols
-            )
-            targs_p = jax.tree_util.tree_map(
-                lambda c: jnp.take(c, chunk_idx, axis=0), targets
-            )
+            packed_p = jnp.take(packed, chunk_idx, axis=0)
 
             def scan_body(carry, i):
                 p, r, o, m = carry
-                x = jax.tree_util.tree_map(
-                    lambda c: jax.lax.dynamic_slice_in_dim(c, i * batch_size, batch_size),
-                    cols_p,
-                )
+                sl = jax.lax.dynamic_slice_in_dim(packed_p, i * batch_size, batch_size)
+                x, y = unpack(sl)
                 x[ROW_VALID_KEY] = jnp.ones((batch_size,), bool)
-                y = jax.tree_util.tree_map(
-                    lambda c: jax.lax.dynamic_slice_in_dim(c, i * batch_size, batch_size),
-                    targs_p,
-                )
                 p, r, o, m, logs = body(p, r, o, m, x, y, step0 + i)
                 return (p, r, o, m), logs
 
@@ -859,18 +886,18 @@ class BaseModel(Block):
                     if hasattr(a, "nbytes")
                 )
                 if nbytes <= (2 << 30):
-                    device_data = (
-                        to_device_batch(feats_h),
-                        jax.tree_util.tree_map(jnp.asarray, targs_h),
-                        n_rows,
+                    packed_h, pack_spec, pack_treedef = self._pack_device_columns(
+                        feats_h, targs_h, n_rows
                     )
+                    device_data = (jnp.asarray(packed_h), n_rows)
         chunk_fns: Dict[Tuple[int, bool], Any] = {}
 
         def device_chunk_fn(k: int, with_metrics: bool):
             key = (k, with_metrics)
             if key not in chunk_fns:
                 chunk_fns[key] = self._make_device_chunk_step(
-                    loss_fns, task_metrics, with_metrics, k, loader.batch_size
+                    loss_fns, task_metrics, with_metrics, k, loader.batch_size,
+                    pack_spec, pack_treedef,
                 )
             return chunk_fns[key]
 
@@ -878,7 +905,7 @@ class BaseModel(Block):
         if device_data is not None:
             # all epochs' permutations in ONE upload (a per-epoch 1MB transfer
             # costs ~50ms through the tunnel); seeds mirror loader.epoch_seed()
-            n_rows_dd = device_data[2]
+            n_rows_dd = device_data[1]
             base_epoch = loader._epoch
             perms = []
             for e in range(epochs):
@@ -912,7 +939,7 @@ class BaseModel(Block):
             for cb in callbacks:
                 getattr(cb, "on_epoch_begin", lambda *a, **k: None)(epoch)
             if device_data is not None:
-                feats_dev, targs_dev, n_rows = device_data
+                packed_dev, n_rows = device_data
                 loader._epoch += 1  # keep shuffle-seed bookkeeping identical
                 n_batches = n_rows // loader.batch_size
                 if steps_per_epoch is not None:
@@ -927,7 +954,7 @@ class BaseModel(Block):
                     fn = device_chunk_fn(k, hits_metrics)
                     params, rest, opt_state, metric_states, logs = fn(
                         params, rest, opt_state, metric_states,
-                        feats_dev, targs_dev, perm_dev,
+                        packed_dev, perm_dev,
                         jnp.asarray(global_step), jnp.asarray(local),
                     )
                     for key, v in logs.items():

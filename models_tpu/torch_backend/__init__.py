@@ -27,7 +27,8 @@ def __getattr__(name):
         "EmbeddingTables", "TabularInputBlock", "MLPBlock", "CrossBlock",
         "DLRMBlock", "ModelOutput", "BinaryOutput", "RegressionOutput",
         "CategoricalOutput", "TabularOutputBlock", "Model", "EncoderBlock",
-        "DLRMModel", "DCNModel", "MLPModel",
+        "DLRMModel", "DCNModel", "MLPModel", "MMOEBlock", "CGCBlock",
+        "PLEBlock", "CrossAttentionBlock",
     }
     if name == "dsl":
         return importlib.import_module(".dsl", __name__)

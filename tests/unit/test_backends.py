@@ -442,3 +442,35 @@ def test_torch_dsl_encoder_block_refuses_fit(ecommerce_data):
     enc = dsl.EncoderBlock(dsl.TabularInputBlock(ecommerce_data.schema, dim=8))
     with pytest.raises(RuntimeError):
         enc.fit(ecommerce_data)
+
+
+def test_torch_dsl_mmoe_cgc_attention():
+    dsl = _torch_dsl()
+    import torch
+    import torch.nn as nn
+
+    D, E = 16, 3
+    expert = dsl.MLPBlock((16,), D)
+    mmoe = dsl.MMOEBlock(expert, num_experts=E, in_dim=D, out_dim=16,
+                         outputs=["click", "like"])
+    x = torch.randn(4, D)
+    out = mmoe(x)
+    assert set(out) == {"click", "like"} and out["click"].shape == (4, 16)
+    # gates differ per task (different init) → outputs differ
+    assert not torch.allclose(out["click"], out["like"])
+
+    cgc = dsl.CGCBlock(dsl.MLPBlock((16,), D), num_shared=2, num_task=1,
+                       in_dim=D, out_dim=16, outputs=["click", "like"])
+    out2 = cgc(x)
+    assert set(out2) == {"click", "like"}
+    # per-task experts: zeroing task A's own expert changes only task A
+    for p in cgc.task_experts["click"][0].parameters():
+        nn.init.zeros_(p)
+    out3 = cgc(x)
+    assert not torch.allclose(out2["click"], out3["click"])
+    assert torch.allclose(out2["like"], out3["like"])
+
+    att = dsl.CrossAttentionBlock(d_model=16, n_heads=2)
+    q = torch.randn(2, 5, 16)
+    ctx = torch.randn(2, 7, 16)
+    assert att({"query": q, "context": ctx}).shape == (2, 5, 16)

@@ -54,20 +54,25 @@ def _next_salt() -> float:
 # factor so rounds are comparable.
 # ---------------------------------------------------------------------------
 
-_CAL_STATE = {"min": None}
+_CAL_STATE = {"min": None, "arr": None, "deadline": None}
 
 
 def _calibrate() -> float:
-    """Seconds for a fixed ~few-ms kernel (matmul scan), best of 3."""
-    a = jnp.ones((256, 256), jnp.float32)
+    """Seconds for a fixed HBM-BANDWIDTH-bound kernel (streaming reduce over a
+    256MB array), best of 3. The hot training steps are HBM-bound, so the
+    probe must be too — a small VMEM-resident matmul stays fast while a
+    co-tenant saturates HBM and misses exactly the contention that matters."""
+    if _CAL_STATE["arr"] is None:
+        _CAL_STATE["arr"] = jnp.ones((64 * 1024 * 1024,), jnp.float32)
+    a = _CAL_STATE["arr"]
 
     @jax.jit
     def go(a, salt):
         def body(c, _):
-            return c @ a * 1e-3 + salt * 1e-9, ()
+            return c + jnp.sum(a * (1.0 + c * 1e-20)), ()
 
-        c, _ = jax.lax.scan(body, a, None, length=400)
-        return c[0, 0]
+        c, _ = jax.lax.scan(body, salt, None, length=8)
+        return c
 
     float(go(a, jnp.float32(_next_salt())))  # compile+warm
     best = float("inf")
@@ -84,7 +89,9 @@ def _section(fn, retries: int = 1, threshold: float = 1.5):
     """Run a bench section bracketed by calibrations. If the window was
     contended (calibration > threshold x the session's best calibration),
     retry up to ``retries`` times and keep the attempt from the cleanest
-    window. Returns (result, contention_factor_of_kept_attempt)."""
+    window — unless the whole-bench retry deadline has passed (the driver
+    bounds bench wall-clock; retries are best-effort, the annotation is the
+    guarantee). Returns (result, contention_factor_of_kept_attempt)."""
     best = None
     best_factor = float("inf")
     for attempt in range(retries + 1):
@@ -96,10 +103,13 @@ def _section(fn, retries: int = 1, threshold: float = 1.5):
             best, best_factor = result, factor
         if factor <= threshold:
             break
+        deadline = _CAL_STATE.get("deadline")
+        if deadline is not None and time.monotonic() > deadline:
+            break
     return best, round(best_factor, 2)
 
 
-def _marginal(run, n1, n2, repeats=7):
+def _marginal(run, n1, n2, repeats=5):
     """Best-clean-pair marginal seconds/step between two step counts: the MIN
     of positive paired marginals above 0.3x their median.
 
@@ -524,11 +534,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+    # retries stop once the bench has been running ~8 min (driver wall bound)
+    _CAL_STATE["deadline"] = time.monotonic() + 480
     contention = {}
-    (fp32_res, contention["two_tower_fp32"]) = _section(bench_two_tower_compute)
+    (fp32_res, contention["two_tower_fp32"]) = _section(bench_two_tower_compute, retries=2)
     examples_per_sec, step_ms, param_bytes = fp32_res
     (bf16_res, contention["two_tower_bf16"]) = _section(
-        lambda: bench_two_tower_compute("mixed_bfloat16")
+        lambda: bench_two_tower_compute("mixed_bfloat16"), retries=2
     )
     eps_bf16, step_ms_bf16, _ = bf16_res
     best_policy_early = "mixed_bfloat16" if eps_bf16 >= examples_per_sec else "float32"

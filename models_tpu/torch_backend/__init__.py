@@ -30,10 +30,23 @@ def __getattr__(name):
         "DLRMModel", "DCNModel", "MLPModel", "MMOEBlock", "CGCBlock",
         "PLEBlock", "CrossAttentionBlock",
     }
+    compat_names = {
+        "Sequence", "repeat", "repeat_parallel", "repeat_parallel_like",
+        "BatchBlock", "RouterBlock", "SelectFeatures", "CategoricalTarget",
+        "EmbeddingTablePrediction", "TabularPadding", "BroadcastToSequence",
+        "stack_context", "input_schema", "output_schema", "feature_schema",
+        "target_schema", "walk", "map", "MultiLoader", "DaskEncoder",
+        "DaskPredictor", "schema",
+    }
     if name == "dsl":
         return importlib.import_module(".dsl", __name__)
+    if name == "compat" or name == "schema":
+        mod = importlib.import_module(".compat", __name__)
+        return mod if name == "compat" else mod
     if name in dsl_names:
         return getattr(importlib.import_module(".dsl", __name__), name)
+    if name in compat_names:
+        return getattr(importlib.import_module(".compat", __name__), name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 

@@ -474,3 +474,86 @@ def test_torch_dsl_mmoe_cgc_attention():
     q = torch.randn(2, 5, 16)
     ctx = torch.randn(2, 7, 16)
     assert att({"query": q, "context": ctx}).shape == (2, 5, 16)
+
+
+def test_torch_namespace_coverage():
+    """Every name the reference exports from merlin.models.torch resolves in
+    torch_backend (native DSL construct or documented compat equivalent) —
+    the torch-side analog of the tf-namespace parity test."""
+    import re
+
+    import pytest
+
+    pytest.importorskip("torch")
+    from models_tpu import torch_backend as tb
+
+    src = open("/root/reference/merlin/models/torch/__init__.py").read()
+    m = re.search(r"__all__\s*=\s*\[(.*?)\]", src, re.S)
+    names = sorted(set(re.findall(r'"(\w+)"', m.group(1))))
+    assert len(names) >= 40
+    missing = []
+    for name in names:
+        try:
+            obj = getattr(tb, name)
+        except AttributeError:
+            missing.append(name)
+            continue
+        assert obj is not None
+    assert not missing, f"reference torch names unresolved: {missing}"
+
+
+def test_torch_compat_constructs():
+    dsl = _torch_dsl()
+    import torch
+    import torch.nn as nn
+
+    from models_tpu.torch_backend import compat
+
+    # repeat_parallel: fresh-init copies
+    pb = compat.repeat_parallel(nn.Linear(4, 4), n=3)
+    x = torch.randn(2, 4)
+    out = pb(x)
+    assert len(out) == 3
+    assert not torch.allclose(out["0"], out["1"])
+
+    # BatchBlock builds Batches in-graph
+    bb = compat.BatchBlock()
+    b = bb({"a": torch.ones(2, 3)}, targets={"t": torch.zeros(2)})
+    assert isinstance(b, dsl.Batch) and "a" in b.features and "t" in b.targets
+
+    # RouterBlock routes schema selections
+    from models_tpu.schema import Schema, Tags, create_categorical_column, create_continuous_column
+
+    schema = Schema([
+        create_categorical_column("u", 10, tags=Tags.USER),
+        create_continuous_column("p"),
+    ])
+    router = compat.RouterBlock(schema)
+    router.add_route(Tags.USER, name="user")
+    out = router({"u": torch.ones(2, dtype=torch.long), "p": torch.ones(2)})
+    assert set(out) == {"u"}
+
+    # weight tying: logits width == table rows
+    table = dsl.EmbeddingTable(8, create_categorical_column("item", 49))
+    tying = compat.EmbeddingTablePrediction(table)
+    assert tying(torch.randn(3, 8)).shape == (3, 50)
+
+    # BroadcastToSequence
+    b2s = compat.BroadcastToSequence(
+        Schema([create_continuous_column("ctx")]),
+        Schema([create_categorical_column("seq", 5, is_list=True, max_seq_length=4)]),
+    )
+    out = b2s({"ctx": torch.ones(2, 3), "seq": torch.ones(2, 4, dtype=torch.long)})
+    assert out["ctx"].shape == (2, 4, 3)
+
+    # functional traversal
+    blk = dsl.Block(nn.Linear(4, 4), nn.ReLU())
+    assert sum(1 for _ in compat.walk(blk)) >= 3
+    count = [0]
+
+    def tag(m):
+        count[0] += 1
+        return m
+
+    compat.map(blk, tag)
+    assert count[0] >= 3

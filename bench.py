@@ -251,6 +251,7 @@ def bench_two_tower_pipeline(policy: str = "mixed_bfloat16"):
     model.compile(
         optimizer="adagrad",
         learning_rate=0.05,
+        metrics=[],  # metrics off the hot path AND enables full-fit fusion
         train_metrics_steps=10_000,
         steps_per_execution=PIPE_BATCHES,
     )
@@ -271,13 +272,15 @@ def bench_two_tower_pipeline(policy: str = "mixed_bfloat16"):
     jax.block_until_ready(dev)
     breakdown["upload_s"] = round(time.perf_counter() - t0, 3)
     del dev
-    # epochs 1-2 pay compile (cached after); report the best steady-state
-    # epoch (contention windows hit single epochs hard)
+    # the fused full-fit path runs all epochs in ONE dispatch, so the first
+    # fit's wall is dominated by compile; warm it, then measure a second fit
+    # (same shapes -> executable cache hit; upload is outside the fused timer)
     try:
+        model.fit(loader, epochs=6, verbose=0)
         hist = model.fit(loader, epochs=6, verbose=0)
     finally:
         set_dtype_policy("float32")
-    eps = float(max(hist.history["examples_per_sec"][2:]))
+    eps = float(max(hist.history["examples_per_sec"]))
     breakdown["epoch_wall_ms"] = round(1000.0 * BATCH * PIPE_BATCHES / eps, 1)
     breakdown["steps_per_epoch"] = PIPE_BATCHES
     return eps, breakdown

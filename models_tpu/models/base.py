@@ -595,6 +595,104 @@ class BaseModel(Block):
             chunk_fn = jax.jit(chunk_fn, donate_argnums=(0, 1, 2, 3))
         return chunk_fn
 
+    def _make_device_epochs_step(self, loss_fns, task_metrics, k: int,
+                                 batch_size: int, spec, treedef,
+                                 epochs_static: Optional[int] = None,
+                                 val_scan=None):
+        """ALL epochs in ONE executable over device-resident data: outer
+        ``lax.scan`` over per-epoch permutations, inner scan over the epoch's
+        ``k`` steps, with the epoch-log reduction (loss means + metric
+        results) computed in-trace. The whole fit() becomes one dispatch and
+        ONE scalar transfer — the last per-epoch fixed costs (26-78ms
+        dispatch + ~40ms epoch-log RTT through the tunnel) disappear.
+        Reference counterpart: the Keras epoch loop (tf/models/base.py:1361)
+        pays these per epoch by construction."""
+        # with no compiled metrics, trace the metric-free body: need_logits=True
+        # would force heads to materialize full logits (the (B,1+N) contrastive
+        # matrix) that nothing consumes, defeating the fused flash-CE path
+        with_metrics = any(task_metrics.values())
+        body = self._train_body(loss_fns, task_metrics, with_metrics, mesh=None)
+
+        def unpack(sl):
+            leaves = []
+            for kind, off, w, tail in spec:
+                part = jax.lax.slice_in_dim(sl, off, off + w, axis=1)
+                if kind == "f32":
+                    part = jax.lax.bitcast_convert_type(part, jnp.float32)
+                elif kind == "bool":
+                    part = part != 0
+                leaves.append(part.reshape((sl.shape[0],) + tail))
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        names_out: list = []  # populated at trace time (sorted epoch-log keys)
+
+        def epochs_fn(params, rest, opt_state, packed, perms, step0,
+                      val_packed=None):
+            def epoch_body(carry, perm):
+                p, r, o, s0 = carry
+                metric_states = self._init_metric_states(task_metrics)
+                if perm is None:
+                    # shuffle=False: read batches straight out of the packed
+                    # matrix — no permutation upload, no whole-epoch gather
+                    packed_p = packed
+                else:
+                    chunk_idx = jax.lax.slice_in_dim(perm, 0, k * batch_size)
+                    packed_p = jnp.take(packed, chunk_idx, axis=0)
+
+                def scan_body(inner, i):
+                    p, r, o, m = inner
+                    sl = jax.lax.dynamic_slice_in_dim(
+                        packed_p, i * batch_size, batch_size
+                    )
+                    x, y = unpack(sl)
+                    x[ROW_VALID_KEY] = jnp.ones((batch_size,), bool)
+                    p, r, o, m, logs = body(p, r, o, m, x, y, s0 + i)
+                    return (p, r, o, m), logs
+
+                (p, r, o, m), logs = jax.lax.scan(
+                    scan_body, (p, r, o, metric_states), jnp.arange(k)
+                )
+                vals = {key: jnp.mean(v) for key, v in logs.items()}
+                vals.update(self._metric_results(m, task_metrics, fetch=False))
+                if val_scan is not None:
+                    # in-dispatch validation: the whole eval set scans on
+                    # device right after the epoch's training steps
+                    vm, vacc = val_scan(p, r, val_packed)
+                    vals["val_loss"] = vacc["total"] / jnp.maximum(
+                        vacc["count"], 1.0
+                    )
+                    vals.update({
+                        f"val_{key}": v
+                        for key, v in self._metric_results(
+                            vm, task_metrics, fetch=False
+                        ).items()
+                    })
+                vals = {
+                    key: jnp.asarray(v, jnp.float32).reshape(())
+                    for key, v in vals.items()
+                }
+                return (p, r, o, s0 + k), vals
+
+            if perms is None:
+                def no_perm_body(carry, _):
+                    return epoch_body(carry, None)
+
+                (params, rest, opt_state, _), epoch_vals = jax.lax.scan(
+                    no_perm_body, (params, rest, opt_state, step0), None,
+                    length=epochs_static,
+                )
+            else:
+                (params, rest, opt_state, _), epoch_vals = jax.lax.scan(
+                    epoch_body, (params, rest, opt_state, step0), perms
+                )
+            names_out[:] = sorted(epoch_vals)
+            stacked = jnp.stack([epoch_vals[n] for n in names_out])  # (n_names, E)
+            return params, rest, opt_state, stacked
+
+        if self._jit:
+            epochs_fn = jax.jit(epochs_fn, donate_argnums=(0, 1, 2))
+        return epochs_fn, names_out
+
     def _make_multi_train_step(self, loss_fns, task_metrics, with_metrics, mesh, k: int):
         """k training steps in ONE executable (Keras ``steps_per_execution``):
         batches arrive stacked on a leading (k, ...) axis and a ``lax.scan``
@@ -704,16 +802,12 @@ class BaseModel(Block):
             step_fn = jax.jit(step_fn, donate_argnums=(0, 1, 2, 3, 4))
         return step_fn
 
-    def _make_eval_step(self, loss_fns, task_metrics, mesh=None):
-        # reuse the jitted step across epochs/calls (same graph structure):
-        # re-jitting every evaluate() would retrace per validation epoch
-        cache_key = ("eval", mesh)
-        cached = self._step_cache.get(cache_key)
-        if cached is not None and self._graphdef_cache == self._graphdef:
-            return cached
+    def _eval_body(self, loss_fns, task_metrics, mesh=None):
+        """One un-jitted eval step: shared by the per-batch jitted step and
+        the device-resident fused evaluate."""
         graphdef = self._graphdef
 
-        def step_fn(params, rest, metric_states, loss_acc, x, y):
+        def body(params, rest, metric_states, loss_acc, x, y):
             model = nnx.merge(graphdef, params, rest)
             context = ModelContext(features=x, targets=y, testing=True)
             context["need_logits"] = True
@@ -729,11 +823,61 @@ class BaseModel(Block):
             }
             return metric_states, loss_acc
 
+        return body
+
+    def _make_eval_step(self, loss_fns, task_metrics, mesh=None):
+        # reuse the jitted step across epochs/calls (same graph structure):
+        # re-jitting every evaluate() would retrace per validation epoch
+        cache_key = ("eval", mesh)
+        cached = self._step_cache.get(cache_key)
+        if cached is not None and self._graphdef_cache == self._graphdef:
+            return cached
+        step_fn = self._eval_body(loss_fns, task_metrics, mesh)
         if self._jit:
             step_fn = jax.jit(step_fn, donate_argnums=(2, 3))
         self._step_cache[cache_key] = step_fn
         self._graphdef_cache = self._graphdef
         return step_fn
+
+    def _device_eval_scan(self, loss_fns, task_metrics, batch_size: int,
+                          n_rows: int, spec, treedef):
+        """Un-jitted full-dataset eval over a device-resident packed matrix
+        (padded to a whole number of batches): scan over batches with the
+        final partial batch masked via ROW_VALID, returning metric states and
+        the loss accumulator. Used by fused evaluate() and by the in-dispatch
+        validation pass of the fused fit."""
+        body = self._eval_body(loss_fns, task_metrics, mesh=None)
+        n_batches = (n_rows + batch_size - 1) // batch_size
+
+        def unpack(sl):
+            leaves = []
+            for kind, off, w, tail in spec:
+                part = jax.lax.slice_in_dim(sl, off, off + w, axis=1)
+                if kind == "f32":
+                    part = jax.lax.bitcast_convert_type(part, jnp.float32)
+                elif kind == "bool":
+                    part = part != 0
+                leaves.append(part.reshape((sl.shape[0],) + tail))
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        def eval_scan(params, rest, packed):
+            metric_states = self._init_metric_states(task_metrics)
+            loss_acc = {"total": jnp.zeros(()), "count": jnp.zeros(())}
+
+            def scan_body(carry, i):
+                m, acc = carry
+                sl = jax.lax.dynamic_slice_in_dim(packed, i * batch_size, batch_size)
+                x, y = unpack(sl)
+                x[ROW_VALID_KEY] = (i * batch_size + jnp.arange(batch_size)) < n_rows
+                m, acc = body(params, rest, m, acc, x, y)
+                return (m, acc), None
+
+            (metric_states, loss_acc), _ = jax.lax.scan(
+                scan_body, (metric_states, loss_acc), jnp.arange(n_batches)
+            )
+            return metric_states, loss_acc
+
+        return eval_scan
 
     def _make_predict_step(self):
         graphdef = self._graphdef
@@ -901,10 +1045,12 @@ class BaseModel(Block):
                 )
             return chunk_fns[key]
 
-        perms_dev = None
+        perms_box: list = []
         if device_data is not None:
             # all epochs' permutations in ONE upload (a per-epoch 1MB transfer
-            # costs ~50ms through the tunnel); seeds mirror loader.epoch_seed()
+            # costs ~50ms through the tunnel; uploaded lazily — the fused
+            # no-shuffle path reads batches in place and never needs them);
+            # seeds mirror loader.epoch_seed()
             n_rows_dd = device_data[1]
             base_epoch = loader._epoch
             perms = []
@@ -914,7 +1060,12 @@ class BaseModel(Block):
                 perms.append(
                     rng_e.permutation(n_rows_dd) if loader.shuffle else np.arange(n_rows_dd)
                 )
-            perms_dev = jnp.asarray(np.stack(perms), jnp.int32)
+            perms_host = np.stack(perms).astype(np.int32)
+
+            def get_perms_dev():
+                if not perms_box:
+                    perms_box.append(jnp.asarray(perms_host))
+                return perms_box[0]
         opt_state = self._tx.init(params)
         if mesh is not None:
             from ..parallel.mesh import shard_state
@@ -929,6 +1080,79 @@ class BaseModel(Block):
             if call:
                 call(self)
         global_step = 0
+        # full-fit fusion: with device-resident data and no per-epoch host
+        # obligations (callbacks, validation), run every epoch in ONE dispatch
+        if (
+            device_data is not None
+            and not callbacks
+            and (self.train_metrics_steps == 1 or not any(task_metrics.values()))
+        ):
+            packed_dev, n_rows = device_data
+            n_batches = n_rows // loader.batch_size
+            if steps_per_epoch is not None:
+                n_batches = min(n_batches, steps_per_epoch)
+            # validation joins the dispatch when it can go device-resident
+            val_scan = None
+            val_packed_dev = None
+            val_ok = validation_data is None
+            if validation_data is not None:
+                val_loader = self._as_loader(
+                    validation_data, batch_size or loader.batch_size,
+                    shuffle=False, drop_last=False,
+                )
+                vpack = self._pack_for_eval(val_loader)
+                if vpack is not None:
+                    val_packed_dev, vn, vspec, vtreedef = vpack
+                    val_scan = self._device_eval_scan(
+                        loss_fns, task_metrics, val_loader.batch_size,
+                        vn, vspec, vtreedef,
+                    )
+                    val_ok = True
+            if n_batches > 0 and val_ok:
+                loader._epoch += epochs
+                fused_cache = getattr(self, "_fused_fit_cache", None)
+                if fused_cache is None:
+                    fused_cache = self._fused_fit_cache = {}
+                fkey = (
+                    n_batches, loader.batch_size, loader.shuffle, epochs,
+                    None if val_scan is None
+                    else (val_loader.batch_size, vn, vspec),
+                )
+                if fkey not in fused_cache:
+                    fused_cache[fkey] = self._make_device_epochs_step(
+                        loss_fns, task_metrics, n_batches, loader.batch_size,
+                        pack_spec, pack_treedef, epochs_static=epochs,
+                        val_scan=val_scan,
+                    )
+                fused_fn, names_out = fused_cache[fkey]
+                perms_arg = get_perms_dev() if loader.shuffle else None
+                # finish the async uploads before the timer so the measured
+                # wall is epoch compute, not tunnel transfer
+                jax.block_until_ready(packed_dev)
+                if perms_arg is not None:
+                    jax.block_until_ready(perms_arg)
+                t0 = time.perf_counter()
+                params, rest, opt_state, stacked = fused_fn(
+                    params, rest, opt_state, packed_dev, perms_arg,
+                    jnp.asarray(0), val_packed=val_packed_dev,
+                )
+                host = np.asarray(stacked)  # ONE transfer: (n_names, epochs)
+                dt = time.perf_counter() - t0
+                eps = epochs * n_batches * loader.batch_size / max(dt, 1e-9)
+                nnx.update(self, params, rest)
+                for epoch in range(epochs):
+                    epoch_logs = {
+                        n: float(host[j, epoch]) for j, n in enumerate(names_out)
+                    }
+                    epoch_logs["examples_per_sec"] = eps
+                    history.append(epoch_logs)
+                    if verbose:
+                        msg = " - ".join(
+                            f"{k}: {v:.4f}" for k, v in epoch_logs.items()
+                        )
+                        print(f"Epoch {epoch + 1}/{epochs} - {msg}")
+                self.history = history
+                return history
         for epoch in range(epochs):
             metric_states = self._init_metric_states(task_metrics)
             t0 = time.perf_counter()
@@ -944,7 +1168,7 @@ class BaseModel(Block):
                 n_batches = n_rows // loader.batch_size
                 if steps_per_epoch is not None:
                     n_batches = min(n_batches, steps_per_epoch)
-                perm_dev = perms_dev[epoch]
+                perm_dev = get_perms_dev()[epoch]
                 local = 0
                 while local < n_batches:
                     k = min(spe, n_batches - local)
@@ -1157,6 +1381,76 @@ class BaseModel(Block):
             cache[key] = "eager"
             return eager(x, y)
 
+    def _pack_for_eval(self, loader):
+        """Pack an eval loader's dataset into a device-resident matrix padded
+        to whole batches (zero rows, masked by ROW_VALID in the scan).
+        Returns ``(packed_dev, n_rows, spec, treedef)`` or None; cached on the
+        dataset so per-epoch validation uploads once."""
+        if (
+            loader.global_size != 1
+            or loader.transform is not None
+            or getattr(loader, "pad", "max") != "max"
+        ):
+            return None
+        bs = loader.batch_size
+        ds = loader.dataset
+        cache = getattr(ds, "_device_eval_pack", None)
+        if cache is not None and cache[0] == bs:
+            _, n_rows, spec, treedef, packed_dev = cache
+            return packed_dev, n_rows, spec, treedef
+        try:
+            feats_h, targs_h, n_rows = loader.dense_columns()
+        except ValueError:
+            return None
+        if n_rows == 0:
+            return None
+        nbytes = sum(
+            a.nbytes
+            for a in jax.tree_util.tree_leaves((feats_h, targs_h))
+            if hasattr(a, "nbytes")
+        )
+        if nbytes > (1 << 30):
+            return None
+        packed_h, spec, treedef = self._pack_device_columns(feats_h, targs_h, n_rows)
+        n_batches = (n_rows + bs - 1) // bs
+        pad = n_batches * bs - n_rows
+        if pad:
+            packed_h = np.pad(packed_h, ((0, pad), (0, 0)))
+        packed_dev = jnp.asarray(packed_h)
+        try:
+            ds._device_eval_pack = (bs, n_rows, spec, treedef, packed_dev)
+        except AttributeError:
+            pass
+        return packed_dev, n_rows, spec, treedef
+
+    def _try_device_eval(self, loader, loss_fns, task_metrics):
+        """Device-resident fused evaluate: pack the eval dataset into one HBM
+        matrix (padded to whole batches, zero rows masked by ROW_VALID — the
+        same zero-padding the streaming loader applies to its final partial
+        batch, so the two paths agree exactly) and scan every batch in ONE
+        dispatch. Returns a callable ``(params, rest) -> (metric_states,
+        loss_acc)`` or None when the dataset can't go device-resident. The
+        packed matrix is cached on the dataset so per-epoch validation inside
+        fit() uploads once, not once per epoch."""
+        pack = self._pack_for_eval(loader)
+        if pack is None:
+            return None
+        packed_dev, n_rows, spec, treedef = pack
+        bs = loader.batch_size
+        key = ("eval_scan", bs, n_rows, spec)
+        fn = (
+            self._step_cache.get(key)
+            if self._graphdef_cache == self._graphdef
+            else None
+        )
+        if fn is None:
+            fn = jax.jit(
+                self._device_eval_scan(loss_fns, task_metrics, bs, n_rows, spec, treedef)
+            )
+            self._step_cache[key] = fn
+            self._graphdef_cache = self._graphdef
+        return lambda params, rest: fn(params, rest, packed_dev)
+
     def evaluate(
         self,
         data: Union[Dataset, Loader],
@@ -1183,18 +1477,37 @@ class BaseModel(Block):
 
         metric_states = self._init_metric_states(task_metrics)
         loss_acc = {"total": jnp.zeros(()), "count": jnp.zeros(())}
-        batch_iter = iter(loader) if pre_block is not None else _device_prefetch(iter(loader))
-        for x, y in batch_iter:
-            if pre_block is not None:
-                saved, self._pre_transform = getattr(self, "_pre_transform", None), pre_block
-                x, y = self._apply_pre(x, y, training=False, step=0)
-                self._pre_transform = saved
-            if mesh is not None:
-                from ..parallel.mesh import shard_batch
+        fused_eval = None
+        if (
+            pre_block is None
+            and mesh is None
+            and self._jit
+            and loader.global_size == 1
+            and loader.transform is None
+            and getattr(loader, "pad", "max") == "max"
+        ):
+            fused_eval = self._try_device_eval(loader, loss_fns, task_metrics)
+        if fused_eval is not None:
+            metric_states, loss_acc = fused_eval(params, rest)
+        else:
+            batch_iter = (
+                iter(loader) if pre_block is not None else _device_prefetch(iter(loader))
+            )
+            for x, y in batch_iter:
+                if pre_block is not None:
+                    saved, self._pre_transform = (
+                        getattr(self, "_pre_transform", None), pre_block,
+                    )
+                    x, y = self._apply_pre(x, y, training=False, step=0)
+                    self._pre_transform = saved
+                if mesh is not None:
+                    from ..parallel.mesh import shard_batch
 
-                x = shard_batch(to_device_batch(x), mesh)
-                y = shard_batch(y, mesh)
-            metric_states, loss_acc = eval_step(params, rest, metric_states, loss_acc, x, y)
+                    x = shard_batch(to_device_batch(x), mesh)
+                    y = shard_batch(y, mesh)
+                metric_states, loss_acc = eval_step(
+                    params, rest, metric_states, loss_acc, x, y
+                )
         vals = self._collect_epoch_logs(
             {"loss_total": [loss_acc["total"]], "loss_count": [loss_acc["count"]]},
             metric_states, task_metrics,

@@ -229,6 +229,80 @@ def test_device_resident_path_matches_host_path_shuffled():
     np.testing.assert_allclose(run(1), run(3), rtol=1e-4)
 
 
+def test_fused_epochs_path_matches_single_step():
+    """Full-fit fusion (all epochs in ONE dispatch when data is
+    device-resident and there are no callbacks/validation) must reproduce the
+    per-step trajectory — losses AND per-epoch metric results."""
+    from models_tpu.data import generate_data
+    from models_tpu.models import TwoTowerModel
+
+    ds = generate_data("movielens-100k", num_rows=160)
+
+    def run(spe):
+        m = TwoTowerModel(ds.schema, query_tower=(16, 8), embedding_dim=8)
+        m.compile(optimizer="adam", learning_rate=0.05, steps_per_execution=spe)
+        h = m.fit(ds, epochs=2, batch_size=16, shuffle=True, verbose=0)
+        return h.history
+
+    ref, fused = run(1), run(3)
+    assert set(ref) == set(fused)
+    for key in ref:
+        if key == "examples_per_sec":
+            continue
+        np.testing.assert_allclose(ref[key], fused[key], rtol=1e-4, err_msg=key)
+
+
+def test_fused_fit_with_validation_matches_per_epoch_eval():
+    """When validation data also fits on device, the fused fit runs the eval
+    scan inside the SAME dispatch; per-epoch val metrics must match the
+    epoch-loop path (which calls evaluate() between epochs)."""
+    from models_tpu.data import generate_data
+    from models_tpu.models import TwoTowerModel
+
+    ds = generate_data("movielens-100k", num_rows=160)
+    val = generate_data("movielens-100k", num_rows=80, seed=7)
+
+    def run(fused):
+        m = TwoTowerModel(ds.schema, query_tower=(16, 8), embedding_dim=8)
+        m.compile(optimizer="adam", learning_rate=0.05, steps_per_execution=5)
+
+        class Dummy:  # any callback forces the per-epoch path
+            pass
+
+        h = m.fit(ds, epochs=2, batch_size=16, shuffle=True, verbose=0,
+                  validation_data=val, callbacks=None if fused else [Dummy()])
+        return h.history
+
+    fused, looped = run(True), run(False)
+    assert any(k.startswith("val_") for k in fused)
+    assert set(fused) == set(looped)
+    for key in fused:
+        if key == "examples_per_sec":
+            continue
+        np.testing.assert_allclose(fused[key], looped[key], rtol=2e-4, err_msg=key)
+
+
+def test_fused_evaluate_matches_streaming(monkeypatch):
+    """Device-resident fused evaluate (one dispatch over the whole eval set,
+    zero-padded final partial batch masked by ROW_VALID) must agree exactly
+    with the streaming per-batch path."""
+    from models_tpu.data import generate_data
+    from models_tpu.models import TwoTowerModel
+    from models_tpu.models.base import BaseModel
+
+    ds = generate_data("movielens-100k", num_rows=150)  # 150 = 4*32 + 22
+    m = TwoTowerModel(ds.schema, query_tower=(16, 8), embedding_dim=8)
+    m.compile(optimizer="adam", learning_rate=0.05)
+    m.fit(ds, epochs=1, batch_size=32, shuffle=False, verbose=0)
+
+    fused = m.evaluate(ds, batch_size=32)
+    monkeypatch.setattr(BaseModel, "_try_device_eval", lambda *a, **k: None)
+    streaming = m.evaluate(ds, batch_size=32)
+    assert set(fused) == set(streaming)
+    for key in fused:
+        np.testing.assert_allclose(fused[key], streaming[key], rtol=1e-4, err_msg=key)
+
+
 def test_brute_force_sharded_topk_matches_single_device():
     """BruteForce over a model-sharded candidate matrix must agree exactly with
     single-device top-k, including id tie-handling (contiguous row shards keep

@@ -1357,9 +1357,15 @@ class BaseModel(Block):
         cache = getattr(self, "_pre_jit_cache", None)
         if cache is None:
             cache = self._pre_jit_cache = {}
+        # Key by id(pre) but PIN pre inside the entry: ids are only unique
+        # among live objects, and a GC'd transform's address can be reused by
+        # the next one (observed: evaluate(pre=A) then evaluate(pre=B) hitting
+        # A's compiled step when B landed at A's address).
         key = (id(pre), training)
         entry = cache.get(key)
-        if entry == "eager":
+        if entry is not None and entry[-1] is not pre:
+            entry = None  # stale: address reuse after GC
+        if entry is not None and entry[0] == "eager":
             return eager(x, y)
         if entry is None:
             graphdef, state = nnx.split(pre)
@@ -1373,12 +1379,12 @@ class BaseModel(Block):
                 t = context.get("targets")
                 return out, (t if t is not None else y)
 
-            entry = cache[key] = (jax.jit(fn), state)
-        jfn, state = entry
+            entry = cache[key] = (jax.jit(fn), state, pre)
+        jfn, state, _ = entry
         try:
             return jfn(state, x, y, jnp.asarray(step))
         except Exception:
-            cache[key] = "eager"
+            cache[key] = ("eager", pre)
             return eager(x, y)
 
     def _pack_for_eval(self, loader):

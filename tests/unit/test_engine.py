@@ -150,6 +150,36 @@ def test_evaluate_pre_hook_applies():
     assert r_last["loss"] != r_next["loss"]
 
 
+def test_apply_pre_cache_survives_id_reuse(ecommerce):
+    """_apply_pre's jit cache is keyed by id(pre); after a transform is GC'd
+    its address can be reused by the NEXT transform, which must not hit the
+    stale compiled entry (observed: evaluate(pre=A) then evaluate(pre=B)
+    silently re-running A). Forge a stale entry pinned to a different object
+    and assert it is bypassed."""
+    from models_tpu.transforms.noise import StochasticSwapNoise
+
+    m = _simple_model(ecommerce.schema)
+    m.compile()
+    m.fit(ecommerce, epochs=1, batch_size=64, verbose=0)
+
+    from models_tpu.data.loader import Loader
+
+    x, y = next(iter(Loader(ecommerce, batch_size=64)))
+    pre = StochasticSwapNoise(pad_ratio=0.0)
+    from models_tpu.core.block import as_block
+
+    m._pre_transform = as_block(pre)
+    sentinel = ("stale", "stale")
+    m._pre_jit_cache = {
+        (id(m._pre_transform), False): (lambda *a: sentinel, None, object())
+    }
+    out = m._apply_pre(x, y, training=False, step=0)
+    assert out is not sentinel and out[0] is not None
+    # and the fresh entry pins the live transform so its id can't be recycled
+    entry = m._pre_jit_cache[(id(m._pre_transform), False)]
+    assert entry[-1] is m._pre_transform
+
+
 def test_model_summary(ecommerce):
     m = _simple_model(ecommerce.schema)
     m.compile()

@@ -54,72 +54,168 @@ def _next_salt() -> float:
 # factor so rounds are comparable.
 # ---------------------------------------------------------------------------
 
-_CAL_STATE = {"min": None, "arr": None, "deadline": None}
+_CAL_STATE = {"min": None, "deadline": None}
+
+
+_CAL_N1, _CAL_N2 = 8, 64  # marginal = 56 x 128MB = 7 GB of HBM read traffic
+_CAL_WIN = 32 * 1024 * 1024  # 128MB reduce window per scan iteration
+
+
+@partial(jax.jit, static_argnames=("length",))
+def _cal_kernel(a, salt, length):
+    # module-level jit: a closure re-defined per call would recompile on
+    # every calibration. Each iteration reduces a 128MB window at a
+    # CARRY-DEPENDENT offset — the offset dependence is what makes this a
+    # real bandwidth probe: with a fixed window, XLA rewrites
+    # sum(a*(1+c*eps)) to reuse sum(a) across scan iterations and the
+    # "probe" collapses to a scalar chain (measured 3TB/s "bandwidth").
+    def body(c, i):
+        off = (i % 2) * _CAL_WIN + (c.astype(jnp.int32) % 2)
+        sl = jax.lax.dynamic_slice(a, (off,), (_CAL_WIN,))
+        return c + jnp.sum(sl) * 1e-20 + 1.0, ()
+
+    c, _ = jax.lax.scan(body, salt, jnp.arange(length))
+    return c
 
 
 def _calibrate() -> float:
-    """Seconds for a fixed HBM-BANDWIDTH-bound kernel (streaming reduce over a
-    256MB array), best of 3. The hot training steps are HBM-bound, so the
-    probe must be too — a small VMEM-resident matmul stays fast while a
-    co-tenant saturates HBM and misses exactly the contention that matters."""
-    if _CAL_STATE["arr"] is None:
-        _CAL_STATE["arr"] = jnp.ones((64 * 1024 * 1024,), jnp.float32)
-    a = _CAL_STATE["arr"]
+    """MARGINAL seconds for a fixed 7GB of HBM streaming traffic (length-8 vs
+    length-64 scans over a 256MB array, timed back-to-back; best positive pair
+    of 3). The hot training steps are HBM-bound, so the probe must be too.
+    The marginal construction matters: a single absolute timing is ~30ms of
+    tunnel RTT + ~2.5ms of kernel, so a 2x DEVICE slowdown moves it by <10%
+    and contended windows read as clean (observed: bf16 section at 2x with
+    factor 1.03). Differencing two adjacent timings cancels the RTT and
+    measures only device time."""
+    # 256MB backing array, allocated per-call and freed on return: sections
+    # like the 8Mx128 sparse optimizer run within ~1GB of the HBM limit, and
+    # a persistent probe array OOMs them.
+    a = jnp.ones((2 * _CAL_WIN,), jnp.float32)
 
-    @jax.jit
-    def go(a, salt):
-        def body(c, _):
-            return c + jnp.sum(a * (1.0 + c * 1e-20)), ()
+    def go(a, salt, length):
+        return _cal_kernel(a, salt, length)
 
-        c, _ = jax.lax.scan(body, salt, None, length=8)
-        return c
-
-    float(go(a, jnp.float32(_next_salt())))  # compile+warm
-    best = float("inf")
+    for n in (_CAL_N1, _CAL_N2):
+        float(go(a, jnp.float32(_next_salt()), n))  # compile+warm
+    marginals = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(go(a, jnp.float32(_next_salt())))
-        best = min(best, time.perf_counter() - t0)
-    if _CAL_STATE["min"] is None or best < _CAL_STATE["min"]:
-        _CAL_STATE["min"] = best
-    return best
+        float(go(a, jnp.float32(_next_salt()), _CAL_N1))
+        t1 = time.perf_counter()
+        float(go(a, jnp.float32(_next_salt()), _CAL_N2))
+        t2 = time.perf_counter()
+        marginal = (t2 - t1) - (t1 - t0)
+        if marginal > 0:
+            marginals.append(marginal)
+    if not marginals:
+        return _CAL_STATE["min"] or 1.0  # all pairs poisoned; don't rebaseline
+    # MEDIAN of pairs: min-of-pairs has a fat low tail (jitter in the short
+    # timing subtracts from the marginal) and once produced an impossible
+    # 5.6TB/s "bandwidth" that skewed every section's contention factor
+    marginals.sort()
+    med = marginals[len(marginals) // 2]
+    # a physically impossible marginal (> ~1.3x the clean-window ceiling) is
+    # residual jitter, not a faster machine: the session baseline is the MIN
+    # over ~15 calibrate calls, so even one low-tail median would inflate
+    # every later section's contention factor by its bias (observed: a
+    # 1447 GB/s "baseline" reading every clean section as 1.4-1.5x contended)
+    med = max(med, _CAL_FLOOR_S)
+    if _CAL_STATE["min"] is None or med < _CAL_STATE["min"]:
+        _CAL_STATE["min"] = med
+    return med
 
 
-def _section(fn, retries: int = 1, threshold: float = 1.5):
-    """Run a bench section bracketed by calibrations. If the window was
-    contended (calibration > threshold x the session's best calibration),
-    retry up to ``retries`` times and keep the attempt from the cleanest
-    window — unless the whole-bench retry deadline has passed (the driver
-    bounds bench wall-clock; retries are best-effort, the annotation is the
-    guarantee). Returns (result, contention_factor_of_kept_attempt)."""
+def _cal_hbm_gbps(seconds: float) -> float:
+    """Achieved HBM read bandwidth of the calibration marginal, GB/s."""
+    gb = (_CAL_N2 - _CAL_N1) * (_CAL_WIN * 4) / 2**30
+    return gb / max(seconds, 1e-9)
+
+
+# Clean windows on this chip measure ~900-950 GB/s on the streaming probe
+# (nominal v5e HBM ~819; the fused slice+reduce apparently reads slightly
+# hot). Below this floor the window is contended regardless of how it
+# compares to the session's best (an ALL-contended session rebaselines
+# "best" downward and would otherwise read clean).
+_CLEAN_HBM_GBPS = 550.0  # clean windows measure ~900-950 on this chip
+
+# fastest CREDIBLE calibration marginal: clean windows top out ~950 GB/s on
+# this probe; anything implying >1250 GB/s is timing jitter (v5e HBM ~819
+# nominal), clamped before it can become the session baseline
+_CAL_FLOOR_S = ((_CAL_N2 - _CAL_N1) * (_CAL_WIN * 4) / 2**30) / 1250.0
+
+
+def _section(fn, retries: int = 1, threshold: float = 1.5,
+             fom=None, clean_fom: float = None):
+    """Run a bench section bracketed by calibrations, retrying contended
+    windows (up to ``retries`` extra attempts, stopping at the whole-bench
+    deadline — the driver bounds bench wall-clock; retries are best-effort,
+    the annotation is the guarantee).
+
+    TWO contention signals, because the tunnel is timeslice-shared and the
+    two fail differently:
+    - probe: the HBM-marginal calibration around the section. Catches
+      bandwidth co-tenants, but a SHORT probe can land entirely inside our
+      timeslice and read clean while the section's long scans absorbed
+      co-tenant time (observed: 18.5ms/step "clean at 740 GB/s").
+    - result: ``fom(result)`` (seconds-like, smaller=better) against the
+      repo's recorded clean-window anchor ``clean_fom``. If the measurement
+      is >1.5x the anchor the window was bad no matter what the probe says.
+    Keeps the best attempt by fom (or by probe factor if no fom). Returns
+    (result, contention_factor_of_kept_attempt) where the factor folds in
+    max(probe, fom/clean_fom) so recorded numbers carry honest context."""
     best = None
+    best_key = float("inf")
     best_factor = float("inf")
+
+    def cal():
+        # a transient tunnel error in the probe must not kill the bench —
+        # treat the window as contended (factor folds in the floor) instead
+        try:
+            return _calibrate()
+        except Exception:
+            return (_CAL_STATE["min"] or 1.0) * 10.0
+
     for attempt in range(retries + 1):
-        c0 = _calibrate()
+        c0 = cal()
         result = fn()
-        c1 = _calibrate()
-        factor = max(c0, c1) / max(_CAL_STATE["min"], 1e-12)
-        if factor < best_factor:
-            best, best_factor = result, factor
-        if factor <= threshold:
+        c1 = cal()
+        worst = max(c0, c1)
+        factor = worst / max(_CAL_STATE["min"], 1e-12)
+        gbps = _cal_hbm_gbps(worst)
+        factor = max(factor, _CLEAN_HBM_GBPS / max(gbps, 1e-9))
+        result_ratio = 1.0
+        if fom is not None and clean_fom is not None:
+            result_ratio = fom(result) / clean_fom
+        factor = max(factor, result_ratio)
+        key = fom(result) if fom is not None else factor
+        if key < best_key:
+            best, best_key, best_factor = result, key, factor
+        clean = factor <= threshold and gbps >= _CLEAN_HBM_GBPS and result_ratio <= 1.5
+        if clean:
             break
         deadline = _CAL_STATE.get("deadline")
         if deadline is not None and time.monotonic() > deadline:
             break
+        if attempt < retries:
+            time.sleep(15)  # back off past the co-tenant's burst
     return best, round(best_factor, 2)
 
 
 def _marginal(run, n1, n2, repeats=5):
-    """Best-clean-pair marginal seconds/step between two step counts: the MIN
-    of positive paired marginals above 0.3x their median.
+    """MEDIAN of positive paired marginal seconds/step between two step counts.
 
     Every invocation gets a distinct input salt: the tunnel memoizes repeated
     identical executions (CLAUDE.md), which otherwise produces impossible
     (even negative) marginals. Pairing each (n1, n2) timing temporally
-    adjacent cancels contention drift; the 0.3x-median floor discards pairs a
-    memoization window still poisons (they cluster near zero) — best-of
-    INDEPENDENT mins (the previous scheme) could pair a poisoned fast n1 with
-    a clean n2 and report absurd throughput."""
+    adjacent cancels contention drift. The estimator is the MEDIAN, not the
+    min: a paired marginal has a fat LOW tail (any jitter that delays the n1
+    timing subtracts from the marginal), so min-of-pairs is biased fast —
+    and the _section retry loop, which keeps the best of up to 4 attempts,
+    turned that bias into recorded numbers ~1.5x better than the machine
+    (observed: 0.99ms/step on a path whose true clean time is ~1.6ms).
+    Median is robust to both the low-tail jitter and a single contended
+    pair; sustained contention inflates it honestly and is handled by
+    _section's retries + annotation."""
     for n in (n1, n2):
         run(n, _next_salt())  # compile + warm
     marginals = []
@@ -135,12 +231,7 @@ def _marginal(run, n1, n2, repeats=5):
     if not marginals:
         return float("nan")
     marginals.sort()
-    med = marginals[len(marginals) // 2]
-    # best CLEAN pair: min after discarding near-zero outliers (memoization
-    # poisoning clusters near 0; contention inflates the rest — the smallest
-    # plausible pair is the least-contended window)
-    clean = [m for m in marginals if m > 0.3 * med]
-    return min(clean) if clean else med
+    return marginals[len(marginals) // 2]
 
 
 
@@ -540,24 +631,39 @@ def main():
     # retries stop once the bench has been running ~8 min (driver wall bound)
     _CAL_STATE["deadline"] = time.monotonic() + 480
     contention = {}
-    (fp32_res, contention["two_tower_fp32"]) = _section(bench_two_tower_compute, retries=2)
+    # clean_fom anchors = CLAUDE.md clean-window step times (seconds); a
+    # result >1.5x its anchor triggers retry-with-backoff even when the
+    # short probe read clean (timeslice co-tenancy — see _section docstring)
+    (fp32_res, contention["two_tower_fp32"]) = _section(
+        bench_two_tower_compute, retries=3, fom=lambda r: r[1], clean_fom=1.8
+    )
     examples_per_sec, step_ms, param_bytes = fp32_res
     (bf16_res, contention["two_tower_bf16"]) = _section(
-        lambda: bench_two_tower_compute("mixed_bfloat16"), retries=2
+        lambda: bench_two_tower_compute("mixed_bfloat16"),
+        retries=3, fom=lambda r: r[1], clean_fom=1.8,
     )
     eps_bf16, step_ms_bf16, _ = bf16_res
     best_policy_early = "mixed_bfloat16" if eps_bf16 >= examples_per_sec else "float32"
-    (dlrm_res, contention["dlrm"]) = _section(bench_dlrm_compute)
+    (dlrm_res, contention["dlrm"]) = _section(
+        bench_dlrm_compute, fom=lambda r: r[1], clean_fom=2.4
+    )
     dlrm_eps, dlrm_ms = dlrm_res
-    (sess_res, contention["session"]) = _section(bench_session_transformer)
+    (sess_res, contention["session"]) = _section(
+        bench_session_transformer, fom=lambda r: r[1], clean_fom=3.2
+    )
     sess_eps, sess_ms = sess_res
     (pipe_res, contention["pipeline"]) = _section(
-        lambda: bench_two_tower_pipeline(policy=best_policy_early)
+        lambda: bench_two_tower_pipeline(policy=best_policy_early),
+        fom=lambda r: BATCH * PIPE_BATCHES / max(r[0], 1.0), clean_fom=0.40,
     )
     pipeline_eps, pipe_breakdown = pipe_res
-    (topk_res, contention["topk"]) = _section(bench_topk)
+    (topk_res, contention["topk"]) = _section(
+        bench_topk, fom=lambda r: r[1], clean_fom=3.0
+    )
     topk_qps, topk_ms, build_ms = topk_res
-    (sparse_res, contention["sparse_opt"]) = _section(bench_sparse_optimizer)
+    (sparse_res, contention["sparse_opt"]) = _section(
+        bench_sparse_optimizer, fom=lambda r: r[0], clean_fom=1.6
+    )
     sparse_4m, dense_4m, sparse_8m = sparse_res
 
     # headline = the faster of fp32 / mixed_bfloat16 — both are production
@@ -602,6 +708,11 @@ def main():
             # calibration-kernel slowdown (1.0 = clean) of the window each
             # section's KEPT attempt ran in; contended sections were retried
             "contention": contention,
+            # absolute machine state: best achieved HBM streaming bandwidth
+            # of the session's calibration probe (clean v5e window ~600-800)
+            "cal_hbm_gbps": round(_cal_hbm_gbps(_CAL_STATE["min"]), 1)
+            if _CAL_STATE["min"]
+            else None,
         },
     }
     print(json.dumps(result))

@@ -24,6 +24,7 @@ the training vocabularies and statistics, exactly like a fitted NVT workflow.
 
 from __future__ import annotations
 
+import hashlib
 from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -144,6 +145,11 @@ class TargetEncoding(Op):
         self.norm_mean = float(oof.mean())
         self.norm_std = float(oof.std() + 1e-9)
         self._fit_oof = oof
+        # content fingerprint of the fitted column: transform() must hand the
+        # OOF values to the *fitted rows themselves*, not to any split that
+        # merely has the same row count (a same-sized valid split would get
+        # the train's encodings verbatim — silent target leakage)
+        self._fit_digest = hashlib.sha1(np.ascontiguousarray(col).tobytes()).digest()
 
     def _oof(self, col, y, inv, keys, sums, counts):
         """K-fold out-of-fold encoding of the training rows themselves (the
@@ -163,8 +169,13 @@ class TargetEncoding(Op):
     def transform(self, data, schema):
         data = dict(data)
         col = np.asarray(data[self.column])
-        if getattr(self, "_fit_oof", None) is not None and len(col) == len(self._fit_oof):
-            vals = self._fit_oof  # the split this op was fitted on
+        if (
+            getattr(self, "_fit_oof", None) is not None
+            and len(col) == len(self._fit_oof)
+            and hashlib.sha1(np.ascontiguousarray(col).tobytes()).digest()
+            == self._fit_digest
+        ):
+            vals = self._fit_oof  # the exact split this op was fitted on
             self._fit_oof = None
         else:
             vals = np.asarray(

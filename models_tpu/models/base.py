@@ -19,6 +19,8 @@ predict:311-1618, Model:1621). TPU-native redesign:
 from __future__ import annotations
 
 import time
+import weakref
+from collections import deque
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -37,6 +39,11 @@ from ..metrics.base import MeanMetric, Metric
 from ..metrics.topk import TopKMetric, TopKMetricsAggregator
 from ..outputs.base import ModelOutput
 from ..schema import Schema
+
+
+# datasets holding device-resident eval packs (weakrefs), oldest first —
+# bounds pinned HBM; see BaseModel._pack_for_eval
+_EVAL_PACK_LRU: deque = deque()
 
 
 def _resolve_optimizer(optimizer, learning_rate: Optional[float]) -> optax.GradientTransformation:
@@ -257,8 +264,13 @@ class BaseModel(Block):
         self._steps_per_execution = max(int(steps_per_execution), 1)
         self._jit = jit
         self._compiled = True
+        # every compiled-artifact cache must die with compile(): each closes
+        # over the optimizer/loss/metric state resolved at build time, and a
+        # stale hit silently trains with the OLD compile settings
         self._step_cache: Dict[str, Any] = {}
-        self._graphdef_cache = None
+        self._fused_fit_cache: Dict[Any, Any] = {}
+        self._epoch_log_cache: Dict[Any, Any] = {}
+        self._pre_jit_cache: Dict[Any, Any] = {}
         self._mesh = getattr(self, "_mesh", None)
         return self
 
@@ -546,16 +558,11 @@ class BaseModel(Block):
         packed = np.concatenate(cols, axis=1) if cols else np.zeros((n_rows, 0), np.int32)
         return packed, tuple(spec), treedef
 
-    def _make_device_chunk_step(self, loss_fns, task_metrics, with_metrics,
-                                k: int, batch_size: int, spec, treedef):
-        """k training steps in one executable over DEVICE-RESIDENT data: the
-        full dataset's columns live in HBM as one packed matrix (uploaded once
-        by fit) and each step bitcast-unpacks a contiguous slice — zero
-        host→device traffic per step and ONE slice op per batch. This is the
-        TPU answer to the reference dataloader's GPU-resident chunk strategy
-        (merlin-dataloader), and the difference between tunnel-bandwidth-bound
-        and compute-bound training."""
-        body = self._train_body(loss_fns, task_metrics, with_metrics, mesh=None)
+    @staticmethod
+    def _make_unpack(spec, treedef):
+        """Inverse of ``_pack_device_columns`` for one (B, F) slice — the ONE
+        decoder for the packed layout (used by the chunk, fused-epochs, and
+        device-eval scans; a format change must not be able to drift)."""
 
         def unpack(sl):
             leaves = []
@@ -568,6 +575,20 @@ class BaseModel(Block):
                 leaves.append(part.reshape((sl.shape[0],) + tail))
             return jax.tree_util.tree_unflatten(treedef, leaves)
 
+        return unpack
+
+    def _make_device_chunk_step(self, loss_fns, task_metrics, with_metrics,
+                                k: int, batch_size: int, spec, treedef):
+        """k training steps in one executable over DEVICE-RESIDENT data: the
+        full dataset's columns live in HBM as one packed matrix (uploaded once
+        by fit) and each step bitcast-unpacks a contiguous slice — zero
+        host→device traffic per step and ONE slice op per batch. This is the
+        TPU answer to the reference dataloader's GPU-resident chunk strategy
+        (merlin-dataloader), and the difference between tunnel-bandwidth-bound
+        and compute-bound training."""
+        body = self._train_body(loss_fns, task_metrics, with_metrics, mesh=None)
+        unpack = self._make_unpack(spec, treedef)
+
         def chunk_fn(params, rest, opt_state, metric_states, packed, perm, step0, local0):
             # permute the chunk's rows ONCE (one HBM-bound gather of the
             # packed matrix), then every step slices contiguously
@@ -579,8 +600,10 @@ class BaseModel(Block):
             def scan_body(carry, i):
                 p, r, o, m = carry
                 sl = jax.lax.dynamic_slice_in_dim(packed_p, i * batch_size, batch_size)
+                # no ROW_VALID: fit() packs with drop_last=True, so every row is
+                # valid — omitting the key keeps losses/metrics on the unweighted
+                # fast path instead of weighted-mean with an all-ones mask
                 x, y = unpack(sl)
-                x[ROW_VALID_KEY] = jnp.ones((batch_size,), bool)
                 p, r, o, m, logs = body(p, r, o, m, x, y, step0 + i)
                 return (p, r, o, m), logs
 
@@ -612,17 +635,7 @@ class BaseModel(Block):
         # matrix) that nothing consumes, defeating the fused flash-CE path
         with_metrics = any(task_metrics.values())
         body = self._train_body(loss_fns, task_metrics, with_metrics, mesh=None)
-
-        def unpack(sl):
-            leaves = []
-            for kind, off, w, tail in spec:
-                part = jax.lax.slice_in_dim(sl, off, off + w, axis=1)
-                if kind == "f32":
-                    part = jax.lax.bitcast_convert_type(part, jnp.float32)
-                elif kind == "bool":
-                    part = part != 0
-                leaves.append(part.reshape((sl.shape[0],) + tail))
-            return jax.tree_util.tree_unflatten(treedef, leaves)
+        unpack = self._make_unpack(spec, treedef)
 
         names_out: list = []  # populated at trace time (sorted epoch-log keys)
 
@@ -644,8 +657,8 @@ class BaseModel(Block):
                     sl = jax.lax.dynamic_slice_in_dim(
                         packed_p, i * batch_size, batch_size
                     )
+                    # all rows valid (drop_last=True pack) — see chunk_fn note
                     x, y = unpack(sl)
-                    x[ROW_VALID_KEY] = jnp.ones((batch_size,), bool)
                     p, r, o, m, logs = body(p, r, o, m, x, y, s0 + i)
                     return (p, r, o, m), logs
 
@@ -827,16 +840,18 @@ class BaseModel(Block):
 
     def _make_eval_step(self, loss_fns, task_metrics, mesh=None):
         # reuse the jitted step across epochs/calls (same graph structure):
-        # re-jitting every evaluate() would retrace per validation epoch
+        # re-jitting every evaluate() would retrace per validation epoch.
+        # The graphdef that validated the entry is stored PER ENTRY — a single
+        # shared sentinel let one cache site refresh it and thereby "validate"
+        # another site's stale closure over the old graphdef.
         cache_key = ("eval", mesh)
         cached = self._step_cache.get(cache_key)
-        if cached is not None and self._graphdef_cache == self._graphdef:
-            return cached
+        if cached is not None and cached[1] == self._graphdef:
+            return cached[0]
         step_fn = self._eval_body(loss_fns, task_metrics, mesh)
         if self._jit:
             step_fn = jax.jit(step_fn, donate_argnums=(2, 3))
-        self._step_cache[cache_key] = step_fn
-        self._graphdef_cache = self._graphdef
+        self._step_cache[cache_key] = (step_fn, self._graphdef)
         return step_fn
 
     def _device_eval_scan(self, loss_fns, task_metrics, batch_size: int,
@@ -848,17 +863,7 @@ class BaseModel(Block):
         validation pass of the fused fit."""
         body = self._eval_body(loss_fns, task_metrics, mesh=None)
         n_batches = (n_rows + batch_size - 1) // batch_size
-
-        def unpack(sl):
-            leaves = []
-            for kind, off, w, tail in spec:
-                part = jax.lax.slice_in_dim(sl, off, off + w, axis=1)
-                if kind == "f32":
-                    part = jax.lax.bitcast_convert_type(part, jnp.float32)
-                elif kind == "bool":
-                    part = part != 0
-                leaves.append(part.reshape((sl.shape[0],) + tail))
-            return jax.tree_util.tree_unflatten(treedef, leaves)
+        unpack = self._make_unpack(spec, treedef)
 
         def eval_scan(params, rest, packed):
             metric_states = self._init_metric_states(task_metrics)
@@ -1115,8 +1120,12 @@ class BaseModel(Block):
                     fused_cache = self._fused_fit_cache = {}
                 fkey = (
                     n_batches, loader.batch_size, loader.shuffle, epochs,
+                    # pack layout must key the executable: a different dataset
+                    # with equal n_batches/batch_size would otherwise reuse a
+                    # closure over the WRONG spec/treedef and misdecode columns
+                    tuple(pack_spec), pack_treedef,
                     None if val_scan is None
-                    else (val_loader.batch_size, vn, vspec),
+                    else (val_loader.batch_size, vn, tuple(vspec)),
                 )
                 if fkey not in fused_cache:
                     fused_cache[fkey] = self._make_device_epochs_step(
@@ -1396,6 +1405,9 @@ class BaseModel(Block):
             loader.global_size != 1
             or loader.transform is not None
             or getattr(loader, "pad", "max") != "max"
+            # a drop_last eval loader drops its tail rows in the streaming
+            # path; packing all rows here would silently change the metrics
+            or loader.drop_last
         ):
             return None
         bs = loader.batch_size
@@ -1425,6 +1437,14 @@ class BaseModel(Block):
         packed_dev = jnp.asarray(packed_h)
         try:
             ds._device_eval_pack = (bs, n_rows, spec, treedef, packed_dev)
+            # bound total pinned HBM: packs can be up to 1GB each and live as
+            # long as their Dataset — evict the oldest once more than two
+            # datasets hold device-resident eval packs
+            _EVAL_PACK_LRU.append(weakref.ref(ds))
+            while len(_EVAL_PACK_LRU) > 2:
+                old = _EVAL_PACK_LRU.popleft()()
+                if old is not None and old is not ds:
+                    old._device_eval_pack = None
         except AttributeError:
             pass
         return packed_dev, n_rows, spec, treedef
@@ -1444,17 +1464,13 @@ class BaseModel(Block):
         packed_dev, n_rows, spec, treedef = pack
         bs = loader.batch_size
         key = ("eval_scan", bs, n_rows, spec)
-        fn = (
-            self._step_cache.get(key)
-            if self._graphdef_cache == self._graphdef
-            else None
-        )
+        cached = self._step_cache.get(key)
+        fn = cached[0] if cached is not None and cached[1] == self._graphdef else None
         if fn is None:
             fn = jax.jit(
                 self._device_eval_scan(loss_fns, task_metrics, bs, n_rows, spec, treedef)
             )
-            self._step_cache[key] = fn
-            self._graphdef_cache = self._graphdef
+            self._step_cache[key] = (fn, self._graphdef)
         return lambda params, rest: fn(params, rest, packed_dev)
 
     def evaluate(

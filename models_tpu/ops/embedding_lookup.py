@@ -148,8 +148,14 @@ def a2a_lookup(
 
     def local(table_shard, ids_l):
         shard = jax.lax.axis_index(axis)
-        # 1. this device's slice of the local batch
+        # 1. this device's slice of the local batch. Out-of-range ids (padding
+        # sentinels, negatives) must contribute ZERO rows — the psum path's
+        # documented miss semantics; without the mask they'd bucket to a
+        # clamped owner and return (and backprop into!) an arbitrary row of
+        # the last shard.
         ids_s = jax.lax.dynamic_slice_in_dim(ids_l, shard * S, S)
+        valid = (ids_s >= 0) & (ids_s < R)
+        ids_s = jnp.where(valid, ids_s, 0)
         owner = (ids_s // rows_per).astype(jnp.int32)
         # 2. bucket by owner (sort + gather-packed, capacity S per bucket)
         order = jnp.argsort(owner)              # stable
@@ -175,6 +181,8 @@ def a2a_lookup(
         emb_sorted = recv_rows[sorted_owner, jnp.arange(S) - jnp.take(starts, sorted_owner)]
         inv = jnp.argsort(order)
         emb_slice = jnp.take(emb_sorted, inv, axis=0)           # (S, D)
+        # zero both the value and the cotangent of miss slots
+        emb_slice = emb_slice * valid[:, None].astype(emb_slice.dtype)
         # 5. assemble the n slices
         return jax.lax.all_gather(emb_slice, axis, axis=0, tiled=True)
 

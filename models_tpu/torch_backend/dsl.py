@@ -416,7 +416,10 @@ class DLRMBlock(nn.Module):
         self.bottom = (
             MLPBlock(list(bottom_block) + [dim], n_cont) if n_cont else None
         )
-        F = len(self.embeddings.branches) + (1 if self.bottom is not None else 0)
+        # count FEATURES, not tables: EmbeddingTables groups shared domains
+        # into one branch, but forward() emits one vector per feature, so two
+        # features sharing a domain still contribute two interaction rows
+        F = len(list(self.cat_schema)) + (1 if self.bottom is not None else 0)
         self.out_dim = F * (F - 1) // 2 + (dim if self.bottom is not None else 0)
 
     def forward(self, inputs: Dict[str, torch.Tensor], batch: Optional[Batch] = None):
@@ -492,8 +495,14 @@ def TabularOutputBlock(schema: Schema, in_dim: int) -> ParallelBlock:
     heads: Dict[str, nn.Module] = {}
     for col in schema.targets:
         tags = [str(t) for t in col.tags]
+        card = col.cardinality
         if str(Tags.REGRESSION) in tags or col.dtype.startswith("float"):
             heads[col.name] = RegressionOutput(col, in_dim)
+        elif str(Tags.CATEGORICAL) in tags and card and card > 2:
+            # multi-class target (reference routes Tags.CATEGORICAL to
+            # CategoricalOutput, torch/outputs/tabular.py) — a sigmoid head
+            # here would silently train BCE against class *indices*
+            heads[col.name] = CategoricalOutput(col, in_dim)
         else:
             heads[col.name] = BinaryOutput(col, in_dim)
     if not heads:

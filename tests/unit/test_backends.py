@@ -557,3 +557,65 @@ def test_torch_compat_constructs():
 
     compat.map(blk, tag)
     assert count[0] >= 3
+
+
+def test_torch_tabular_output_block_routes_multiclass_to_categorical():
+    """Regression: a categorical target with cardinality > 2 must get a
+    softmax/CE head, not a sigmoid head trained against class indices."""
+    dsl = _torch_dsl()
+    import torch
+
+    from models_tpu.schema import (
+        ColumnSchema, Schema, Tags, create_categorical_column,
+        create_continuous_column,
+    )
+
+    schema = Schema([
+        create_categorical_column("cls", 7, tags=(Tags.TARGET,)),
+        ColumnSchema("clicked", tags=(Tags.TARGET, Tags.BINARY_CLASSIFICATION),
+                     dtype="int32"),
+        create_continuous_column("score", tags=(Tags.TARGET, Tags.REGRESSION)),
+    ])
+    blk = dsl.TabularOutputBlock(schema, in_dim=12)
+    heads = blk.branches
+    assert isinstance(heads["cls"], dsl.CategoricalOutput)
+    assert isinstance(heads["clicked"], dsl.BinaryOutput)
+    assert isinstance(heads["score"], dsl.RegressionOutput)
+    x = torch.randn(4, 12)
+    out = heads["cls"](x)
+    assert out.shape[-1] == schema.get("cls").cardinality
+
+
+def test_torch_dlrm_out_dim_with_shared_domain():
+    """Regression: out_dim must count FEATURES (one interaction row each),
+    not embedding tables — two features sharing a domain share a table but
+    still contribute two rows to the pairwise interaction."""
+    dsl = _torch_dsl()
+    import torch
+
+    from models_tpu.schema import (
+        ColumnSchema, Schema, Tags, create_categorical_column,
+        create_continuous_column,
+    )
+
+    schema = Schema([
+        create_categorical_column("item_id", 50, tags=Tags.ITEM,
+                                  domain_name="item"),
+        create_categorical_column("viewed_item", 50, tags=Tags.ITEM,
+                                  domain_name="item"),
+        create_categorical_column("user_id", 30, tags=Tags.USER),
+        create_continuous_column("age"),
+        ColumnSchema("click", tags=(Tags.TARGET, Tags.BINARY_CLASSIFICATION),
+                     dtype="int32"),
+    ])
+    blk = dsl.DLRMBlock(schema, dim=8, bottom_block=(16,))
+    # shared domain -> 2 branches but 3 categorical features
+    assert len(blk.embeddings.branches) == 2
+    x = {
+        "item_id": torch.randint(0, 50, (5,)),
+        "viewed_item": torch.randint(0, 50, (5,)),
+        "user_id": torch.randint(0, 30, (5,)),
+        "age": torch.rand(5),
+    }
+    out = blk(x)
+    assert out.shape == (5, blk.out_dim)

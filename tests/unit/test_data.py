@@ -535,3 +535,34 @@ def test_new_dataset_accessors_synthesize():
     assert "session_id_hash" in t_b.to_table().column_names
     t_s, _ = get_sigir(table="sku", num_rows=32)
     assert t_s.schema.get("description_vector").is_list
+
+
+def test_target_encoding_same_size_split_uses_mapping_not_oof():
+    """Regression: a *different* split that happens to have the same row
+    count as the fitted data must get mapping-based encodings, not the
+    train set's out-of-fold values verbatim (silent target leakage)."""
+    from models_tpu.data.workflow import TargetEncoding
+    from models_tpu.schema import ColumnSchema, Schema, create_continuous_column
+
+    rng = np.random.default_rng(7)
+    n = 200
+    col = rng.integers(0, 5, size=n)
+    y = rng.random(n)
+    schema = Schema([
+        ColumnSchema("c", dtype="int64"), create_continuous_column("y"),
+    ])
+    op = TargetEncoding("c", target="y", kfold=4, p_smooth=5.0, out="TE",
+                        normalize=False)
+    op.fit({"c": col, "y": y}, schema)
+
+    # different content, SAME row count -> must use the fitted mapping
+    col2 = rng.integers(0, 5, size=n)
+    data2, _ = op.transform({"c": col2, "y": y}, schema)
+    expected = np.array([op.mapping[v] for v in col2.tolist()], np.float32)
+    np.testing.assert_allclose(data2["TE"], expected, rtol=1e-6)
+
+    # the fitted rows themselves still get the OOF encodings (which differ
+    # from the full-data mapping because each fold excludes its own rows)
+    data1, _ = op.transform({"c": col, "y": y}, schema)
+    full = np.array([op.mapping[v] for v in col.tolist()], np.float32)
+    assert not np.allclose(data1["TE"], full)

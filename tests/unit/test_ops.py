@@ -492,3 +492,42 @@ def test_binned_topk_bf16_sweep_matches_naive():
         np.testing.assert_allclose(
             -np.sort(-sel, axis=1), np.asarray(s_ref), rtol=1e-6
         )
+
+
+def test_a2a_lookup_out_of_range_ids_contribute_zero():
+    """Regression: padding sentinels / negatives must return zero rows AND
+    zero cotangents (the psum path's documented miss semantics) — unmasked
+    they bucket to a clamped owner and read/backprop an arbitrary row of the
+    last shard."""
+    from models_tpu.ops.embedding_lookup import a2a_lookup, sharded_lookup
+    from models_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    R, D, B = 32, 4, 16
+    table = jnp.asarray(rng.standard_normal((R, D)).astype(np.float32))
+    ids_np = rng.integers(0, R, B).astype(np.int32)
+    ids_np[1], ids_np[5], ids_np[9] = -1, R, R + 7  # miss slots
+    ids = jnp.asarray(ids_np)
+    mesh = make_mesh({"model": 4}, devices=jax.devices("cpu")[:4])
+
+    valid = (ids_np >= 0) & (ids_np < R)
+    ref = np.take(np.asarray(table), np.where(valid, ids_np, 0), axis=0)
+    ref[~valid] = 0.0
+
+    out = a2a_lookup(table, ids, mesh)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6)
+
+    # grads: miss slots contribute nothing anywhere in the table
+    w = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    g = jax.grad(lambda t: jnp.sum(a2a_lookup(t, ids, mesh) * w))(table)
+    g_ref = jax.grad(
+        lambda t: jnp.sum(
+            jnp.take(t, jnp.where(jnp.asarray(valid), ids, 0), axis=0)
+            * w * jnp.asarray(valid)[:, None]
+        )
+    )(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
+
+    # and the psum fallback agrees (B=15 not divisible by 4 → psum path)
+    out_psum = sharded_lookup(table, ids[:15], mesh)
+    np.testing.assert_allclose(np.asarray(out_psum), ref[:15], rtol=1e-6)

@@ -504,3 +504,29 @@ def test_sparse_sharded_step_never_moves_tables():
     )
     # (c) the a2a lookup actually engaged (id exchange + row exchange)
     assert n_a2a >= 2
+
+
+def test_eval_pack_respects_drop_last_and_compile_resets_caches():
+    """Regressions: (a) a drop_last eval loader must NOT take the packed
+    device path (streaming drops tail rows; packing all rows silently
+    changes metrics); (b) compile() must invalidate every compiled-artifact
+    cache — each closes over optimizer/loss state resolved at build time."""
+    from models_tpu.data import generate_data
+    from models_tpu.data.loader import Loader
+    from models_tpu.models import TwoTowerModel
+
+    ds = generate_data("movielens-100k", num_rows=100)
+    m = TwoTowerModel(ds.schema, query_tower=(16, 8), embedding_dim=8)
+    m.compile(optimizer="adam", learning_rate=0.05)
+    m.fit(ds, epochs=1, batch_size=32, shuffle=False, verbose=0)
+
+    assert m._pack_for_eval(Loader(ds, 32, drop_last=True)) is None
+    assert m._pack_for_eval(Loader(ds, 32)) is not None
+
+    m._fused_fit_cache["sentinel"] = 1
+    m._epoch_log_cache["sentinel"] = 1
+    m._pre_jit_cache["sentinel"] = 1
+    m._step_cache["sentinel"] = 1
+    m.compile(optimizer="adam", learning_rate=0.01)
+    assert not m._fused_fit_cache and not m._epoch_log_cache
+    assert not m._pre_jit_cache and not m._step_cache

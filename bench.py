@@ -160,12 +160,23 @@ def _section(fn, retries: int = 1, threshold: float = 1.5,
     - result: ``fom(result)`` (seconds-like, smaller=better) against the
       repo's recorded clean-window anchor ``clean_fom``. If the measurement
       is >1.5x the anchor the window was bad no matter what the probe says.
-    Keeps the best attempt by fom (or by probe factor if no fom). Returns
-    (result, contention_factor_of_kept_attempt) where the factor folds in
-    max(probe, fom/clean_fom) so recorded numbers carry honest context."""
+      SYMMETRICALLY, a measurement <0.35x the anchor is not a 3x-faster
+      machine, it's a poisoned marginal (a co-tenant burst that lands inside
+      the n1 timing subtracts from every pair; with sustained contention the
+      median itself goes fast-impossible — observed: 0.285 ms/step recorded
+      on a path whose clean time is ~1.6 ms). Incredible-fast attempts are
+      retried and never preferred over a credible one; if every attempt is
+      incredible the SLOWEST (closest to believable) is kept and the factor
+      is annotated 0.0 as a poisoned-window sentinel.
+    Keeps the best credible attempt by fom (or by probe factor if no fom).
+    Returns (result, contention_factor_of_kept_attempt) where the factor
+    folds in max(probe, fom/clean_fom) so recorded numbers carry honest
+    context. Genuine kernel speedups >~3x must update the section's anchor
+    (clean_fom) or they will be mistaken for poisoning."""
     best = None
     best_key = float("inf")
     best_factor = float("inf")
+    best_credible = False
 
     def cal():
         # a transient tunnel error in the probe must not kill the bench —
@@ -180,17 +191,32 @@ def _section(fn, retries: int = 1, threshold: float = 1.5,
         result = fn()
         c1 = cal()
         worst = max(c0, c1)
-        factor = worst / max(_CAL_STATE["min"], 1e-12)
+        factor = worst / max(_CAL_STATE["min"] or worst, 1e-12)
         gbps = _cal_hbm_gbps(worst)
         factor = max(factor, _CLEAN_HBM_GBPS / max(gbps, 1e-9))
         result_ratio = 1.0
         if fom is not None and clean_fom is not None:
             result_ratio = fom(result) / clean_fom
         factor = max(factor, result_ratio)
+        credible = result_ratio >= 0.35
         key = fom(result) if fom is not None else factor
-        if key < best_key:
-            best, best_key, best_factor = result, key, factor
-        clean = factor <= threshold and gbps >= _CLEAN_HBM_GBPS and result_ratio <= 1.5
+        # a credible attempt always beats an incredible one; among credible
+        # attempts smaller fom wins; among incredible attempts SLOWER is
+        # closer to believable
+        if best is None or (credible and not best_credible):
+            take = True
+        elif credible == best_credible:
+            take = key < best_key if credible else key > best_key
+        else:
+            take = False
+        if take:
+            best, best_key, best_factor, best_credible = (
+                result, key, (factor if credible else 0.0), credible
+            )
+        clean = (
+            credible and factor <= threshold
+            and gbps >= _CLEAN_HBM_GBPS and result_ratio <= 1.5
+        )
         if clean:
             break
         deadline = _CAL_STATE.get("deadline")
@@ -649,7 +675,8 @@ def main():
     )
     dlrm_eps, dlrm_ms = dlrm_res
     (sess_res, contention["session"]) = _section(
-        bench_session_transformer, fom=lambda r: r[1], clean_fom=3.2
+        bench_session_transformer, fom=lambda r: r[1], clean_fom=2.0,
+        retries=2,
     )
     sess_eps, sess_ms = sess_res
     (pipe_res, contention["pipeline"]) = _section(

@@ -106,6 +106,7 @@ from .outputs import (
     CategoricalTarget,
     ColumnBasedSampleWeight,
     ContrastiveOutput,
+    ContrastiveSampleWeight,
     DotProduct,
     EmbeddingTablePrediction,
     FIFOQueue,

@@ -23,6 +23,19 @@ from .registry import loss_registry
 def _weighted_mean(values: jnp.ndarray, sample_weight: Optional[jnp.ndarray]) -> jnp.ndarray:
     if sample_weight is None:
         return jnp.mean(values)
+    # (B, 1+N) per-candidate weights from ContrastiveSampleWeight, adapted to
+    # the loss's element shape: rowwise losses (softmax CE) take the positive
+    # column; (B, N) pairwise losses take w_pos * w_neg per pair. Elementwise
+    # (B, 1+N) losses (binary CE) broadcast unchanged below.
+    if sample_weight.ndim == 2 and sample_weight.shape[1] > 1:
+        if values.ndim == 1 and values.shape[0] == sample_weight.shape[0]:
+            sample_weight = sample_weight[:, 0]
+        elif (
+            values.ndim == 2
+            and values.shape[0] == sample_weight.shape[0]
+            and sample_weight.shape[1] == values.shape[1] + 1
+        ):
+            sample_weight = sample_weight[:, :1] * sample_weight[:, 1:]
     w = jnp.broadcast_to(sample_weight.reshape(sample_weight.shape + (1,) * (values.ndim - sample_weight.ndim)), values.shape)
     w = w.astype(values.dtype)
     return jnp.sum(values * w) / jnp.maximum(jnp.sum(w), 1e-9)

@@ -396,6 +396,16 @@ class BaseModel(Block):
             t, sw = _unwrap_targets(pred)
             outputs = pred.outputs
             sw = _merge_row_valid(sw, row_valid, outputs.shape[0])
+            # (B, 1+N) per-candidate weights (ContrastiveSampleWeight) reduce
+            # to the positive column for rowwise metrics
+            if (
+                sw is not None
+                and sw.ndim == 2
+                and sw.shape[1] > 1
+                and outputs.ndim == 2
+                and sw.shape == outputs.shape
+            ):
+                sw = sw[:, 0]
             # flatten sequence logits for metrics: (B, L, C) -> (B*L, C)
             if outputs.ndim == 3:
                 C = outputs.shape[-1]

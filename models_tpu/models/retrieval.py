@@ -132,6 +132,7 @@ def MatrixFactorizationModel(
     logits_temperature: float = 1.0,
     logq_correction: bool = True,
     l2_reg: float = 0.0,
+    post: Optional[Block] = None,
     seed: int = 0,
 ) -> RetrievalModelV2:
     """User-id × item-id embedding dot product with sampled-softmax training."""
@@ -149,6 +150,7 @@ def MatrixFactorizationModel(
         negative_samplers=negative_samplers,
         logits_temperature=logits_temperature,
         logq_sampling_correction=logq_correction,
+        post=post,
     )
     model = RetrievalModelV2(query=query, output=output, schema=schema)
     model.block_name = "matrix_factorization"
@@ -167,6 +169,7 @@ def TwoTowerModel(
     logits_temperature: float = 1.0,
     l2_norm: bool = False,
     dropout: Optional[float] = None,
+    post: Optional[Block] = None,
     seed: int = 0,
 ) -> RetrievalModelV2:
     """Schema-split user/item MLP towers (reference ``TwoTowerModelV2 :489``).
@@ -174,6 +177,8 @@ def TwoTowerModel(
     ``query_tower``/``item_tower``: either full Blocks or MLP dim tuples applied on
     top of auto-built input blocks. ``l2_norm`` L2-normalizes both tower outputs
     (cosine training, reference ``transforms/regularization.py:27``).
+    ``post`` attaches to the contrastive head's Prediction (e.g.
+    :class:`~models_tpu.outputs.ContrastiveSampleWeight`).
     """
     from ..transforms.regularization import L2Norm
 
@@ -210,6 +215,7 @@ def TwoTowerModel(
         schema.item_id_column,
         negative_samplers=negative_samplers,
         logits_temperature=logits_temperature,
+        post=post,
     )
     model = RetrievalModelV2(query=query, candidate=candidate, output=output, schema=schema)
     model.block_name = "two_tower"

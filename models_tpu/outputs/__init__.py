@@ -10,7 +10,7 @@ from .base import (
     OutputBlock,
     RegressionOutput,
 )
-from .contrastive import ContrastiveOutput
+from .contrastive import ContrastiveOutput, ContrastiveSampleWeight
 from .sampling import Candidate, CandidateSampler, InBatchSampler, PopularityBasedSampler
 from .topk import BruteForce, TopKLayer, TopKOutput
 from .queue import CachedCrossBatchSampler, FIFOQueue

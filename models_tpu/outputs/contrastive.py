@@ -290,6 +290,10 @@ class ContrastiveOutput(ModelOutput):
                     and not need_logits
                     and negatives.embedding is not None
                     and positive.embedding is not None
+                    # a post block (e.g. ContrastiveSampleWeight) operates on
+                    # the materialized Prediction — incompatible with the
+                    # fused loss, which never materializes the logits
+                    and self.post is None
                 )
                 if fused_ok:
                     from ..data.loader import ROW_VALID_KEY
@@ -332,12 +336,19 @@ class ContrastiveOutput(ModelOutput):
                 if self.logits_scaler is not None:
                     logits = self.logits_scaler(logits)
                 onehot = jnp.zeros_like(logits).at[:, 0].set(1.0)
-                return Prediction(
+                pred = Prediction(
                     outputs=logits,
                     targets=onehot,
                     sample_weight=weights,
                     negative_candidate_ids=negatives.id,
                 )
+                if self.post is not None:
+                    from ..core.block import call_block
+
+                    pred = call_block(
+                        self.post, pred, training=training, context=context, targets=targets
+                    )
+                return pred
 
         # inference: plain scoring
         from ..core.types import SequenceFeature
@@ -358,3 +369,117 @@ class ContrastiveOutput(ModelOutput):
         if self.table is None:
             raise ValueError("No tied embedding table to export")
         return self.table.to_dataset()
+
+
+class ContrastiveSampleWeight(Block):
+    """Per-candidate sample weights for contrastive training
+    (reference ``tf/experimental/sample_weight.py:29``).
+
+    Attach as ``ContrastiveOutput(..., post=ContrastiveSampleWeight(...))``:
+    rewrites the head Prediction's ``sample_weight`` into a (B, 1+N) matrix
+    over the [pos|negs] logit layout (multiplied into any rowwise weight the
+    head already produced, e.g. sequence prediction masks).
+
+    - ``pos_class_weight``: str → per-interaction weight read from that
+      feature column; array of shape (num_candidates,) → per-candidate weight
+      gathered by the positive's id; float → one constant for all positives.
+    - ``neg_class_weight``: array (num_candidates,) → gathered by the sampled
+      negative ids; float → one constant for all negatives.
+
+    2-D weight semantics downstream (``losses.py::_weighted_mean``):
+    elementwise losses ("binary_crossentropy") weight each [pos|neg] element;
+    pairwise losses weight pair *i* by ``w_pos * w_neg_i``; rowwise losses
+    (softmax CE) reduce to the positive column. Metrics always use the
+    positive column as the per-example weight.
+    """
+
+    def __init__(
+        self,
+        pos_class_weight,
+        neg_class_weight=1.0,
+        schema: Optional[Schema] = None,
+        candidate_tag_id: Tags = Tags.ITEM_ID,
+    ):
+        from flax import nnx
+
+        super().__init__()
+        self.candidate_id_name = None
+        if schema is not None:
+            sel = schema.select_by_tag(candidate_tag_id)
+            if len(sel):
+                self.candidate_id_name = sel.first.name
+        if isinstance(pos_class_weight, (str, int, float)):
+            self.pos_class_weight = pos_class_weight
+            self.pos_table = nnx.data(None)
+        else:
+            if self.candidate_id_name is None:
+                raise ValueError(
+                    "per-candidate pos_class_weight needs schema= with a "
+                    f"{candidate_tag_id}-tagged candidate-id column"
+                )
+            self.pos_class_weight = None
+            self.pos_table = nnx.Variable(jnp.asarray(pos_class_weight, dtype=jnp.float32))
+        if isinstance(neg_class_weight, (int, float)):
+            self.neg_class_weight = float(neg_class_weight)
+            self.neg_table = nnx.data(None)
+        else:
+            self.neg_class_weight = None
+            self.neg_table = nnx.Variable(jnp.asarray(neg_class_weight, dtype=jnp.float32))
+
+    def _positive_ids(self, context, targets):
+        ids = None
+        if context is not None:
+            ids = context.features.get(self.candidate_id_name)
+        if ids is None and isinstance(targets, dict):
+            ids = targets.get(self.candidate_id_name)
+        if ids is None:
+            raise ValueError(
+                f"candidate-id column {self.candidate_id_name!r} not found in "
+                "features/targets (needed to gather per-candidate positive weights)"
+            )
+        return ids
+
+    def __call__(self, inputs, *, context=None, targets=None, **kwargs):
+        if not isinstance(inputs, Prediction) or inputs.outputs is None:
+            return inputs
+        logits = inputs.outputs
+        if logits.ndim != 2 or logits.shape[1] < 2:
+            return inputs  # not a [pos|negs] contrastive layout
+        batch, width = logits.shape
+        n_negs = width - 1
+
+        if self.pos_table is not None:
+            ids = self._positive_ids(context, targets).astype(jnp.int32).reshape(-1)
+            pos = self.pos_table.value[ids].reshape(-1, 1)
+        elif isinstance(self.pos_class_weight, str):
+            col = context.features.get(self.pos_class_weight) if context is not None else None
+            if col is None:
+                raise ValueError(
+                    "The model's inputs don't contain the positive weight "
+                    f"feature {self.pos_class_weight!r}."
+                )
+            pos = col.astype(jnp.float32).reshape(-1, 1)
+        else:
+            pos = jnp.full((batch, 1), float(self.pos_class_weight), dtype=jnp.float32)
+
+        if self.neg_table is not None:
+            neg_ids = inputs.negative_candidate_ids
+            if neg_ids is None:
+                raise ValueError(
+                    "per-candidate neg_class_weight needs the head to emit "
+                    "negative_candidate_ids"
+                )
+            ids = neg_ids.astype(jnp.int32)
+            nw = self.neg_table.value[ids.reshape(-1)].reshape(ids.shape)
+            # in-batch negatives are shared across rows: (N,) → (B, N)
+            neg = jnp.broadcast_to(nw.reshape(1, -1), (batch, n_negs)) if nw.ndim == 1 else nw
+        else:
+            neg = jnp.full((batch, n_negs), self.neg_class_weight, dtype=jnp.float32)
+
+        w = jnp.concatenate([pos, neg], axis=1)
+        prev = inputs.sample_weight
+        if prev is not None:
+            prev = prev.astype(jnp.float32)
+            prev = prev.reshape(prev.shape[0], -1)
+            w = w * (prev[:, :1] if prev.shape[1] == 1 else prev)
+        return inputs._replace(sample_weight=w)

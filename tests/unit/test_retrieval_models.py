@@ -516,3 +516,147 @@ def test_two_tower_model_block_tower_not_aliased(ecommerce_data):
     m = TwoTowerModel(ecommerce_data.schema, query_tower=tower, embedding_dim=8)
     towers = [b for b in iter_blocks(m) if isinstance(b, type(tower)) and b is tower]
     assert len(towers) <= 1  # the caller's instance appears at most once
+
+
+# ---------------------------------------------------------------------------
+# ContrastiveSampleWeight (reference tf/experimental/sample_weight.py:29)
+# ---------------------------------------------------------------------------
+
+def _csw_setup():
+    import jax.numpy as jnp
+
+    from models_tpu.core.types import ModelContext
+    from models_tpu.outputs.sampling import Candidate
+
+    table, head_fn = None, None
+    table, _ = _contrastive_head()  # just for the embedding table
+    q = jnp.ones((2, 8))
+    ids = jnp.array([3, 5])
+    ctx = ModelContext(features={"item_id": ids, "interaction-weight": jnp.array([2.0, 0.5])})
+    return table, q, ids, ctx
+
+
+def test_contrastive_sample_weight_modes():
+    import jax.numpy as jnp
+
+    from models_tpu.outputs import ContrastiveOutput, ContrastiveSampleWeight
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+
+    col = create_categorical_column("item_id", 19, tags=(Tags.ITEM, Tags.ITEM_ID))
+    schema = Schema([col])
+    table, q, ids, ctx = _csw_setup()
+
+    def run(post):
+        head = ContrastiveOutput(
+            table, negative_samplers="in-batch", target="item_id", post=post
+        )
+        return head(q, training=True, context=ctx)
+
+    # scalar pos + scalar neg: constant matrix
+    pred = run(ContrastiveSampleWeight(pos_class_weight=3.0, neg_class_weight=0.5))
+    w = np.asarray(pred.sample_weight)
+    assert w.shape == pred.outputs.shape == (2, 3)  # [pos | 2 in-batch negs]
+    np.testing.assert_allclose(w[:, 0], 3.0)
+    np.testing.assert_allclose(w[:, 1:], 0.5)
+
+    # column pos: per-interaction weights from the feature dict
+    pred = run(ContrastiveSampleWeight(pos_class_weight="interaction-weight"))
+    w = np.asarray(pred.sample_weight)
+    np.testing.assert_allclose(w[:, 0], [2.0, 0.5])
+    np.testing.assert_allclose(w[:, 1:], 1.0)
+
+    # per-candidate vectors: gathered by positive id / negative ids
+    pos_table = np.arange(20, dtype=np.float32)  # weight == candidate id
+    neg_table = np.arange(20, dtype=np.float32) * 10.0
+    pred = run(
+        ContrastiveSampleWeight(
+            pos_class_weight=pos_table, neg_class_weight=neg_table, schema=schema
+        )
+    )
+    w = np.asarray(pred.sample_weight)
+    # positives are ids [3, 5]; in-batch negatives are the batch ids [3, 5]
+    np.testing.assert_allclose(w[:, 0], [3.0, 5.0])
+    np.testing.assert_allclose(w[:, 1:], np.broadcast_to([30.0, 50.0], (2, 2)))
+
+
+def test_contrastive_sample_weight_disables_fused_loss():
+    """post needs materialized logits: the fused CE path must yield to it."""
+    import jax.numpy as jnp
+
+    from models_tpu.core.types import ModelContext
+    from models_tpu.outputs import ContrastiveOutput, ContrastiveSampleWeight
+
+    table, q, ids, ctx = _csw_setup()
+    ctx["need_logits"] = False  # the fused gate's usual trigger
+    head = ContrastiveOutput(
+        table,
+        negative_samplers="in-batch",
+        target="item_id",
+        fused_loss=True,
+        post=ContrastiveSampleWeight(pos_class_weight=2.0),
+    )
+    pred = head(q, training=True, context=ctx)
+    assert pred.precomputed_loss is None  # fused path NOT taken
+    assert pred.outputs.ndim == 2 and pred.sample_weight is not None
+
+
+def test_two_d_sample_weight_loss_semantics():
+    """(B, 1+N) weights: rowwise CE uses the positive column; pairwise losses
+    weight each pair by w_pos * w_neg; binary CE weights elementwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from models_tpu.losses import binary_crossentropy, bpr_loss, categorical_crossentropy
+
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)
+    onehot = jnp.zeros_like(logits).at[:, 0].set(1.0)
+    w = jnp.asarray(rng.uniform(0.1, 2.0, (4, 3)), jnp.float32)
+
+    got = categorical_crossentropy(onehot, logits, w)
+    per_row = -np.asarray(jax.nn.log_softmax(logits, axis=-1))[:, 0]
+    want = (per_row * np.asarray(w)[:, 0]).sum() / np.asarray(w)[:, 0].sum()
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+    got = bpr_loss(onehot, logits, w)
+    dist = np.asarray(logits[:, :1] - logits[:, 1:])
+    per = -np.log(1.0 / (1.0 + np.exp(-dist)))
+    pw = np.asarray(w)[:, :1] * np.asarray(w)[:, 1:]
+    want = (per * pw).sum() / pw.sum()
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+    got = binary_crossentropy(onehot, logits, w)
+    z = np.asarray(logits)
+    per = np.maximum(z, 0) - z * np.asarray(onehot) + np.log1p(np.exp(-np.abs(z)))
+    want = (per * np.asarray(w)).sum() / np.asarray(w).sum()
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_contrastive_sample_weight_end_to_end(testing_data):
+    """fit + evaluate with the post block through the full engine (weights must
+    flow into the compiled loss and not break 1-D metric weighting)."""
+    from models_tpu.outputs import ContrastiveSampleWeight
+
+    import tempfile
+
+    from models_tpu.core.block import iter_blocks
+    from models_tpu.outputs import ContrastiveOutput
+    from models_tpu.utils.io import load_model
+
+    model = TwoTowerModel(
+        testing_data.schema,
+        embedding_dim=8,
+        post=ContrastiveSampleWeight(pos_class_weight=2.0, neg_class_weight=0.5),
+    )
+    model.compile()
+    h = model.fit(testing_data, epochs=1, batch_size=50, verbose=0)
+    assert np.isfinite(h.history["loss"][0])
+    ev = model.evaluate(testing_data, batch_size=50, verbose=0, return_dict=True)
+    assert all(np.isfinite(v) for v in ev.values())
+    # the post block must survive the declarative-config save/load round trip
+    with tempfile.TemporaryDirectory() as d:
+        model.save(d)
+        m2 = load_model(d)
+    post2 = next(b for b in iter_blocks(m2) if isinstance(b, ContrastiveOutput)).post
+    assert isinstance(post2, ContrastiveSampleWeight)
+    assert post2.pos_class_weight == 2.0 and post2.neg_class_weight == 0.5

@@ -199,6 +199,44 @@ def LazyAdam(learning_rate: float = 0.001, beta1: float = 0.9, beta2: float = 0.
     return SparseEmbeddingOptimizer("adam", learning_rate, beta1, beta2, eps)
 
 
+def low_precision_optimizer_state(
+    tx: optax.GradientTransformation, dtype=jnp.bfloat16
+) -> optax.GradientTransformation:
+    """Store the wrapped transform's float32 state leaves in ``dtype`` at rest.
+
+    The dense embedding-optimizer step is HBM-bound (optimizer state is read
+    and rewritten every step — see the bench's adagrad decomposition): halving
+    the at-rest width of the slots cuts that traffic ~2x for the state share.
+    The update math stays float32 — leaves are cast up entering the inner
+    ``update`` and back down on the way out; XLA fuses both casts into the
+    update kernel so the round trip costs no extra HBM pass.
+
+    Opt in via ``compile(optimizer_state_dtype="bfloat16")``. Caveat: bf16
+    carries ~8 bits of mantissa, so monotone accumulators (adagrad
+    sum-of-squares, adam second moment) absorb relative increments below
+    ~2^-8 as zero — fine for the short/medium regimes recommender training
+    runs in (trajectory-tolerance tested), but not a default.
+    """
+    dtype = jnp.dtype(dtype)
+
+    def _cast(tree, src, dst):
+        return jax.tree.map(
+            lambda x: x.astype(dst)
+            if hasattr(x, "dtype") and x.dtype == src
+            else x,
+            tree,
+        )
+
+    def init_fn(params):
+        return _cast(tx.init(params), jnp.float32, dtype)
+
+    def update_fn(updates, state, params=None):
+        updates, new_state = tx.update(updates, _cast(state, dtype, jnp.float32), params)
+        return updates, _cast(new_state, jnp.float32, dtype)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 # ---------------------------------------------------------------------------
 # per-block routing for dense params
 # ---------------------------------------------------------------------------

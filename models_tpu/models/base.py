@@ -243,13 +243,25 @@ class BaseModel(Block):
         jit: bool = True,
         steps_per_execution: int = 1,
         class_weight: Optional[Dict] = None,
+        optimizer_state_dtype=None,
     ) -> "BaseModel":
-        from ..blocks.optimizer import MultiOptimizer, SparseEmbeddingOptimizer
+        from ..blocks.optimizer import (
+            MultiOptimizer,
+            SparseEmbeddingOptimizer,
+            low_precision_optimizer_state,
+        )
 
         if isinstance(optimizer, MultiOptimizer):
             self._tx = optimizer  # built over params at fit time
         else:
             self._tx = _resolve_optimizer(optimizer, learning_rate)
+        if optimizer_state_dtype is not None:
+            if isinstance(self._tx, MultiOptimizer):
+                raise ValueError(
+                    "optimizer_state_dtype: wrap the individual transforms of a "
+                    "MultiOptimizer with low_precision_optimizer_state instead"
+                )
+            self._tx = low_precision_optimizer_state(self._tx, optimizer_state_dtype)
         if isinstance(embedding_optimizer, str):
             kind = embedding_optimizer.replace("lazy_", "").replace("sparse_", "")
             embedding_optimizer = SparseEmbeddingOptimizer(

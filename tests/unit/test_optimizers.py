@@ -202,3 +202,62 @@ def test_embedding_optimizer_string_in_compile():
     model.compile(learning_rate=0.05, embedding_optimizer="lazy_adam")
     h = model.fit(ds, epochs=3, batch_size=64, shuffle=False, verbose=0)
     assert h.history["loss"][-1] < h.history["loss"][0]
+
+
+def test_low_precision_optimizer_state_unit():
+    """bf16-at-rest state: slots live in bf16, update math matches fp32 within
+    bf16 resolution, and integer leaves (adam count) stay untouched."""
+    import jax
+
+    from models_tpu.blocks.optimizer import low_precision_optimizer_state
+
+    params = {"w": jnp.asarray(np.random.default_rng(0).standard_normal((8, 4)), jnp.float32)}
+    grads = {"w": jnp.full((8, 4), 0.25, jnp.float32)}
+
+    hi = optax.adam(0.1)
+    lo = low_precision_optimizer_state(optax.adam(0.1), "bfloat16")
+
+    s_hi, s_lo = hi.init(params), lo.init(params)
+    float_dtypes = {
+        x.dtype for x in jax.tree.leaves(s_lo) if jnp.issubdtype(x.dtype, jnp.floating)
+    }
+    assert float_dtypes == {jnp.dtype(jnp.bfloat16)}
+    counts = [x for x in jax.tree.leaves(s_lo) if jnp.issubdtype(x.dtype, jnp.integer)]
+    assert counts, "adam count leaf must survive as an integer"
+
+    for _ in range(3):
+        u_hi, s_hi = hi.update(grads, s_hi, params)
+        u_lo, s_lo = lo.update(grads, s_lo, params)
+    np.testing.assert_allclose(
+        np.asarray(u_lo["w"], np.float32), np.asarray(u_hi["w"]), rtol=2e-2, atol=1e-3
+    )
+    # state stays bf16 after updates too
+    assert all(
+        x.dtype == jnp.bfloat16
+        for x in jax.tree.leaves(s_lo)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+    )
+
+
+def test_optimizer_state_dtype_trajectory_tolerance():
+    """compile(optimizer_state_dtype='bfloat16') trains to ~the fp32 loss."""
+    ds, _ = identity_dataset()
+
+    def run(**kw):
+        m = MatrixFactorizationModel(ds.schema, dim=8)
+        m.compile(optimizer="adagrad", learning_rate=0.1, **kw)
+        h = m.fit(ds, epochs=2, batch_size=64, verbose=0)
+        return h.history["loss"]
+
+    base = run()
+    lowp = run(optimizer_state_dtype="bfloat16")
+    assert np.isfinite(lowp).all()
+    np.testing.assert_allclose(lowp, base, rtol=5e-2)
+
+
+def test_optimizer_state_dtype_rejects_multi_optimizer():
+    ds, _ = identity_dataset()
+    m = MatrixFactorizationModel(ds.schema, dim=8)
+    mo = MultiOptimizer(default=optax.adam(1e-3), rules=[("user", optax.sgd(0.1))])
+    with pytest.raises(ValueError, match="optimizer_state_dtype"):
+        m.compile(optimizer=mo, optimizer_state_dtype="bfloat16")

@@ -45,6 +45,13 @@ from ..schema import Schema
 # bounds pinned HBM; see BaseModel._pack_for_eval
 _EVAL_PACK_LRU: deque = deque()
 
+# optimizer slots persisted across fit() calls, keyed weakly by model:
+# (opt_state, tx, param_fingerprint, mesh_fingerprint, global_step).
+# A side table instead of a module attribute — the nnx pytree must not carry
+# optimizer arrays (they would ride through the train step's ``rest`` state),
+# and weak keys free the HBM when the model is garbage collected.
+_FIT_STATE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 
 def _resolve_optimizer(optimizer, learning_rate: Optional[float]) -> optax.GradientTransformation:
     if isinstance(optimizer, optax.GradientTransformation):
@@ -283,6 +290,8 @@ class BaseModel(Block):
         self._fused_fit_cache: Dict[Any, Any] = {}
         self._epoch_log_cache: Dict[Any, Any] = {}
         self._pre_jit_cache: Dict[Any, Any] = {}
+        # optimizer slots persist across fit() calls; recompile resets them
+        _FIT_STATE.pop(self, None)
         self._mesh = getattr(self, "_mesh", None)
         return self
 
@@ -945,6 +954,62 @@ class BaseModel(Block):
             return Loader(data, batch_size=batch_size or 1024, shuffle=shuffle, drop_last=drop_last)
         raise TypeError(f"Cannot iterate {type(data)}")
 
+    # ------------------------------------------------------------------
+    # optimizer-state continuity across fit() calls
+    # ------------------------------------------------------------------
+    @property
+    def _fit_opt_state(self):
+        """Persisted optimizer slots from the last fit(), or None. Held in a
+        weak side table (not an nnx attribute: the module pytree must not
+        carry optimizer arrays through the train step's ``rest`` state)."""
+        entry = _FIT_STATE.get(self)
+        return entry[0] if entry else None
+
+    @staticmethod
+    def _mesh_fingerprint(mesh):
+        if mesh is None:
+            return None
+        return (
+            tuple(mesh.shape.items()),
+            tuple(d.id for d in mesh.devices.flat),
+        )
+
+    @staticmethod
+    def _param_fingerprint(params):
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        return (treedef, tuple((tuple(l.shape), str(l.dtype)) for l in leaves))
+
+    def _resume_fit_state(self, params, mesh):
+        """A second fit() continues the first fit's optimizer slots and step
+        count — reference semantics: Keras optimizer variables live on the
+        model, so consecutive merlin ``fit()`` calls accumulate Adam moments
+        and iteration counts (`/root/reference/merlin/models/tf/models/base.py:1361`);
+        ``compile()`` resets them. Reuse is conservative: same transform
+        object, identical param tree/shapes/dtypes, same mesh placement —
+        anything else re-initializes (so MultiOptimizer/frozen-block fits,
+        which rebuild the transform per fit, always start fresh)."""
+        # pop = take ownership: the train step donates the buffers
+        entry = _FIT_STATE.pop(self, None)
+        if entry is None:
+            return None, 0
+        state, tx_ref, fp, mesh_fp, step = entry
+        if (
+            tx_ref is not self._tx
+            or mesh_fp != self._mesh_fingerprint(mesh)
+            or fp != self._param_fingerprint(params)
+        ):
+            return None, 0
+        return state, step
+
+    def _store_fit_state(self, opt_state, params, mesh, global_step):
+        _FIT_STATE[self] = (
+            opt_state,
+            self._tx,
+            self._param_fingerprint(params),
+            self._mesh_fingerprint(mesh),
+            int(global_step),
+        )
+
     def fit(
         self,
         data: Union[Dataset, Loader, str],
@@ -1093,12 +1158,14 @@ class BaseModel(Block):
                 if not perms_box:
                     perms_box.append(jnp.asarray(perms_host))
                 return perms_box[0]
-        opt_state = self._tx.init(params)
-        if mesh is not None:
-            from ..parallel.mesh import shard_state
+        opt_state, resumed_step = self._resume_fit_state(params, mesh)
+        if opt_state is None:
+            opt_state = self._tx.init(params)
+            if mesh is not None:
+                from ..parallel.mesh import shard_state
 
-            # optimizer slots inherit each param's placement
-            opt_state = shard_state(opt_state, mesh, shard_rules)
+                # optimizer slots inherit each param's placement
+                opt_state = shard_state(opt_state, mesh, shard_rules)
 
         history = History()
         callbacks = list(callbacks or [])
@@ -1106,7 +1173,7 @@ class BaseModel(Block):
             call = getattr(cb, "set_model", None)
             if call:
                 call(self)
-        global_step = 0
+        global_step = resumed_step
         # full-fit fusion: with device-resident data and no per-epoch host
         # obligations (callbacks, validation), run every epoch in ONE dispatch
         if (
@@ -1165,7 +1232,7 @@ class BaseModel(Block):
                 t0 = time.perf_counter()
                 params, rest, opt_state, stacked = fused_fn(
                     params, rest, opt_state, packed_dev, perms_arg,
-                    jnp.asarray(0), val_packed=val_packed_dev,
+                    jnp.asarray(resumed_step), val_packed=val_packed_dev,
                 )
                 host = np.asarray(stacked)  # ONE transfer: (n_names, epochs)
                 dt = time.perf_counter() - t0
@@ -1182,6 +1249,9 @@ class BaseModel(Block):
                             f"{k}: {v:.4f}" for k, v in epoch_logs.items()
                         )
                         print(f"Epoch {epoch + 1}/{epochs} - {msg}")
+                self._store_fit_state(
+                    opt_state, params, mesh, resumed_step + epochs * n_batches
+                )
                 self.history = history
                 return history
         for epoch in range(epochs):
@@ -1330,6 +1400,7 @@ class BaseModel(Block):
             nnx.update(self, params, emb_params, rest)
         else:
             nnx.update(self, params, rest)
+        self._store_fit_state(opt_state, params, mesh, global_step)
         self.history = history
         return history
 

@@ -39,7 +39,8 @@ class SparseEmbeddingOptimizer:
     only at touched rows; bias correction uses the global step).
     """
 
-    def __init__(self, kind: str = "adagrad", learning_rate: float = 0.05,
+    def __init__(self, kind: str = "adagrad",
+                 learning_rate: Union[float, Callable] = 0.05,
                  beta1: float = 0.9, beta2: float = 0.999, eps: float = 1e-8,
                  initial_accumulator_value: float = 0.1):
         if kind not in ("sgd", "adagrad", "adam"):
@@ -97,7 +98,9 @@ class SparseEmbeddingOptimizer:
         n_shards = dict(mesh.shape).get(axis, 1) if mesh is not None else 1
         if n_shards > 1 and table.padded_rows % n_shards == 0:
             return self._apply_sharded(table, sids, gsum, valid, step, mesh, axis)
-        lr = self.learning_rate
+        # learning_rate may be an optax-style schedule: step -> lr (Keras
+        # LearningRateSchedule parity; evaluated inside the traced step)
+        lr = self.learning_rate(step) if callable(self.learning_rate) else self.learning_rate
 
         if self.kind == "sgd":
             table.table.value = pallas_row_scatter_add(
@@ -145,12 +148,13 @@ class SparseEmbeddingOptimizer:
 
         n = dict(mesh.shape)[axis]
         rows_per = table.padded_rows // n
-        lr, eps, kind = self.learning_rate, self.eps, self.kind
+        lr_spec, eps, kind = self.learning_rate, self.eps, self.kind
         slot_names = sorted(table.sparse_slots) if table.sparse_slots is not None else []
         slots = {k: table.sparse_slots[k].value for k in slot_names}
         b1, b2 = self.beta1, self.beta2
 
         def local(tbl, slots, sids, gsum, valid, step):
+            lr = lr_spec(step) if callable(lr_spec) else lr_spec
             shard = jax.lax.axis_index(axis)
             local_ids = sids - shard * rows_per
             owned = valid & (local_ids >= 0) & (local_ids < rows_per)

@@ -244,7 +244,7 @@ class BaseModel(Block):
         loss: Union[None, str, Callable, Dict[str, Any]] = None,
         metrics: Union[None, Sequence, Dict[str, Sequence]] = None,
         loss_weights: Optional[Dict[str, float]] = None,
-        learning_rate: Optional[float] = None,
+        learning_rate: Union[None, float, Callable] = None,
         train_metrics_steps: int = 1,
         embedding_optimizer=None,
         jit: bool = True,

@@ -261,3 +261,40 @@ def test_optimizer_state_dtype_rejects_multi_optimizer():
     mo = MultiOptimizer(default=optax.adam(1e-3), rules=[("user", optax.sgd(0.1))])
     with pytest.raises(ValueError, match="optimizer_state_dtype"):
         m.compile(optimizer=mo, optimizer_state_dtype="bfloat16")
+
+
+def test_learning_rate_schedule_dense_matches_constant():
+    """compile(learning_rate=<schedule>) (Keras LearningRateSchedule parity):
+    a constant schedule must trace the identical trajectory as the float."""
+    ds, _ = identity_dataset()
+
+    def run(lr):
+        m = MatrixFactorizationModel(ds.schema, dim=8)
+        m.compile(optimizer="adam", learning_rate=lr)
+        return m.fit(ds, epochs=3, batch_size=64, shuffle=False, verbose=0).history["loss"]
+
+    np.testing.assert_allclose(run(0.05), run(optax.constant_schedule(0.05)), rtol=1e-6)
+    # a decaying schedule still learns
+    dec = run(optax.exponential_decay(0.05, transition_steps=5, decay_rate=0.5))
+    assert dec[-1] < dec[0]
+
+
+def test_learning_rate_schedule_sparse_embedding_optimizer():
+    """SparseEmbeddingOptimizer accepts a step->lr schedule; zero lr is a
+    no-op, constant schedule matches the float path row-for-row."""
+    col = create_categorical_column("item", 99)
+
+    def one_step(lr):
+        table = EmbeddingTable(8, col, seed=11)
+        opt = SparseEmbeddingOptimizer("adagrad", learning_rate=lr)
+        opt.init_slots(table)
+        ids = jnp.array([3, 7, 3])
+        grads = jnp.ones((3, 8))
+        opt.apply(table, ids, grads, jnp.asarray(4))
+        return table.to_array()
+
+    np.testing.assert_allclose(
+        one_step(0.1), one_step(optax.constant_schedule(0.1)), rtol=1e-6
+    )
+    table0 = EmbeddingTable(8, col, seed=11).to_array()
+    np.testing.assert_array_equal(one_step(lambda step: 0.0), table0)

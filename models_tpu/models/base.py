@@ -1023,9 +1023,17 @@ class BaseModel(Block):
         verbose: int = 1,
         mesh=None,
         shard_rules=None,
+        validation_freq: int = 1,
+        initial_epoch: int = 0,
+        validation_steps: Optional[int] = None,
     ) -> History:
         if not self._compiled:
             self.compile()
+        if not 0 <= initial_epoch < max(epochs, 1):
+            raise ValueError(
+                f"initial_epoch={initial_epoch} must be in [0, epochs={epochs})"
+            )
+        n_run_epochs = epochs - initial_epoch
         loader = self._as_loader(data, batch_size, shuffle=shuffle, drop_last=True)
         self.build(loader)
         self._pre_transform = as_block(pre) if pre is not None else nnx.data(None)
@@ -1146,7 +1154,7 @@ class BaseModel(Block):
             n_rows_dd = device_data[1]
             base_epoch = loader._epoch
             perms = []
-            for e in range(epochs):
+            for e in range(n_run_epochs):
                 seed = loader.seed + (base_epoch + 1 + e) * 9973
                 rng_e = np.random.default_rng(seed)
                 perms.append(
@@ -1179,6 +1187,8 @@ class BaseModel(Block):
         if (
             device_data is not None
             and not callbacks
+            and validation_freq == 1
+            and validation_steps is None
             and (self.train_metrics_steps == 1 or not any(task_metrics.values()))
         ):
             packed_dev, n_rows = device_data
@@ -1219,7 +1229,7 @@ class BaseModel(Block):
                 if fkey not in fused_cache:
                     fused_cache[fkey] = self._make_device_epochs_step(
                         loss_fns, task_metrics, n_batches, loader.batch_size,
-                        pack_spec, pack_treedef, epochs_static=epochs,
+                        pack_spec, pack_treedef, epochs_static=n_run_epochs,
                         val_scan=val_scan,
                     )
                 fused_fn, names_out = fused_cache[fkey]
@@ -1238,9 +1248,10 @@ class BaseModel(Block):
                 dt = time.perf_counter() - t0
                 eps = epochs * n_batches * loader.batch_size / max(dt, 1e-9)
                 nnx.update(self, params, rest)
-                for epoch in range(epochs):
+                for epoch in range(initial_epoch, epochs):
                     epoch_logs = {
-                        n: float(host[j, epoch]) for j, n in enumerate(names_out)
+                        n: float(host[j, epoch - initial_epoch])
+                        for j, n in enumerate(names_out)
                     }
                     epoch_logs["examples_per_sec"] = eps
                     history.append(epoch_logs)
@@ -1250,11 +1261,11 @@ class BaseModel(Block):
                         )
                         print(f"Epoch {epoch + 1}/{epochs} - {msg}")
                 self._store_fit_state(
-                    opt_state, params, mesh, resumed_step + epochs * n_batches
+                    opt_state, params, mesh, resumed_step + n_run_epochs * n_batches
                 )
                 self.history = history
                 return history
-        for epoch in range(epochs):
+        for epoch in range(initial_epoch, epochs):
             metric_states = self._init_metric_states(task_metrics)
             t0 = time.perf_counter()
             n_examples = 0
@@ -1269,7 +1280,7 @@ class BaseModel(Block):
                 n_batches = n_rows // loader.batch_size
                 if steps_per_epoch is not None:
                     n_batches = min(n_batches, steps_per_epoch)
-                perm_dev = get_perms_dev()[epoch]
+                perm_dev = get_perms_dev()[epoch - initial_epoch]
                 local = 0
                 while local < n_batches:
                     k = min(spe, n_batches - local)
@@ -1381,9 +1392,10 @@ class BaseModel(Block):
                 nnx.update(self, params, emb_params, rest)
             else:
                 nnx.update(self, params, rest)
-            if validation_data is not None:
+            if validation_data is not None and (epoch + 1) % validation_freq == 0:
                 val = self.evaluate(
                     validation_data, batch_size=batch_size or loader.batch_size, verbose=0,
+                    steps=validation_steps,
                     _params=(graphdef, params, rest),
                 )
                 epoch_logs.update({f"val_{k}": v for k, v in val.items()})
@@ -1573,6 +1585,7 @@ class BaseModel(Block):
         return_dict: bool = True,
         pre=None,
         verbose: int = 0,
+        steps: Optional[int] = None,
         _params=None,
     ) -> Dict[str, float]:
         if not self._compiled:
@@ -1597,6 +1610,7 @@ class BaseModel(Block):
             pre_block is None
             and mesh is None
             and self._jit
+            and steps is None  # the fused scan always covers every row
             and loader.global_size == 1
             and loader.transform is None
             and getattr(loader, "pad", "max") == "max"
@@ -1608,7 +1622,9 @@ class BaseModel(Block):
             batch_iter = (
                 iter(loader) if pre_block is not None else _device_prefetch(iter(loader))
             )
-            for x, y in batch_iter:
+            for _step, (x, y) in enumerate(batch_iter):
+                if steps is not None and _step >= steps:
+                    break
                 if pre_block is not None:
                     saved, self._pre_transform = (
                         getattr(self, "_pre_transform", None), pre_block,

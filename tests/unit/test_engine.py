@@ -374,3 +374,36 @@ def test_recompile_resets_optimizer_state(ecommerce):
     # first-step drop identical in *relative* shape; cheap proxy assertions:
     assert np.isfinite(again).all()
     assert len(base) == len(again)
+
+
+def test_fit_initial_epoch_and_validation_freq(ecommerce):
+    """Keras fit conveniences: initial_epoch trims the run to epochs-initial
+    epochs; validation_freq=N evaluates every Nth epoch; validation_steps
+    bounds eval batches."""
+    m = _simple_model(ecommerce.schema, seed=2)
+    m.compile()
+    h = m.fit(ecommerce, epochs=4, initial_epoch=2, batch_size=32,
+              shuffle=False, verbose=0)
+    assert len(h.history["loss"]) == 2
+
+    m2 = _simple_model(ecommerce.schema, seed=2)
+    m2.compile()
+    h2 = m2.fit(ecommerce, epochs=4, validation_data=ecommerce,
+                validation_freq=2, validation_steps=2,
+                batch_size=32, shuffle=False, verbose=0)
+    assert len(h2.history["loss"]) == 4
+    assert len(h2.history["val_loss"]) == 2  # epochs 2 and 4 only
+    assert all(np.isfinite(v) for v in h2.history["val_loss"])
+
+    with pytest.raises(ValueError, match="initial_epoch"):
+        m2.fit(ecommerce, epochs=2, initial_epoch=2, verbose=0)
+
+
+def test_evaluate_steps_limits_batches(ecommerce):
+    m = _simple_model(ecommerce.schema, seed=4)
+    m.compile()
+    m.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    full = m.evaluate(ecommerce, batch_size=32)
+    limited = m.evaluate(ecommerce, batch_size=32, steps=2)
+    assert set(limited) == set(full)
+    assert np.isfinite(limited["loss"])

@@ -999,7 +999,37 @@ class BaseModel(Block):
             or fp != self._param_fingerprint(params)
         ):
             return None, 0
+        # epoch-end stores hold LIVE references; if a later epoch crashed
+        # mid-run its steps already donated these buffers — start fresh
+        if any(
+            getattr(x, "is_deleted", lambda: False)()
+            for x in jax.tree_util.tree_leaves(state)
+        ):
+            return None, 0
         return state, step
+
+    def training_state(self):
+        """The persisted optimizer slots + global step from the last completed
+        fit() epoch, or None. What `ModelCheckpoint` snapshots so a preempted
+        run resumes with intact Adam moments (see
+        ``CheckpointManager.restore_training``)."""
+        entry = _FIT_STATE.get(self)
+        if entry is None:
+            return None
+        return {"opt_state": entry[0], "global_step": entry[4]}
+
+    def arm_training_state(self, opt_state, global_step: int = 0, mesh=None):
+        """Install restored optimizer slots so the NEXT fit() continues from
+        them (checkpoint-resume). The model must be built and compiled with
+        the same optimizer config the slots came from."""
+        sparse = getattr(self, "_emb_opt", None)
+        if sparse is not None:
+            _, _, params, _ = nnx.split(
+                self, _embedding_param_type(), nnx.Param, ...
+            )
+        else:
+            _, params, _ = self._split()
+        self._store_fit_state(opt_state, params, mesh, int(global_step))
 
     def _store_fit_state(self, opt_state, params, mesh, global_step):
         _FIT_STATE[self] = (
@@ -1392,6 +1422,10 @@ class BaseModel(Block):
                 nnx.update(self, params, emb_params, rest)
             else:
                 nnx.update(self, params, rest)
+            # live epoch-end snapshot: lets ModelCheckpoint persist optimizer
+            # slots; _resume_fit_state guards against these buffers being
+            # donated by a later (crashed) epoch
+            self._store_fit_state(opt_state, params, mesh, global_step)
             if validation_data is not None and (epoch + 1) % validation_freq == 0:
                 val = self.evaluate(
                     validation_data, batch_size=batch_size or loader.batch_size, verbose=0,

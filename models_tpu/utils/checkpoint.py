@@ -32,28 +32,91 @@ class CheckpointManager:
         )
 
     # ------------------------------------------------------------------
-    def save(self, step: int, model, opt_state=None) -> bool:
+    def save(self, step: int, model, opt_state=None, global_step=None) -> bool:
         graphdef, state = nnx.split(model)
         payload = {"model": nnx.to_pure_dict(state)}
         if opt_state is not None:
             payload["opt_state"] = opt_state
+        if global_step is not None:
+            payload["global_step"] = np.asarray(int(global_step))
         saved = self.manager.save(step, args=self._ocp.args.StandardSave(payload))
         self.manager.wait_until_finished()
         return saved
 
     def restore(self, model, step: Optional[int] = None, opt_state=None):
-        """Restore state into ``model`` (in place). Returns (step, opt_state)."""
+        """Restore state into ``model`` (in place). Returns (step, opt_state).
+
+        Without an ``opt_state`` template the checkpoint is read untyped (raw
+        pytree), so weights-only restore works regardless of which extra keys
+        (optimizer slots, global_step) the checkpoint carries."""
         step = step if step is not None else self.manager.latest_step()
         if step is None:
             raise FileNotFoundError(f"No checkpoints under {self.directory}")
         graphdef, state = nnx.split(model)
-        template = {"model": nnx.to_pure_dict(state)}
         if opt_state is not None:
-            template["opt_state"] = opt_state
-        restored = self.manager.restore(step, args=self._ocp.args.StandardRestore(template))
+            template = {"model": nnx.to_pure_dict(state), "opt_state": opt_state}
+            restored = self.manager.restore(
+                step, args=self._ocp.args.StandardRestore(template)
+            )
+        else:
+            restored = self.manager.restore(step)
         nnx.replace_by_pure_dict(state, restored["model"])
         nnx.update(model, state)
         return step, restored.get("opt_state")
+
+    def restore_training(self, model, data=None, step: Optional[int] = None) -> int:
+        """Full training resume: restore model weights AND optimizer slots, and
+        arm the model so the next ``fit(initial_epoch=<returned>+1, ...)``
+        continues the interrupted run with intact optimizer moments and step
+        count (pair with ``ModelCheckpoint`` which snapshots all three).
+
+        ``model`` must be compiled with the same optimizer config the
+        checkpoint was written under; pass ``data`` (a Dataset/Loader) to
+        build an un-built model. Returns the restored checkpoint step (the
+        epoch index when written by ``ModelCheckpoint``)."""
+        from ..blocks.optimizer import MultiOptimizer
+        from ..models.base import _embedding_param_type
+
+        if not getattr(model, "_compiled", False):
+            raise ValueError("compile() the model before restore_training")
+        if data is not None:
+            model.build(model._as_loader(data, None))
+        if isinstance(model._tx, MultiOptimizer):
+            raise ValueError(
+                "restore_training does not support MultiOptimizer (its "
+                "transform is rebuilt per fit, so slots cannot be re-armed)"
+            )
+        if getattr(model, "_emb_opt", None) is not None:
+            _, _, params, _ = nnx.split(
+                model, _embedding_param_type(), nnx.Param, ...
+            )
+        else:
+            _, params, _ = model._split()
+        template_opt = model._tx.init(params)
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoints under {self.directory}")
+        _, state = nnx.split(model)
+        template = {
+            "model": nnx.to_pure_dict(state),
+            "opt_state": template_opt,
+            "global_step": np.asarray(0),
+        }
+        try:
+            restored = self.manager.restore(
+                step, args=self._ocp.args.StandardRestore(template)
+            )
+        except Exception as e:  # noqa: BLE001 - surface the actionable cause
+            raise ValueError(
+                f"checkpoint {step} has no optimizer state (saved without "
+                f"training_state?) or a mismatched optimizer config: {e}"
+            ) from e
+        nnx.replace_by_pure_dict(state, restored["model"])
+        nnx.update(model, state)
+        model.arm_training_state(
+            restored["opt_state"], int(restored["global_step"])
+        )
+        return step
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
@@ -75,4 +138,10 @@ class ModelCheckpoint:
 
     def on_epoch_end(self, epoch, logs):
         if (epoch + 1) % self.every == 0 and self.model is not None:
-            self.manager.save(epoch, self.model)
+            ts = getattr(self.model, "training_state", lambda: None)()
+            self.manager.save(
+                epoch,
+                self.model,
+                opt_state=None if ts is None else ts["opt_state"],
+                global_step=None if ts is None else ts["global_step"],
+            )

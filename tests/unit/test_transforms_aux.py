@@ -294,3 +294,70 @@ def test_profiler_callback_writes_trace(tmp_path):
     import os
 
     assert os.path.isdir(str(tmp_path / "trace"))  # trace files captured
+
+
+def test_checkpoint_resume_training_exact(tmp_path):
+    """Preemption drill: fit with ModelCheckpoint, 'crash', build a fresh
+    model, restore_training, continue with fit(initial_epoch=) — the stitched
+    trajectory must match an uninterrupted run exactly (weights AND optimizer
+    moments AND step count all resume)."""
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+    from models_tpu.utils.checkpoint import CheckpointManager, ModelCheckpoint
+
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 20, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 20, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    rows = np.arange(256, dtype=np.int32) % 20
+    ds = Dataset({"user_id": rows, "item_id": rows.copy()}, schema=schema)
+
+    def build():
+        m = MatrixFactorizationModel(schema, dim=8)
+        m.compile(optimizer="adam", learning_rate=0.05)
+        return m
+
+    ref = build()
+    full = ref.fit(ds, epochs=6, batch_size=64, shuffle=False, verbose=0).history["loss"]
+
+    m1 = build()
+    cb = ModelCheckpoint(str(tmp_path / "ckpts"), every_n_epochs=1)
+    part1 = m1.fit(
+        ds, epochs=3, batch_size=64, shuffle=False, verbose=0, callbacks=[cb]
+    ).history["loss"]
+    del m1  # the "crash"
+
+    m2 = build()
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    step = mgr.restore_training(m2, data=ds)
+    assert step == 2  # last completed epoch index
+    part2 = m2.fit(
+        ds, epochs=6, batch_size=64, shuffle=False, verbose=0, initial_epoch=step + 1
+    ).history["loss"]
+
+    np.testing.assert_allclose(part1 + part2, full, rtol=1e-5)
+
+
+def test_restore_training_requires_optimizer_payload(tmp_path):
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+    from models_tpu.utils.checkpoint import CheckpointManager
+
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 20, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 20, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    rows = np.arange(64, dtype=np.int32) % 20
+    ds = Dataset({"user_id": rows, "item_id": rows.copy()}, schema=schema)
+    m = MatrixFactorizationModel(schema, dim=8)
+    m.build(ds)
+    mgr = CheckpointManager(str(tmp_path / "weights_only"))
+    mgr.save(0, m)  # weights only
+    m2 = MatrixFactorizationModel(schema, dim=8)
+    m2.compile()
+    with pytest.raises((ValueError, FileNotFoundError)):
+        mgr.restore_training(m2, data=ds)

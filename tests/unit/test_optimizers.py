@@ -298,3 +298,22 @@ def test_learning_rate_schedule_sparse_embedding_optimizer():
     )
     table0 = EmbeddingTable(8, col, seed=11).to_array()
     np.testing.assert_array_equal(one_step(lambda step: 0.0), table0)
+
+
+def test_sparse_optimizer_continuation_across_fits():
+    """fit()+fit() with the row-sparse embedding optimizer continues BOTH the
+    dense slots (side table) and the sparse per-table slots (module state):
+    split fits must match one long fit."""
+    ds, schema = identity_dataset()
+
+    def build():
+        m = MatrixFactorizationModel(schema, dim=8)
+        m.compile(optimizer="adam", learning_rate=0.05,
+                  embedding_optimizer="lazy_adam")
+        return m
+
+    one = build().fit(ds, epochs=6, batch_size=64, shuffle=False, verbose=0).history["loss"]
+    m = build()
+    a = m.fit(ds, epochs=3, batch_size=64, shuffle=False, verbose=0).history["loss"]
+    b = m.fit(ds, epochs=3, batch_size=64, shuffle=False, verbose=0).history["loss"]
+    np.testing.assert_allclose(a + b, one, rtol=1e-5)

@@ -530,3 +530,33 @@ def test_eval_pack_respects_drop_last_and_compile_resets_caches():
     m.compile(optimizer="adam", learning_rate=0.01)
     assert not m._fused_fit_cache and not m._epoch_log_cache
     assert not m._pre_jit_cache and not m._step_cache
+
+
+def test_bf16_optimizer_state_on_mesh():
+    """optimizer_state_dtype composes with mesh sharding: slots shard like
+    their params and the trajectory tracks the unsharded bf16-state run."""
+    from models_tpu.data import Dataset
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+
+    rng = np.random.default_rng(0)
+    users = rng.integers(0, 49, size=256).astype(np.int32)
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 49, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 49, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    ds = Dataset({"user_id": users, "item_id": users.copy()}, schema=schema)
+
+    def run(mesh):
+        m = MatrixFactorizationModel(schema, dim=8)
+        m.compile(optimizer="adam", learning_rate=0.05,
+                  optimizer_state_dtype="bfloat16")
+        return m.fit(
+            ds, epochs=2, batch_size=32, shuffle=False, verbose=0, mesh=mesh
+        ).history["loss"]
+
+    np.testing.assert_allclose(
+        run(None), run(cpu_mesh({"data": 2, "model": 2})), rtol=1e-3
+    )

@@ -32,6 +32,37 @@ from flax import nnx
 # row-sparse embedding optimizers
 # ---------------------------------------------------------------------------
 
+def _table_salt(table) -> int:
+    """Stable per-table integer for stochastic-rounding keys (process-hash-free
+    so runs are reproducible across processes)."""
+    import zlib
+
+    name = getattr(table, "block_name", None) or "table"
+    return zlib.crc32(str(name).encode()) & 0x7FFFFFFF
+
+
+def _commit_rows(tbl, sids, delta, valid, step, salt):
+    """Apply per-row optimizer deltas to a table.
+
+    float32 tables: in-place Pallas scatter-ADD of the delta (unchanged hot
+    path). Low-precision (bfloat16) tables: the new row is computed in float32
+    and written back with STOCHASTIC ROUNDING — round-to-nearest would drop
+    any update smaller than half a ulp of the running value and stall
+    learning; unbiased rounding applies it with proportional probability. The
+    rounding key is (step, table) so replays are deterministic."""
+    from ..ops.scatter import (
+        pallas_row_scatter_add,
+        pallas_row_scatter_write,
+        stochastic_round,
+    )
+
+    if tbl.dtype == jnp.float32:
+        return pallas_row_scatter_add(tbl, sids, delta, valid)
+    old = jnp.take(tbl, sids, axis=0).astype(jnp.float32)
+    key = jax.random.fold_in(jax.random.key(salt), jnp.asarray(step, jnp.uint32))
+    rows = stochastic_round(old + delta, key, tbl.dtype)
+    return pallas_row_scatter_write(tbl, sids, rows, valid)
+
 class SparseEmbeddingOptimizer:
     """Scatter-updates embedding tables from (ids, row-grads) pairs.
 
@@ -93,7 +124,7 @@ class SparseEmbeddingOptimizer:
         from ..ops.scatter import dedup_rows, pallas_row_scatter_add
 
         flat_ids = ids.reshape(-1)
-        flat_g = grads.reshape(-1, grads.shape[-1])
+        flat_g = grads.reshape(-1, grads.shape[-1]).astype(jnp.float32)
         sids, gsum, valid = dedup_rows(flat_ids, flat_g)
         n_shards = dict(mesh.shape).get(axis, 1) if mesh is not None else 1
         if n_shards > 1 and table.padded_rows % n_shards == 0:
@@ -101,10 +132,11 @@ class SparseEmbeddingOptimizer:
         # learning_rate may be an optax-style schedule: step -> lr (Keras
         # LearningRateSchedule parity; evaluated inside the traced step)
         lr = self.learning_rate(step) if callable(self.learning_rate) else self.learning_rate
+        salt = _table_salt(table)
 
         if self.kind == "sgd":
-            table.table.value = pallas_row_scatter_add(
-                table.table.value, sids, -lr * gsum, valid
+            table.table.value = _commit_rows(
+                table.table.value, sids, -lr * gsum, valid, step, salt
             )
             return
 
@@ -115,8 +147,8 @@ class SparseEmbeddingOptimizer:
                 acc, sids, gsum * gsum, valid
             )
             denom = jnp.sqrt(acc_new_rows) + self.eps
-            table.table.value = pallas_row_scatter_add(
-                table.table.value, sids, -lr * gsum / denom, valid
+            table.table.value = _commit_rows(
+                table.table.value, sids, -lr * gsum / denom, valid, step, salt
             )
             return
 
@@ -133,8 +165,9 @@ class SparseEmbeddingOptimizer:
         t = jnp.maximum(step.astype(jnp.float32) + 1.0, 1.0)
         mhat = m_new / (1 - b1**t)
         vhat = v_new / (1 - b2**t)
-        table.table.value = pallas_row_scatter_add(
-            table.table.value, sids, -lr * mhat / (jnp.sqrt(vhat) + self.eps), valid
+        table.table.value = _commit_rows(
+            table.table.value, sids,
+            -lr * mhat / (jnp.sqrt(vhat) + self.eps), valid, step, salt,
         )
 
     def _apply_sharded(self, table, sids, gsum, valid, step, mesh, axis):
@@ -149,6 +182,7 @@ class SparseEmbeddingOptimizer:
         n = dict(mesh.shape)[axis]
         rows_per = table.padded_rows // n
         lr_spec, eps, kind = self.learning_rate, self.eps, self.kind
+        salt = _table_salt(table)
         slot_names = sorted(table.sparse_slots) if table.sparse_slots is not None else []
         slots = {k: table.sparse_slots[k].value for k in slot_names}
         b1, b2 = self.beta1, self.beta2
@@ -160,13 +194,13 @@ class SparseEmbeddingOptimizer:
             owned = valid & (local_ids >= 0) & (local_ids < rows_per)
             safe = jnp.clip(local_ids, 0, rows_per - 1).astype(jnp.int32)
             if kind == "sgd":
-                return pallas_row_scatter_add(tbl, safe, -lr * gsum, owned), slots
+                return _commit_rows(tbl, safe, -lr * gsum, owned, step, salt), slots
             if kind == "adagrad":
                 acc = slots["acc"]
                 acc_rows = jnp.take(acc, safe, axis=0) + gsum * gsum
                 new_acc = pallas_row_scatter_add(acc, safe, gsum * gsum, owned)
                 denom = jnp.sqrt(acc_rows) + eps
-                new_tbl = pallas_row_scatter_add(tbl, safe, -lr * gsum / denom, owned)
+                new_tbl = _commit_rows(tbl, safe, -lr * gsum / denom, owned, step, salt)
                 return new_tbl, {"acc": new_acc}
             m, v = slots["m"], slots["v"]
             m_old = jnp.take(m, safe, axis=0)
@@ -178,8 +212,8 @@ class SparseEmbeddingOptimizer:
             t = jnp.maximum(step.astype(jnp.float32) + 1.0, 1.0)
             mhat = m_new / (1 - b1**t)
             vhat = v_new / (1 - b2**t)
-            new_tbl = pallas_row_scatter_add(
-                tbl, safe, -lr * mhat / (jnp.sqrt(vhat) + eps), owned
+            new_tbl = _commit_rows(
+                tbl, safe, -lr * mhat / (jnp.sqrt(vhat) + eps), owned, step, salt
             )
             return new_tbl, {"m": new_m, "v": new_v}
 

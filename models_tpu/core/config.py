@@ -92,6 +92,15 @@ class _Encoder:
             return v
         if isinstance(v, enum.Enum):  # Tags etc.
             return {"__enum__": _class_path(type(v)), "value": v.value}
+        if isinstance(v, np.dtype):
+            return {"__dtype__": v.name}
+        if isinstance(v, type):
+            # dtype-like classes (jnp.bfloat16, np.float32, ...) passed as
+            # constructor args (e.g. EmbeddingTable(dtype=...))
+            try:
+                return {"__dtype__": np.dtype(v).name}
+            except TypeError:
+                pass
         if isinstance(v, (np.ndarray, jax.Array)) or isinstance(v, (np.generic,)):
             arr = np.asarray(v)
             if arr.size <= 16 and arr.dtype.kind in "ifb":
@@ -159,6 +168,8 @@ class _Decoder:
         assert isinstance(v, dict)
         if "__enum__" in v:
             return _import_class(v["__enum__"])(v["value"])
+        if "__dtype__" in v:
+            return np.dtype(v["__dtype__"])  # ml_dtypes names resolve once jax is imported
         if "__array__" in v:
             return np.asarray(v["__array__"], dtype=v["dtype"]).reshape(v["shape"])
         if "__array_ref__" in v:

@@ -164,8 +164,18 @@ class EmbeddingTable(Block):
                 out = sharded_lookup(
                     self.table.value, flat, mesh, axis=MODEL_AXIS, data_axis=DATA_AXIS
                 )
-                return out.reshape(tuple(ids.shape) + (self.dim,))
-        return jnp.take(self.table.value, ids, axis=0)
+                return self._cast_up(out.reshape(tuple(ids.shape) + (self.dim,)))
+        return self._cast_up(jnp.take(self.table.value, ids, axis=0))
+
+    def _cast_up(self, emb: jnp.ndarray) -> jnp.ndarray:
+        """Low-precision tables (bf16 at rest, stochastic-rounding updates) cast
+        gathered rows to the policy compute dtype, so activations and tap
+        gradients keep master quality regardless of the at-rest width."""
+        if emb.dtype == jnp.float32:
+            return emb
+        from ..core.policy import compute_dtype
+
+        return emb.astype(compute_dtype())
 
     def _tap(self, emb, ids, feature, context):
         """Sparse-training hook: inject the zero 'tap' tensor so the engine can
@@ -221,6 +231,7 @@ def Embeddings(
     infer_dim_multiplier: float = 2.0,
     l2_reg: float = 0.0,
     table_kwargs: Optional[Dict[str, dict]] = None,
+    param_dtype=None,
     seed: int = 0,
     fused: bool = False,
     tt_compression_threshold: Optional[int] = None,
@@ -236,7 +247,12 @@ def Embeddings(
     - ``tt_compression_threshold``: domains with cardinality above it use
       tensor-train compressed tables (TT-Rec, :class:`TTEmbeddingTable`) —
       100s-of-x less HBM for giant catalogs at the cost of two small extra
-      matmuls per lookup.
+      matmuls per lookup;
+    - ``param_dtype=jnp.bfloat16``: tables stored bfloat16 at rest (half the
+      HBM and half the gather/update traffic; doubles the max catalog size).
+      Requires a sparse ``embedding_optimizer`` — updates are written back
+      with stochastic rounding so training quality holds (lookups cast up to
+      the policy compute dtype).
     """
     cat = schema.categorical
     if not len(cat):
@@ -318,6 +334,9 @@ def Embeddings(
                     seed=seed + i,
                 )
                 continue
+        if param_dtype is not None:
+            kw = dict(kw)
+            kw.setdefault("dtype", param_dtype)
         tables[domain] = EmbeddingTable(
             dim=_dim_for(domain, cols),
             col_schema=cols,

@@ -1069,6 +1069,21 @@ class BaseModel(Block):
         self._pre_transform = as_block(pre) if pre is not None else nnx.data(None)
 
         sparse = getattr(self, "_emb_opt", None)
+        if sparse is None:
+            lowp = [
+                t
+                for t in self._embedding_tables()
+                if t.trainable and t.table.value.dtype != jnp.float32
+            ]
+            if lowp:
+                raise ValueError(
+                    "Low-precision embedding tables "
+                    f"({[t.block_name for t in lowp]}) train via stochastic-"
+                    "rounding scatter updates — compile() with a sparse "
+                    'embedding_optimizer (e.g. embedding_optimizer="adagrad"); '
+                    "the dense optimizer would round-to-nearest in bf16 and "
+                    "silently drop small updates"
+                )
         tap_shapes = None
         if sparse is not None:
             tap_shapes = self._setup_sparse_embeddings(loader, sparse)

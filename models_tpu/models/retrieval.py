@@ -133,16 +133,21 @@ def MatrixFactorizationModel(
     logq_correction: bool = True,
     l2_reg: float = 0.0,
     post: Optional[Block] = None,
+    table_dtype=None,
     seed: int = 0,
 ) -> RetrievalModelV2:
-    """User-id × item-id embedding dot product with sampled-softmax training."""
+    """User-id × item-id embedding dot product with sampled-softmax training.
+
+    ``table_dtype=jnp.bfloat16`` stores both id tables bf16 at rest (half HBM,
+    stochastic-rounding updates — requires a sparse ``embedding_optimizer``)."""
     user_col = schema.user_id_column
     item_col = schema.item_id_column
     if dim is None:
         dim = max(infer_embedding_dim(user_col), infer_embedding_dim(item_col))
 
-    user_table = EmbeddingTable(dim, user_col, l2_reg=l2_reg, seed=seed)
-    item_table = EmbeddingTable(dim, item_col, l2_reg=l2_reg, seed=seed + 1)
+    tkw = {} if table_dtype is None else {"dtype": table_dtype}
+    user_table = EmbeddingTable(dim, user_col, l2_reg=l2_reg, seed=seed, **tkw)
+    item_table = EmbeddingTable(dim, item_col, l2_reg=l2_reg, seed=seed + 1, **tkw)
 
     query = EmbeddingEncoder(user_table)
     output = ContrastiveOutput(
@@ -170,6 +175,7 @@ def TwoTowerModel(
     l2_norm: bool = False,
     dropout: Optional[float] = None,
     post: Optional[Block] = None,
+    table_dtype=None,
     seed: int = 0,
 ) -> RetrievalModelV2:
     """Schema-split user/item MLP towers (reference ``TwoTowerModelV2 :489``).
@@ -191,8 +197,9 @@ def TwoTowerModel(
         if isinstance(tower, Block):
             return tower
         dims = tuple(tower) if tower is not None else (128, 64)
+        in_kw = {} if table_dtype is None else {"param_dtype": table_dtype}
         layers = [
-            InputBlockV2(tower_schema, dim=embedding_dim, seed=tower_seed),
+            InputBlockV2(tower_schema, dim=embedding_dim, seed=tower_seed, **in_kw),
             MLPBlock(dims, dropout=dropout, no_activation_last_layer=True, seed=tower_seed),
         ]
         if l2_norm:

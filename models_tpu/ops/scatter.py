@@ -46,6 +46,142 @@ def _xla_scatter_add(table, ids, updates, valid):
     return table.at[ids].add(upd, mode="drop")
 
 
+def stochastic_round(x: jnp.ndarray, key, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Round float32 to ``dtype`` stochastically: P(round up) equals the
+    fractional distance to the upper representable neighbour, so rounding is
+    unbiased in expectation. This is what makes low-precision embedding-table
+    TRAINING work — round-to-nearest silently drops updates smaller than half
+    a ulp of the (large) running value, stalling learning; stochastic rounding
+    applies them with proportional probability (the standard production
+    technique for bf16 recommender tables on TPU).
+
+    Implementation: add uniform noise to the mantissa bits that truncation
+    will discard, then truncate — exact for values already representable."""
+    if jnp.dtype(dtype) != jnp.bfloat16:
+        raise NotImplementedError("stochastic_round targets bfloat16")
+    x = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    noise = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    rounded = (bits + noise) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(jnp.bfloat16)
+
+
+def _xla_scatter_write(table, ids, rows, valid):
+    R = table.shape[0]
+    # invalid positions write out-of-bounds and get dropped — duplicate ids
+    # among padding can never race a valid write
+    safe = jnp.where(valid, ids, R)
+    return table.at[safe].set(rows.astype(table.dtype), mode="drop")
+
+
+def pallas_row_scatter_write(
+    table: jnp.ndarray,    # (R, D)
+    ids: jnp.ndarray,      # (B,) int32 — valid positions must target UNIQUE rows
+    rows: jnp.ndarray,     # (B, D) final row values (already in table dtype)
+    valid: Optional[jnp.ndarray] = None,
+    block: int = 2048,
+    n_buf: int = 8,
+    interpret: bool = False,
+    force_xla: bool = False,
+) -> jnp.ndarray:
+    """``table[ids[j]] = rows[j]`` for every valid j; returns the table.
+
+    The write-mode sibling of :func:`pallas_row_scatter_add` (same donated
+    in-place pipeline, no read phase): used by the stochastic-rounding update
+    for low-precision tables, where the new row value is computed in float32
+    and must REPLACE the old one (adding a rounded delta to a rounded base
+    would double-round). HBM traffic ~ B x D x itemsize, independent of R."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = ids.shape[0]
+    R, D = table.shape
+    if valid is None:
+        valid = jnp.ones((B,), bool)
+    rows = rows.astype(table.dtype)
+    if force_xla or (not interpret and jax.default_backend() != "tpu"):
+        return _xla_scatter_write(table, ids, rows, valid)
+
+    block = min(block, max(n_buf, B))
+    pad = (-B) % block
+    if pad:
+        ids = jnp.pad(ids, (0, pad))
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    ids = ids.astype(jnp.int32)
+    vmask = valid.astype(jnp.int32)
+    n_blocks = ids.shape[0] // block
+    lo = min(n_buf, block)
+
+    def kernel(ids_ref, valid_ref, rows_ref, tbl_in_ref, out_ref, dummy_ref, wbuf, wsem):
+        del tbl_in_ref  # aliased with out_ref
+        base = pl.program_id(0) * block
+
+        def write_op(j, action):
+            slot = j % n_buf
+
+            @pl.when(valid_ref[base + j] != 0)
+            def _():
+                action(
+                    pltpu.make_async_copy(
+                        wbuf.at[slot], out_ref.at[ids_ref[base + j]], wsem.at[slot]
+                    )
+                )
+
+            @pl.when(valid_ref[base + j] == 0)
+            def _():
+                action(
+                    pltpu.make_async_copy(wbuf.at[slot], dummy_ref.at[slot], wsem.at[slot])
+                )
+
+        def body(j, _):
+            slot = j % n_buf
+
+            # retire the write that last used wbuf[slot]
+            @pl.when(j >= n_buf)
+            def _():
+                write_op(j - n_buf, lambda c: c.wait())
+
+            wbuf[slot, :] = rows_ref[j, :]
+            write_op(j, lambda c: c.start())
+            return ()
+
+        jax.lax.fori_loop(0, block, body, ())
+
+        # epilogue: retire the last writes before the block ends
+        for k in range(lo):
+            write_op(block - lo + k, lambda c: c.wait())
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # ids, valid
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, D), lambda b, *_: (b, 0)),  # rows: VMEM per block
+            pl.BlockSpec(memory_space=pltpu.ANY),            # table stays in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),            # table (aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),            # dummy write target
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, D), table.dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+        ],
+    )
+    out, _ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, D), table.dtype),
+            jax.ShapeDtypeStruct((n_buf, D), table.dtype),
+        ),
+        input_output_aliases={3: 0},  # operand order: ids, valid, rows, table
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(ids, vmask, rows, table)
+    return out
+
+
 def pallas_row_scatter_add(
     table: jnp.ndarray,    # (R, D)
     ids: jnp.ndarray,      # (B,) int32 — valid positions must target UNIQUE rows

@@ -97,7 +97,13 @@ def _flatten_state(state) -> Dict[str, np.ndarray]:
     for path, leaf in leaves:
         if leaf is None:
             continue
-        out[_path_str(path)] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype.name == "bfloat16":
+            # np.savez stores ml_dtypes arrays as raw void bytes that won't
+            # round-trip; float32 is exact for every bf16 value and the load
+            # path casts back to the template leaf's dtype
+            arr = arr.astype(np.float32)
+        out[_path_str(path)] = arr
     return out
 
 
@@ -213,7 +219,11 @@ def load_model(path: str):
             key = _path_str(pth)
             if key not in arrays:
                 raise KeyError(f"saved state missing {key!r}")
-            return jnp.asarray(arrays[key])
+            out = jnp.asarray(arrays[key])
+            tgt = getattr(leaf, "dtype", None)
+            if tgt is not None and out.dtype != tgt:
+                out = out.astype(tgt)  # e.g. bf16 tables stored as exact f32
+            return out
 
         new_state = jax.tree_util.tree_map_with_path(restore, state)
         nnx.update(model, new_state)

@@ -138,3 +138,44 @@ def test_export_serving_retrieval_topk(tmp_path):
         np.asarray(out["scores"]), np.asarray(ref["scores"])[:32], rtol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(out["ids"]), np.asarray(ref["ids"])[:32])
+
+
+def test_bf16_table_model_saves_declaratively(tmp_path):
+    """dtype constructor args serialize into config.json (no pickle fallback)
+    and bf16 tables round-trip through the f32-encoded state.npz exactly."""
+    import warnings
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from models_tpu.data import Dataset
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 20, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 20, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    rows = np.arange(64, dtype=np.int32) % 20
+    ds = Dataset({"user_id": rows, "item_id": rows.copy()}, schema=schema)
+    m = MatrixFactorizationModel(schema, dim=8, table_dtype=jnp.bfloat16)
+    m.compile(optimizer="adam", embedding_optimizer="adagrad")
+    m.fit(ds, epochs=1, batch_size=32, verbose=0)
+    d = str(tmp_path / "m")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # pickle-fallback warning = failure
+        m.save(d)
+    import os
+
+    assert "config.json" in os.listdir(d)
+    from models_tpu import load_model
+
+    m2 = load_model(d)
+    for t in m2._embedding_tables():
+        assert t.table.value.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        m.query_encoder.table.to_array().astype(np.float32),
+        m2.query_encoder.table.to_array().astype(np.float32),
+    )

@@ -531,3 +531,44 @@ def test_a2a_lookup_out_of_range_ids_contribute_zero():
     # and the psum fallback agrees (B=15 not divisible by 4 → psum path)
     out_psum = sharded_lookup(table, ids[:15], mesh)
     np.testing.assert_allclose(np.asarray(out_psum), ref[:15], rtol=1e-6)
+
+
+def test_stochastic_round_exact_and_unbiased():
+    import jax
+
+    from models_tpu.ops.scatter import stochastic_round
+
+    # representable values round exactly under any key
+    exact = jnp.asarray([0.0, 1.0, -2.5, 0.15625], jnp.float32)  # bf16-exact
+    out = stochastic_round(exact, jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(out, np.float32), np.asarray(exact))
+    assert out.dtype == jnp.bfloat16
+
+    # unbiased in expectation: mean over many iid roundings ~= the fp32 value
+    x = jnp.full((200_000,), 1.0039, jnp.float32)  # between bf16 neighbours
+    r = stochastic_round(x, jax.random.key(7)).astype(jnp.float32)
+    vals = set(np.unique(np.asarray(r)))
+    assert len(vals) == 2  # rounds to the two neighbours only
+    np.testing.assert_allclose(float(r.mean()), 1.0039, atol=2e-4)
+
+
+def test_pallas_row_scatter_write_matches_numpy():
+    import jax
+
+    from models_tpu.ops.scatter import pallas_row_scatter_write
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((64, 8)), jnp.bfloat16)
+    ids = jnp.asarray([3, 9, 3, 17], jnp.int32)     # id 3 repeated: 2nd invalid
+    valid = jnp.asarray([True, True, False, True])
+    rows = jnp.asarray(rng.standard_normal((4, 8)), jnp.bfloat16)
+
+    want = np.asarray(table, np.float32)
+    for j in range(4):
+        if bool(valid[j]):
+            want[int(ids[j])] = np.asarray(rows[j], np.float32)
+
+    for kw in ({"interpret": True, "block": 4, "n_buf": 2}, {"force_xla": True}):
+        got = pallas_row_scatter_write(table, ids, rows, valid, **kw)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(got, np.float32), want)

@@ -317,3 +317,56 @@ def test_sparse_optimizer_continuation_across_fits():
     a = m.fit(ds, epochs=3, batch_size=64, shuffle=False, verbose=0).history["loss"]
     b = m.fit(ds, epochs=3, batch_size=64, shuffle=False, verbose=0).history["loss"]
     np.testing.assert_allclose(a + b, one, rtol=1e-5)
+
+
+def test_bf16_table_sparse_update_stochastic_rounding_unit():
+    """bf16-at-rest table + sparse adagrad: table stays bf16, slots stay fp32,
+    only looked-up rows move, and tiny updates land in EXPECTATION (the whole
+    point of stochastic rounding — round-to-nearest would drop them all)."""
+    col = create_categorical_column("item", 99)
+    table = EmbeddingTable(8, col, dtype=jnp.bfloat16, seed=3)
+    assert table.table.value.dtype == jnp.bfloat16
+    opt = SparseEmbeddingOptimizer("sgd", learning_rate=1.0)
+    opt.init_slots(table)
+
+    # drive row 5 (value ~0.05 scale) with an update ~1e-4 x its ulp scale:
+    # nearest-rounding would be a no-op every step; SR must move the mean
+    before = table.to_array()[5].astype(np.float32).copy()
+    tiny = -1e-5  # update = -lr * grad = +1e-5
+    moved = []
+    for step in range(300):
+        g = jnp.zeros((1, 8), jnp.float32) + tiny
+        opt.apply(table, jnp.asarray([5]), g, jnp.asarray(step))
+    after = table.to_array()[5].astype(np.float32)
+    drift = (after - before).mean()
+    # expectation: 300 steps x 1e-5 = 3e-3 of drift (rtol loose: SR variance)
+    np.testing.assert_allclose(drift, 3e-3, rtol=0.5)
+    assert table.table.value.dtype == jnp.bfloat16
+
+
+def test_bf16_tables_train_end_to_end():
+    """MatrixFactorizationModel(table_dtype=bf16) + sparse optimizer tracks the
+    fp32-table trajectory (the stochastic-rounding quality claim) and the
+    dense optimizer path refuses bf16 tables with a clear error."""
+    ds, schema = identity_dataset()
+
+    def run(dt):
+        m = MatrixFactorizationModel(schema, dim=16, table_dtype=dt)
+        m.compile(optimizer="adam", learning_rate=0.5,
+                  embedding_optimizer="adagrad")
+        h = m.fit(ds, epochs=12, batch_size=64, shuffle=False, verbose=0)
+        return m, h.history["loss"]
+
+    m32, l32 = run(None)
+    mbf, lbf = run(jnp.bfloat16)
+    assert l32[-1] < l32[0] - 0.03  # both actually learned
+    assert lbf[-1] < lbf[0] - 0.03
+    np.testing.assert_allclose(lbf, l32, rtol=2e-2)  # SR matches fp32 quality
+    for t in mbf._embedding_tables():
+        if t.trainable:
+            assert t.table.value.dtype == jnp.bfloat16
+
+    m2 = MatrixFactorizationModel(schema, dim=16, table_dtype=jnp.bfloat16)
+    m2.compile(optimizer="adam", learning_rate=0.05)  # dense path
+    with pytest.raises(ValueError, match="stochastic"):
+        m2.fit(ds, epochs=1, batch_size=64, verbose=0)

@@ -560,3 +560,37 @@ def test_bf16_optimizer_state_on_mesh():
     np.testing.assert_allclose(
         run(None), run(cpu_mesh({"data": 2, "model": 2})), rtol=1e-3
     )
+
+
+def test_bf16_table_sharded_sparse_training():
+    """bf16-at-rest tables x model-sharded mesh x row-sparse optimizer: the
+    stochastic-rounding write runs inside the shard_map and the trajectory
+    tracks the fp32-table sharded run."""
+    from models_tpu.data import Dataset
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+
+    rng = np.random.default_rng(0)
+    users = rng.integers(0, 63, size=256).astype(np.int32)
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 63, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 63, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    ds = Dataset({"user_id": users, "item_id": users.copy()}, schema=schema)
+    mesh = cpu_mesh({"data": 2, "model": 2})
+
+    def run(dt):
+        import jax.numpy as jnp
+
+        m = MatrixFactorizationModel(
+            schema, dim=16, table_dtype=None if dt is None else jnp.bfloat16
+        )
+        m.compile(optimizer="adam", learning_rate=0.5, embedding_optimizer="adagrad")
+        h = m.fit(ds, epochs=4, batch_size=64, shuffle=False, verbose=0, mesh=mesh)
+        return h.history["loss"]
+
+    l32, lbf = run(None), run("bf16")
+    assert lbf[-1] < lbf[0]
+    np.testing.assert_allclose(lbf, l32, rtol=2e-2)

@@ -36,6 +36,8 @@ BATCH = 8192
 N1, N2 = 10, 60
 PIPE_BATCHES = 128
 BENCH_DATA = "/root/.cache/models_tpu_bench_data/ml25m_1048576"
+# sparse-optimizer section table sizes (module-level so smoke tests can shrink)
+SPARSE_R_MAIN, SPARSE_R_BIG, SPARSE_R_BF16 = 4_000_000, 8_000_000, 16_000_000
 
 
 _SALT = [0.0]
@@ -598,8 +600,15 @@ def bench_sparse_optimizer():
 
     Head-to-head at 4M x 128 (dense at 8M x 128 exceeds HBM: the dense path
     needs table + slot + dense grad + temps ≈ 19G > 15.75G — the sparse path is
-    the only way to *train* an 8M-row table on one chip at all)."""
-    from models_tpu.ops.scatter import dedup_rows, pallas_row_scatter_add
+    the only way to *train* an 8M-row table on one chip at all). The bf16
+    variant stores the TABLE bfloat16 with stochastic-rounding writes (fp32
+    slots): half the table HBM, so 16M x 128 trains on one chip."""
+    from models_tpu.ops.scatter import (
+        dedup_rows,
+        pallas_row_scatter_add,
+        pallas_row_scatter_write,
+        stochastic_round,
+    )
 
     D, B = 128, 8192
     lr, eps = 0.05, 1e-8
@@ -629,26 +638,47 @@ def bench_sparse_optimizer():
             w = w - lr * g / (jnp.sqrt(acc) + eps)
             return (w, acc), ()
 
-        step_fn = sparse_step if step_kind == "sparse" else dense_step
+        def bf16_sparse_step(carry, t):
+            w, acc = carry  # w: bf16 table, acc: fp32 slots
+            ids = jax.random.randint(jax.random.fold_in(jax.random.key(5), t), (B,), 0, R)
+            g = jnp.full((B, D), 1e-6) * (1.0 + w[0, 0].astype(jnp.float32))
+            sids, gsum, valid = dedup_rows(ids, g)
+            acc_new_rows = jnp.take(acc, sids, axis=0) + gsum * gsum
+            acc = pallas_row_scatter_add(acc, sids, gsum * gsum, valid)
+            old = jnp.take(w, sids, axis=0).astype(jnp.float32)
+            rows = stochastic_round(
+                old - lr * gsum / (jnp.sqrt(acc_new_rows) + eps),
+                jax.random.fold_in(jax.random.key(9), t),
+            )
+            w = pallas_row_scatter_write(w, sids, rows, valid)
+            return (w, acc), ()
+
+        step_fn = {
+            "sparse": sparse_step, "dense": dense_step, "bf16": bf16_sparse_step
+        }[step_kind]
+        w_dtype = jnp.bfloat16 if step_kind == "bf16" else jnp.float32
 
         def run(n, salt):
             @partial(jax.jit, donate_argnums=(0, 1))
             def go(w, acc):
                 (w, acc), _ = jax.lax.scan(step_fn, (w, acc), jnp.arange(n))
-                return w[0, 0]
+                return w[0, 0].astype(jnp.float32)
 
             return float(
-                go(jnp.full((R, D), salt * 1e-12), jnp.full((R, D), 0.1))
+                go(jnp.full((R, D), salt * 1e-12, w_dtype), jnp.full((R, D), 0.1))
             )
 
         return run
 
     # sparse steps are sub-ms: spread the step counts far apart so the marginal
     # rises above tunnel jitter
-    sparse_4m = _marginal(make("sparse", 4_000_000), 2, 202) * 1000
-    dense_4m = _marginal(make("dense", 4_000_000), 2, 12) * 1000
-    sparse_8m = _marginal(make("sparse", 8_000_000), 2, 202) * 1000
-    return sparse_4m, dense_4m, sparse_8m
+    sparse_4m = _marginal(make("sparse", SPARSE_R_MAIN), 2, 202) * 1000
+    dense_4m = _marginal(make("dense", SPARSE_R_MAIN), 2, 12) * 1000
+    sparse_8m = _marginal(make("sparse", SPARSE_R_BIG), 2, 202) * 1000
+    # bf16 table + SR: half the table HBM — 16M x 128 is untrainable any other
+    # way on one chip (fp32 sparse caps at ~8M, dense at ~4M)
+    bf16_16m = _marginal(make("bf16", SPARSE_R_BF16), 2, 202) * 1000
+    return sparse_4m, dense_4m, sparse_8m, bf16_16m
 
 
 # ---------------------------------------------------------------------------
@@ -714,7 +744,7 @@ def main():
     (sparse_res, contention["sparse_opt"]) = _section(
         bench_sparse_optimizer, fom=lambda r: r[0], clean_fom=1.6
     )
-    sparse_4m, dense_4m, sparse_8m = sparse_res
+    sparse_4m, dense_4m, sparse_8m, bf16_16m = sparse_res
 
     # headline = the fastest production config (all three trajectory-tested);
     # every variant recorded in extras
@@ -761,6 +791,8 @@ def main():
             "sparse_vs_dense_speedup": round(dense_4m / sparse_4m, 2),
             "sparse_adagrad_step_ms_8Mx128": round(sparse_8m, 3),
             "dense_adagrad_8Mx128": "OOM (needs 19.1G of 15.75G HBM)",
+            "bf16_sr_sparse_adagrad_step_ms_16Mx128": round(bf16_16m, 3),
+            "fp32_16Mx128": "OOM (table+slots 16G of 15.75G HBM)",
             # calibration-kernel slowdown (1.0 = clean) of the window each
             # section's KEPT attempt ran in; contended sections were retried
             "contention": contention,

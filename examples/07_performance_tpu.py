@@ -11,10 +11,18 @@ mm.set_dtype_policy("mixed_bfloat16")
 
 train, valid = mm.data.datasets.get_movielens(variant="ml-25m", num_rows=262_144)
 
-model = mm.TwoTowerModel(train.schema, query_tower=(256, 128), embedding_dim=128)
+import jax.numpy as jnp
+
+# bf16-at-rest tables: half the table HBM + gather/update traffic; updates
+# write back with stochastic rounding so training quality matches fp32
+# (16M x 128 catalogs fit on one chip this way — fp32 sparse caps at ~8M)
+model = mm.TwoTowerModel(train.schema, query_tower=(256, 128), embedding_dim=128,
+                         table_dtype=jnp.bfloat16)
 model.compile(
     optimizer="adagrad",
     learning_rate=0.05,
+    # bf16-at-rest optimizer slots for the dense params (state traffic /2)
+    optimizer_state_dtype="bfloat16",
     # row-sparse optimizer: Pallas scatter touches only the looked-up rows —
     # wins big once tables are HBM-scale (and is the only way past ~8M rows)
     embedding_optimizer="lazy_adam",

@@ -686,7 +686,39 @@ def bench_sparse_optimizer():
 V5E_HBM_GBPS = 819.0
 
 
+def _require_device(timeout_s: float = 180.0) -> None:
+    """Fail fast with a well-formed JSON line when the TPU tunnel is down.
+
+    Outages make ``jax.devices()`` HANG (no error), which would wedge the
+    whole bench run past any wall bound. Probe it on a daemon thread and emit
+    an explicit error record if it never answers."""
+    import threading
+
+    got = []
+    t = threading.Thread(target=lambda: got.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if got:
+        return
+    print(
+        json.dumps(
+            {
+                "metric": "two_tower_train_examples_per_sec",
+                "value": 0.0,
+                "unit": "examples/sec",
+                "vs_baseline": 0.0,
+                "extra": {
+                    "error": f"TPU backend unreachable within {timeout_s:.0f}s "
+                    "(axon tunnel outage — jax.devices() hung); no measurements taken"
+                },
+            }
+        )
+    )
+    sys.exit(0)
+
+
 def main():
+    _require_device()
     # persistent compile cache: repeat bench runs skip the ~60s TPU compiles
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_bench")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -578,6 +578,27 @@ def bench_topk():
 
     q_time = _marginal(run_queries, 2, 22)
 
+    # bf16 index: the exact same dispatch over a half-width candidate matrix
+    # (phase A streams the catalog, so ideal speedup approaches 2x)
+    cand_bf16 = cand.astype(jnp.bfloat16)
+
+    def run_queries_bf16(n, salt):
+        @jax.jit
+        def go(cand, salt):
+            def body(carry, t):
+                q = jax.random.normal(
+                    jax.random.fold_in(jax.random.key(7), t), (B, D)
+                ) + carry * 0
+                s, i = topk_scores(q, cand, K, tile=4096)
+                return carry + jnp.sum(s[:, 0].astype(jnp.float32)) * 1e-12, i
+
+            c, ids = jax.lax.scan(body, salt, jnp.arange(n))
+            return ids[-1, 0, 0] + c
+
+        return float(go(cand_bf16, jnp.float32(salt)))
+
+    q_time_bf16 = _marginal(run_queries_bf16, 2, 22)
+
     def run_build(n, salt):
         @jax.jit
         def go(feats, salt):
@@ -591,7 +612,7 @@ def bench_topk():
         return float(go(item_feats, jnp.float32(salt)))
 
     build_time = _marginal(run_build, 1, 4)
-    return B / q_time, q_time * 1000, build_time * 1000
+    return B / q_time, q_time * 1000, build_time * 1000, q_time_bf16 * 1000
 
 
 # ---------------------------------------------------------------------------
@@ -772,7 +793,7 @@ def main():
     (topk_res, contention["topk"]) = _section(
         bench_topk, fom=lambda r: r[1], clean_fom=3.0
     )
-    topk_qps, topk_ms, build_ms = topk_res
+    topk_qps, topk_ms, build_ms, topk_ms_bf16 = topk_res
     (sparse_res, contention["sparse_opt"]) = _section(
         bench_sparse_optimizer, fom=lambda r: r[0], clean_fom=1.6
     )
@@ -817,6 +838,8 @@ def main():
             "pipeline_breakdown": pipe_breakdown,
             "topk_qps_1M_catalog": round(topk_qps, 1),
             "topk_ms_per_256q": round(topk_ms, 3),
+            "topk_ms_per_256q_bf16_index": round(topk_ms_bf16, 3),
+            "topk_qps_1M_catalog_bf16_index": round(256.0 / max(topk_ms_bf16, 1e-9) * 1000.0, 1),
             "index_encode_1M_ms": round(build_ms, 2),
             "sparse_adagrad_step_ms_4Mx128": round(sparse_4m, 3),
             "dense_adagrad_step_ms_4Mx128": round(dense_4m, 3),

@@ -124,6 +124,7 @@ def TopKEncoder(
     topk_layer: str = "brute-force-topk",
     item_id_name: Optional[str] = None,
     mesh=None,
+    candidate_dtype=None,
 ):
     """Query-encoder + indexed top-k head, as an evaluable model
     (reference ``TopKEncoder:427`` — it *is* a BaseModel so ``.evaluate()`` gives
@@ -132,9 +133,12 @@ def TopKEncoder(
     from ..models.base import Model
     from ..outputs.topk import TopKOutput
 
+    import jax.numpy as jnp
+
     output = TopKOutput(
         to_call=topk_layer, k=k, candidates=candidates, item_id_name=item_id_name,
         mesh=mesh,
+        candidate_dtype=jnp.float32 if candidate_dtype is None else candidate_dtype,
     )
     model = Model(query_encoder, output)
     model.block_name = "topk_encoder"

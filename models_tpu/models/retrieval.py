@@ -98,15 +98,18 @@ class RetrievalModelV2(Model):
         return encoder.encode(dataset, index=index, batch_size=batch_size)
 
     def to_top_k_encoder(self, candidates: Optional[Dataset] = None, k: int = 10,
-                         batch_size: int = 1024, mesh=None):
+                         batch_size: int = 1024, mesh=None, candidate_dtype=None):
         """Build a servable/evaluable brute-force top-k model (reference ``:2632``).
-        ``mesh`` row-shards the candidate index over the model axis."""
+        ``mesh`` row-shards the candidate index over the model axis;
+        ``candidate_dtype=jnp.bfloat16`` stores the index half-width (the
+        serving top-k streams the whole catalog per query batch, so this
+        halves its HBM cost — the standard vector-DB quantization trade)."""
         cand_ds = self.candidate_embeddings(candidates, batch_size=batch_size)
         head = self.contrastive_output
         item_id_name = head.item_id_name
         return TopKEncoder(
             self.query_encoder, candidates=cand_ds, k=k, item_id_name=item_id_name,
-            mesh=mesh,
+            mesh=mesh, candidate_dtype=candidate_dtype,
         )
 
     # reference V1 name (tf/models/base.py:2449)

@@ -32,7 +32,8 @@ class TopKLayer(Block):
     def index(self, candidates: jnp.ndarray, ids: Optional[jnp.ndarray] = None) -> "TopKLayer":
         raise NotImplementedError
 
-    def index_from_dataset(self, dataset, check_unique_ids: bool = True) -> "TopKLayer":
+    def index_from_dataset(self, dataset, check_unique_ids: bool = True,
+                           dtype=jnp.float32) -> "TopKLayer":
         """Index from a Dataset with columns id + embedding (or id + vector cols)."""
         data = dataset.to_numpy_dict() if hasattr(dataset, "to_numpy_dict") else dataset
         if "id" in data:
@@ -50,7 +51,7 @@ class TopKLayer(Block):
             emb = np.stack([data[c] for c in cols], axis=1)
         if check_unique_ids:
             self._check_unique_ids(ids)
-        return self.index(jnp.asarray(emb), jnp.asarray(ids))
+        return self.index(jnp.asarray(emb), jnp.asarray(ids), dtype=dtype)
 
     @staticmethod
     def _check_unique_ids(ids) -> None:
@@ -78,11 +79,17 @@ class BruteForce(TopKLayer):
         self.mesh = None
 
     def index(
-        self, candidates: jnp.ndarray, ids: Optional[jnp.ndarray] = None, mesh=None
+        self, candidates: jnp.ndarray, ids: Optional[jnp.ndarray] = None, mesh=None,
+        dtype=jnp.float32,
     ) -> "BruteForce":
+        """``dtype=jnp.bfloat16`` stores the candidate matrix half-width: the
+        serving top-k is HBM-bound on streaming the catalog (phase A of the
+        binned kernel reads every row every query batch), so this halves the
+        dominant cost. Scoring stays exact w.r.t. the quantized index (both
+        phases read the same rows — the standard vector-DB trade)."""
         from ..parallel.mesh import MODEL_AXIS
 
-        candidates = jnp.asarray(candidates, dtype=jnp.float32)
+        candidates = jnp.asarray(candidates, dtype=dtype)
         if ids is None:
             ids = jnp.arange(candidates.shape[0], dtype=jnp.int32)
         ids = jnp.asarray(ids)
@@ -152,7 +159,7 @@ class TopKOutput(ModelOutput):
 
     def __init__(self, to_call: Union[str, TopKLayer] = "brute-force-topk", k: int = 10,
                  candidates=None, item_id_name: Optional[str] = None,
-                 default_metrics_top_ks=(10,), mesh=None):
+                 default_metrics_top_ks=(10,), mesh=None, candidate_dtype=jnp.float32):
         ModelOutput.__init__(self, to_call=None, target=item_id_name, task_name="topk_output")
         if isinstance(to_call, str):
             to_call = topk_registry.parse(to_call, k=k)
@@ -164,11 +171,11 @@ class TopKOutput(ModelOutput):
         self.top_ks = tuple(default_metrics_top_ks)
         if candidates is not None:
             if hasattr(candidates, "to_numpy_dict"):
-                self.topk_layer.index_from_dataset(candidates)
+                self.topk_layer.index_from_dataset(candidates, dtype=candidate_dtype)
             elif isinstance(candidates, tuple):
-                self.topk_layer.index(candidates[0], candidates[1])
+                self.topk_layer.index(candidates[0], candidates[1], dtype=candidate_dtype)
             else:
-                self.topk_layer.index(jnp.asarray(candidates))
+                self.topk_layer.index(jnp.asarray(candidates), dtype=candidate_dtype)
 
     def default_metrics(self):
         from ..metrics.topk import TopKMetricsAggregator

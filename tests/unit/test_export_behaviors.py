@@ -302,3 +302,34 @@ def test_streaming_metric_values():
     np.testing.assert_allclose(
         float(m.result(s)), np.abs(np.asarray(probs) - np.asarray(labels)).mean(), rtol=1e-5
     )
+
+
+def test_bruteforce_bf16_index_exact_vs_naive():
+    """index(dtype=bf16): serving agrees exactly with naive top-k over the
+    SAME quantized rows, and the recall hit vs an fp32 index is negligible on
+    well-separated embeddings (the vector-DB half-width trade)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from models_tpu.outputs.topk import BruteForce
+
+    rng = np.random.default_rng(0)
+    C = rng.standard_normal((5000, 32)).astype(np.float32)
+    Q = rng.standard_normal((64, 32)).astype(np.float32)
+
+    bf = BruteForce(k=10)
+    bf.index(C, dtype=jnp.bfloat16)
+    assert bf.candidates.value.dtype == jnp.bfloat16
+    pred = bf(jnp.asarray(Q))
+
+    ref_scores = Q @ np.asarray(C.astype(jnp.bfloat16), np.float32).T
+    want_ids = np.argsort(-ref_scores, axis=1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(pred.identifiers), want_ids)
+
+    bf32 = BruteForce(k=10)
+    bf32.index(C)
+    ids32 = np.asarray(bf32(jnp.asarray(Q)).identifiers)
+    overlap = np.mean([
+        len(set(a) & set(b)) / 10.0 for a, b in zip(np.asarray(pred.identifiers), ids32)
+    ])
+    assert overlap >= 0.95, overlap

@@ -685,8 +685,14 @@ def bench_sparse_optimizer():
                 (w, acc), _ = jax.lax.scan(step_fn, (w, acc), jnp.arange(n))
                 return w[0, 0].astype(jnp.float32)
 
+            # salt must survive in the inputs: bf16 quantizes salt*1e-12 to
+            # IDENTICAL values for adjacent salts (tunnel memoization would
+            # poison the marginal), so it also rides the fp32 slot init
             return float(
-                go(jnp.full((R, D), salt * 1e-12, w_dtype), jnp.full((R, D), 0.1))
+                go(
+                    jnp.full((R, D), salt * 1e-12, w_dtype),
+                    jnp.full((R, D), 0.1 + salt * 1e-5, jnp.float32),
+                )
             )
 
         return run
@@ -715,12 +721,21 @@ def _require_device(timeout_s: float = 180.0) -> None:
     an explicit error record if it never answers."""
     import threading
 
-    got = []
-    t = threading.Thread(target=lambda: got.append(jax.devices()), daemon=True)
+    got, err = [], []
+
+    def _probe():
+        try:
+            got.append(jax.devices())
+        except Exception as e:  # noqa: BLE001 - re-raised on the main thread
+            err.append(e)
+
+    t = threading.Thread(target=_probe, daemon=True)
     t.start()
     t.join(timeout_s)
     if got:
         return
+    if err:
+        raise err[0]  # real backend/config error — surface it, don't call it an outage
     print(
         json.dumps(
             {

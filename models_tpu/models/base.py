@@ -1016,7 +1016,15 @@ class BaseModel(Block):
         entry = _FIT_STATE.get(self)
         if entry is None:
             return None
-        return {"opt_state": entry[0], "global_step": entry[4]}
+        state = entry[0]
+        # a mid-epoch crash leaves the epoch-end snapshot's buffers donated by
+        # the next epoch's steps — never hand out deleted arrays
+        if any(
+            getattr(x, "is_deleted", lambda: False)()
+            for x in jax.tree_util.tree_leaves(state)
+        ):
+            return None
+        return {"opt_state": state, "global_step": entry[4]}
 
     def arm_training_state(self, opt_state, global_step: int = 0, mesh=None):
         """Install restored optimizer slots so the NEXT fit() continues from
@@ -1258,12 +1266,12 @@ class BaseModel(Block):
                     )
                     val_ok = True
             if n_batches > 0 and val_ok:
-                loader._epoch += epochs
+                loader._epoch += n_run_epochs
                 fused_cache = getattr(self, "_fused_fit_cache", None)
                 if fused_cache is None:
                     fused_cache = self._fused_fit_cache = {}
                 fkey = (
-                    n_batches, loader.batch_size, loader.shuffle, epochs,
+                    n_batches, loader.batch_size, loader.shuffle, n_run_epochs,
                     # pack layout must key the executable: a different dataset
                     # with equal n_batches/batch_size would otherwise reuse a
                     # closure over the WRONG spec/treedef and misdecode columns
@@ -1291,7 +1299,7 @@ class BaseModel(Block):
                 )
                 host = np.asarray(stacked)  # ONE transfer: (n_names, epochs)
                 dt = time.perf_counter() - t0
-                eps = epochs * n_batches * loader.batch_size / max(dt, 1e-9)
+                eps = n_run_epochs * n_batches * loader.batch_size / max(dt, 1e-9)
                 nnx.update(self, params, rest)
                 for epoch in range(initial_epoch, epochs):
                     epoch_logs = {

@@ -64,7 +64,8 @@ class CheckpointManager:
         nnx.update(model, state)
         return step, restored.get("opt_state")
 
-    def restore_training(self, model, data=None, step: Optional[int] = None) -> int:
+    def restore_training(self, model, data=None, step: Optional[int] = None,
+                         mesh=None, shard_rules=None) -> int:
         """Full training resume: restore model weights AND optimizer slots, and
         arm the model so the next ``fit(initial_epoch=<returned>+1, ...)``
         continues the interrupted run with intact optimizer moments and step
@@ -72,8 +73,11 @@ class CheckpointManager:
 
         ``model`` must be compiled with the same optimizer config the
         checkpoint was written under; pass ``data`` (a Dataset/Loader) to
-        build an un-built model. Returns the restored checkpoint step (the
-        epoch index when written by ``ModelCheckpoint``)."""
+        build an un-built model, and the SAME ``mesh`` the resumed
+        ``fit(mesh=...)`` will use — optimizer-state reuse is fingerprinted on
+        the mesh placement and silently re-initializes on mismatch. Returns
+        the restored checkpoint step (the epoch index when written by
+        ``ModelCheckpoint``)."""
         from ..blocks.optimizer import MultiOptimizer
         from ..models.base import _embedding_param_type
 
@@ -113,9 +117,12 @@ class CheckpointManager:
             ) from e
         nnx.replace_by_pure_dict(state, restored["model"])
         nnx.update(model, state)
-        model.arm_training_state(
-            restored["opt_state"], int(restored["global_step"])
-        )
+        opt_state = restored["opt_state"]
+        if mesh is not None:
+            from ..parallel.mesh import shard_state
+
+            opt_state = shard_state(opt_state, mesh, shard_rules)
+        model.arm_training_state(opt_state, int(restored["global_step"]), mesh=mesh)
         return step
 
     def latest_step(self) -> Optional[int]:

@@ -407,3 +407,25 @@ def test_evaluate_steps_limits_batches(ecommerce):
     limited = m.evaluate(ecommerce, batch_size=32, steps=2)
     assert set(limited) == set(full)
     assert np.isfinite(limited["loss"])
+
+
+def test_fused_fit_initial_epoch_continuation(ecommerce):
+    """Regression (review): the fused full-fit executable cache must key on the
+    RUN length (epochs - initial_epoch), and throughput/log accounting must
+    cover only the epochs actually run — fit(3)+fit(6, initial_epoch=3) on the
+    fused device-resident path equals fit(6)."""
+    def build():
+        m = _simple_model(ecommerce.schema, seed=7)
+        m.compile(optimizer="adam", learning_rate=0.01, metrics=[],
+                  steps_per_execution=4)
+        return m
+
+    one = build().fit(
+        ecommerce, epochs=6, batch_size=32, shuffle=False, verbose=0
+    ).history
+    m = build()
+    a = m.fit(ecommerce, epochs=3, batch_size=32, shuffle=False, verbose=0).history
+    b = m.fit(ecommerce, epochs=6, initial_epoch=3, batch_size=32, shuffle=False,
+              verbose=0).history
+    assert len(a["loss"]) == 3 and len(b["loss"]) == 3
+    np.testing.assert_allclose(a["loss"] + b["loss"], one["loss"], rtol=1e-5)

@@ -361,3 +361,50 @@ def test_restore_training_requires_optimizer_payload(tmp_path):
     m2.compile()
     with pytest.raises((ValueError, FileNotFoundError)):
         mgr.restore_training(m2, data=ds)
+
+
+def test_checkpoint_resume_training_on_mesh(tmp_path):
+    """Regression (review): restore_training(mesh=...) must arm the optimizer
+    state with the mesh fingerprint, or the resumed fit(mesh=...) silently
+    re-initializes the moments. Stitched mesh trajectory == uninterrupted."""
+    import jax
+
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.parallel.mesh import make_mesh
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+    from models_tpu.utils.checkpoint import CheckpointManager, ModelCheckpoint
+
+    devices = jax.devices("cpu")[:4]
+    mesh = make_mesh({"data": 2, "model": 2}, devices=devices)
+
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 23, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 23, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    rows = np.arange(256, dtype=np.int32) % 23
+    ds = Dataset({"user_id": rows, "item_id": rows.copy()}, schema=schema)
+
+    def build():
+        m = MatrixFactorizationModel(schema, dim=8)
+        m.compile(optimizer="adam", learning_rate=0.05)
+        return m
+
+    full = build().fit(
+        ds, epochs=4, batch_size=64, shuffle=False, verbose=0, mesh=mesh
+    ).history["loss"]
+
+    m1 = build()
+    cb = ModelCheckpoint(str(tmp_path / "mesh_ckpts"), every_n_epochs=1)
+    part1 = m1.fit(ds, epochs=2, batch_size=64, shuffle=False, verbose=0,
+                   mesh=mesh, callbacks=[cb]).history["loss"]
+    del m1
+
+    m2 = build()
+    step = CheckpointManager(str(tmp_path / "mesh_ckpts")).restore_training(
+        m2, data=ds, mesh=mesh
+    )
+    part2 = m2.fit(ds, epochs=4, batch_size=64, shuffle=False, verbose=0,
+                   mesh=mesh, initial_epoch=step + 1).history["loss"]
+    np.testing.assert_allclose(part1 + part2, full, rtol=1e-4)

@@ -365,8 +365,19 @@ def export_serving(model, path: str, data=None, batch_size: int = 1024,
     exported = jex.export(jax.jit(serve), platforms=tuple(platforms))(flat_state, flat_x)
     with open(os.path.join(path, SERVING_FILE), "wb") as f:
         f.write(exported.serialize())
-    np.savez(os.path.join(path, SERVING_WEIGHTS),
-             **{k: np.asarray(v) for k, v in flat_state.items()})
+    # np.savez writes ml_dtypes arrays (bf16 tables/slots) as raw void bytes
+    # that won't round-trip: store them as uint16 bit patterns and record the
+    # true dtype so the loader can view them back — the exported program's
+    # input avals REQUIRE the exact dtype
+    weight_arrays = {}
+    weight_dtypes = {}
+    for k, v in flat_state.items():
+        a = np.asarray(v)
+        if a.dtype.name == "bfloat16":
+            weight_dtypes[k] = "bfloat16"
+            a = a.view(np.uint16)
+        weight_arrays[k] = a
+    np.savez(os.path.join(path, SERVING_WEIGHTS), **weight_arrays)
     spec = {
         "features": {
             k: {"shape": list(np.shape(v)), "dtype": str(np.asarray(v).dtype)}
@@ -374,6 +385,7 @@ def export_serving(model, path: str, data=None, batch_size: int = 1024,
         },
         "batch_size": int(next(iter(flat_x.values())).shape[0]),
         "platforms": list(platforms),
+        "weight_dtypes": weight_dtypes,
     }
     with open(os.path.join(path, SERVING_SPEC), "w") as f:
         json.dump(spec, f, indent=1)
@@ -390,10 +402,16 @@ class ServingModel:
 
         with open(os.path.join(path, SERVING_FILE), "rb") as f:
             self.exported = jex.deserialize(f.read())
-        with np.load(os.path.join(path, SERVING_WEIGHTS)) as z:
-            self.weights = {k: jnp.asarray(z[k]) for k in z.files}
         with open(os.path.join(path, SERVING_SPEC)) as f:
             self.spec = json.load(f)
+        wdt = self.spec.get("weight_dtypes", {})
+        with np.load(os.path.join(path, SERVING_WEIGHTS)) as z:
+            self.weights = {
+                k: jnp.asarray(
+                    z[k].view(wdt[k]) if k in wdt else z[k]
+                )
+                for k in z.files
+            }
 
     def __call__(self, features: Dict[str, Any]):
         flat = _flatten_features(features)

@@ -179,3 +179,37 @@ def test_bf16_table_model_saves_declaratively(tmp_path):
         m.query_encoder.table.to_array().astype(np.float32),
         m2.query_encoder.table.to_array().astype(np.float32),
     )
+
+
+def test_export_serving_bf16_tables(tmp_path):
+    """Serving export with bf16-at-rest tables: weights.npz stores bf16 as
+    uint16 bit patterns + a dtype map, and load_serving reproduces the
+    in-process predictions exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from models_tpu.core.types import to_device_batch
+    from models_tpu.data import Dataset, Loader
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+    from models_tpu.utils.io import load_serving
+
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 20, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 20, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    rows = np.arange(128, dtype=np.int32) % 20
+    ds = Dataset({"user_id": rows, "item_id": rows.copy()}, schema=schema)
+    m = MatrixFactorizationModel(schema, dim=8, table_dtype=jnp.bfloat16)
+    m.compile(optimizer="adam", embedding_optimizer="adagrad")
+    m.fit(ds, epochs=1, batch_size=32, verbose=0)
+    path = m.export_serving(str(tmp_path / "srv"), data=ds, batch_size=32)
+    sm = load_serving(path)
+    assert any(w.dtype == jnp.bfloat16 for w in sm.weights.values())
+    x, _ = Loader(ds, batch_size=32, shuffle=False, drop_last=True).peek()
+    x = {k: v for k, v in to_device_batch(x).items() if k != "__row_valid__"}
+    out = np.asarray(sm(x))
+    ref = np.asarray(m.predict(ds, batch_size=32))[:32]
+    np.testing.assert_allclose(out.reshape(ref.shape), ref, rtol=1e-5)

@@ -560,44 +560,29 @@ def bench_topk():
     w1 = jax.random.normal(jax.random.key(2), (64, 128), jnp.float32) * 0.1
     w2 = jax.random.normal(jax.random.key(3), (128, D), jnp.float32) * 0.1
 
-    def run_queries(n, salt):
-        @jax.jit
-        def go(cand, salt):
-            def body(carry, t):
-                # fresh queries each step + per-call salt (tunnel memoization)
-                q = jax.random.normal(
-                    jax.random.fold_in(jax.random.key(7), t), (B, D)
-                ) + carry * 0
-                s, i = topk_scores(q, cand, K, tile=4096)
-                return carry + jnp.sum(s[:, 0]) * 1e-12, i
+    def make_query_sweep(cand_arr):
+        def run_queries(n, salt):
+            @jax.jit
+            def go(cand, salt):
+                def body(carry, t):
+                    # fresh queries each step + per-call salt (tunnel memoization)
+                    q = jax.random.normal(
+                        jax.random.fold_in(jax.random.key(7), t), (B, D)
+                    ) + carry * 0
+                    s, i = topk_scores(q, cand, K, tile=4096)
+                    return carry + jnp.sum(s[:, 0].astype(jnp.float32)) * 1e-12, i
 
-            c, ids = jax.lax.scan(body, salt, jnp.arange(n))
-            return ids[-1, 0, 0] + c
+                c, ids = jax.lax.scan(body, salt, jnp.arange(n))
+                return ids[-1, 0, 0] + c
 
-        return float(go(cand, jnp.float32(salt)))
+            return float(go(cand_arr, jnp.float32(salt)))
 
-    q_time = _marginal(run_queries, 2, 22)
+        return run_queries
 
+    q_time = _marginal(make_query_sweep(cand), 2, 22)
     # bf16 index: the exact same dispatch over a half-width candidate matrix
     # (phase A streams the catalog, so ideal speedup approaches 2x)
-    cand_bf16 = cand.astype(jnp.bfloat16)
-
-    def run_queries_bf16(n, salt):
-        @jax.jit
-        def go(cand, salt):
-            def body(carry, t):
-                q = jax.random.normal(
-                    jax.random.fold_in(jax.random.key(7), t), (B, D)
-                ) + carry * 0
-                s, i = topk_scores(q, cand, K, tile=4096)
-                return carry + jnp.sum(s[:, 0].astype(jnp.float32)) * 1e-12, i
-
-            c, ids = jax.lax.scan(body, salt, jnp.arange(n))
-            return ids[-1, 0, 0] + c
-
-        return float(go(cand_bf16, jnp.float32(salt)))
-
-    q_time_bf16 = _marginal(run_queries_bf16, 2, 22)
+    q_time_bf16 = _marginal(make_query_sweep(cand.astype(jnp.bfloat16)), 2, 22)
 
     def run_build(n, salt):
         @jax.jit

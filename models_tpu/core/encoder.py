@@ -133,12 +133,9 @@ def TopKEncoder(
     from ..models.base import Model
     from ..outputs.topk import TopKOutput
 
-    import jax.numpy as jnp
-
     output = TopKOutput(
         to_call=topk_layer, k=k, candidates=candidates, item_id_name=item_id_name,
-        mesh=mesh,
-        candidate_dtype=jnp.float32 if candidate_dtype is None else candidate_dtype,
+        mesh=mesh, candidate_dtype=candidate_dtype,
     )
     model = Model(query_encoder, output)
     model.block_name = "topk_encoder"

@@ -1026,18 +1026,23 @@ class BaseModel(Block):
             return None
         return {"opt_state": state, "global_step": entry[4]}
 
+    def _dense_params(self):
+        """The dense-param State the optimizer transform runs over — excludes
+        embedding tables when a sparse embedding optimizer owns them (the same
+        split fit() makes)."""
+        if getattr(self, "_emb_opt", None) is not None:
+            _, _, params, _ = nnx.split(
+                self, _embedding_param_type(), nnx.Param, ...
+            )
+            return params
+        _, params, _ = self._split()
+        return params
+
     def arm_training_state(self, opt_state, global_step: int = 0, mesh=None):
         """Install restored optimizer slots so the NEXT fit() continues from
         them (checkpoint-resume). The model must be built and compiled with
         the same optimizer config the slots came from."""
-        sparse = getattr(self, "_emb_opt", None)
-        if sparse is not None:
-            _, _, params, _ = nnx.split(
-                self, _embedding_param_type(), nnx.Param, ...
-            )
-        else:
-            _, params, _ = self._split()
-        self._store_fit_state(opt_state, params, mesh, int(global_step))
+        self._store_fit_state(opt_state, self._dense_params(), mesh, int(global_step))
 
     def _store_fit_state(self, opt_state, params, mesh, global_step):
         _FIT_STATE[self] = (

@@ -159,7 +159,7 @@ class TopKOutput(ModelOutput):
 
     def __init__(self, to_call: Union[str, TopKLayer] = "brute-force-topk", k: int = 10,
                  candidates=None, item_id_name: Optional[str] = None,
-                 default_metrics_top_ks=(10,), mesh=None, candidate_dtype=jnp.float32):
+                 default_metrics_top_ks=(10,), mesh=None, candidate_dtype=None):
         ModelOutput.__init__(self, to_call=None, target=item_id_name, task_name="topk_output")
         if isinstance(to_call, str):
             to_call = topk_registry.parse(to_call, k=k)
@@ -169,6 +169,7 @@ class TopKOutput(ModelOutput):
         self.k = k
         self.item_id_name = item_id_name
         self.top_ks = tuple(default_metrics_top_ks)
+        candidate_dtype = jnp.float32 if candidate_dtype is None else candidate_dtype
         if candidates is not None:
             if hasattr(candidates, "to_numpy_dict"):
                 self.topk_layer.index_from_dataset(candidates, dtype=candidate_dtype)

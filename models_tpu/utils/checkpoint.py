@@ -79,7 +79,6 @@ class CheckpointManager:
         the restored checkpoint step (the epoch index when written by
         ``ModelCheckpoint``)."""
         from ..blocks.optimizer import MultiOptimizer
-        from ..models.base import _embedding_param_type
 
         if not getattr(model, "_compiled", False):
             raise ValueError("compile() the model before restore_training")
@@ -90,13 +89,7 @@ class CheckpointManager:
                 "restore_training does not support MultiOptimizer (its "
                 "transform is rebuilt per fit, so slots cannot be re-armed)"
             )
-        if getattr(model, "_emb_opt", None) is not None:
-            _, _, params, _ = nnx.split(
-                model, _embedding_param_type(), nnx.Param, ...
-            )
-        else:
-            _, params, _ = model._split()
-        template_opt = model._tx.init(params)
+        template_opt = model._tx.init(model._dense_params())
         step = step if step is not None else self.manager.latest_step()
         if step is None:
             raise FileNotFoundError(f"No checkpoints under {self.directory}")

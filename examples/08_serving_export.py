@@ -39,7 +39,11 @@ rtrain, _ = mm.generate_data("movielens-100k", num_rows=2000, set_sizes=(0.9, 0.
 retrieval = mm.MatrixFactorizationModel(rtrain.schema, dim=16)
 retrieval.compile(learning_rate=0.05)
 retrieval.fit(rtrain, epochs=1, batch_size=256, verbose=0)
-topk = retrieval.to_top_k_encoder(rtrain, k=10)
+# candidate_dtype=bf16: half-width index — the top-k serving cost is
+# streaming the catalog, so this halves it (recall parity with fp32 tested)
+import jax.numpy as jnp
+
+topk = retrieval.to_top_k_encoder(rtrain, k=10, candidate_dtype=jnp.bfloat16)
 topk.compile()
 topk_dir = tempfile.mkdtemp(prefix="topk_serving_")
 topk.export_serving(topk_dir, data=rtrain, batch_size=256)

@@ -63,7 +63,10 @@ def stochastic_round(x: jnp.ndarray, key, dtype=jnp.bfloat16) -> jnp.ndarray:
     bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
     noise = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
     rounded = (bits + noise) & jnp.uint32(0xFFFF0000)
-    return jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(jnp.bfloat16)
+    out = jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(jnp.bfloat16)
+    # inf/NaN bit patterns + mantissa noise would land in (different) NaN
+    # space: pass non-finite values through round-to-nearest instead
+    return jnp.where(jnp.isfinite(x), out, x.astype(jnp.bfloat16))
 
 
 def _xla_scatter_write(table, ids, rows, valid):

@@ -551,6 +551,13 @@ def test_stochastic_round_exact_and_unbiased():
     assert len(vals) == 2  # rounds to the two neighbours only
     np.testing.assert_allclose(float(r.mean()), 1.0039, atol=2e-4)
 
+    # non-finite values pass through (mantissa noise must not corrupt them)
+    odd = jnp.asarray([np.inf, -np.inf, np.nan, 1.0], jnp.float32)
+    ro = stochastic_round(odd, jax.random.key(11))
+    assert np.isposinf(np.asarray(ro, np.float32)[0])
+    assert np.isneginf(np.asarray(ro, np.float32)[1])
+    assert np.isnan(np.asarray(ro, np.float32)[2])
+
 
 def test_pallas_row_scatter_write_matches_numpy():
     import jax

@@ -77,7 +77,12 @@ class CheckpointManager:
         ``fit(mesh=...)`` will use — optimizer-state reuse is fingerprinted on
         the mesh placement and silently re-initializes on mismatch. Returns
         the restored checkpoint step (the epoch index when written by
-        ``ModelCheckpoint``)."""
+        ``ModelCheckpoint``).
+
+        Exact trajectory stitching holds for ``shuffle=False`` (deterministic
+        batch order). With ``shuffle=True`` the resumed fit reshuffles from a
+        fresh epoch counter — statistically equivalent but not bit-identical,
+        matching the reference's Keras behavior across separate fit calls."""
         from ..blocks.optimizer import MultiOptimizer
 
         if not getattr(model, "_compiled", False):

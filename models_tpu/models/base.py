@@ -1475,6 +1475,8 @@ class BaseModel(Block):
         else:
             nnx.update(self, params, rest)
         self._store_fit_state(opt_state, params, mesh, global_step)
+        for cb in callbacks:
+            getattr(cb, "on_train_end", lambda *a, **k: None)(history.history)
         self.history = history
         return history
 

@@ -132,3 +132,51 @@ class ProfilerCallback(Callback):
         elif step + 1 == self.stop_step and self._active:
             jax.profiler.stop_trace()
             self._active = False
+
+
+class CSVLogger(Callback):
+    """Append per-epoch logs to a CSV file (Keras ``CSVLogger`` parity — the
+    reference inherits it from Keras; columns are unioned across epochs)."""
+
+    def __init__(self, filename: str, separator: str = ",", append: bool = False):
+        self.filename = filename
+        self.sep = separator
+        self.append = append
+        self._keys = None
+        self._file = None
+
+    def on_epoch_end(self, epoch, logs):
+        logs = dict(logs or {})
+        if self._file is None:
+            mode = "a" if self.append else "w"
+            self._file = open(self.filename, mode)
+            self._keys = sorted(logs)
+            if not (self.append and self._file.tell() > 0):
+                self._file.write(self.sep.join(["epoch"] + self._keys) + "\n")
+        row = [str(epoch)] + [
+            f"{logs[k]:.6g}" if k in logs else "" for k in self._keys
+        ]
+        self._file.write(self.sep.join(row) + "\n")
+        self._file.flush()
+
+    def on_train_end(self, logs=None):
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+
+class TerminateOnNaN(Callback):
+    """Stop training when a non-finite loss appears (Keras parity).
+
+    Checked at epoch end, not per batch: mid-epoch loss scalars live on
+    device, and fetching one per batch would cost a tunnel round-trip each
+    (the engine collects them in ONE epoch-end transfer)."""
+
+    def on_epoch_end(self, epoch, logs):
+        import numpy as np
+
+        loss = (logs or {}).get("loss")
+        if loss is not None and not np.isfinite(float(loss)):
+            print(f"epoch {epoch}: non-finite loss {loss}; terminating training")
+            if self.model is not None:
+                self.model.stop_training = True

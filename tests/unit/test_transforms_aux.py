@@ -408,3 +408,35 @@ def test_checkpoint_resume_training_on_mesh(tmp_path):
     part2 = m2.fit(ds, epochs=4, batch_size=64, shuffle=False, verbose=0,
                    mesh=mesh, initial_epoch=step + 1).history["loss"]
     np.testing.assert_allclose(part1 + part2, full, rtol=1e-4)
+
+
+def test_csv_logger_and_terminate_on_nan(tmp_path):
+    """CSVLogger writes one row per epoch (+header) and closes on train end;
+    TerminateOnNaN stops on non-finite epoch loss (Keras-parity callbacks)."""
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+    from models_tpu.utils.callbacks import CSVLogger, TerminateOnNaN
+
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 20, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 20, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    rows = np.arange(128, dtype=np.int32) % 20
+    ds = Dataset({"user_id": rows, "item_id": rows.copy()}, schema=schema)
+    m = MatrixFactorizationModel(schema, dim=8)
+    m.compile()
+    path = str(tmp_path / "log.csv")
+    m.fit(ds, epochs=3, batch_size=32, verbose=0,
+          callbacks=[CSVLogger(path), TerminateOnNaN()])
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 4  # header + 3 epochs
+    assert lines[0].startswith("epoch,")
+    assert lines[1].split(",")[0] == "0"
+
+    # a diverging run stops early
+    m2 = MatrixFactorizationModel(schema, dim=8)
+    m2.compile(optimizer="sgd", learning_rate=1e12)  # guaranteed blow-up
+    h = m2.fit(ds, epochs=6, batch_size=32, verbose=0, callbacks=[TerminateOnNaN()])
+    assert len(h.history["loss"]) < 6

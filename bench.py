@@ -738,8 +738,40 @@ def _require_device(timeout_s: float = 180.0) -> None:
     sys.exit(0)
 
 
+def _arm_wall_watchdog(limit_s: float = 1500.0) -> None:
+    """The tunnel can hang MID-RUN (not just at startup): after ``limit_s``
+    emit an explicit error record and hard-exit so the driver records a JSON
+    line instead of a stall. Normal runs finish well inside the limit (warm
+    ~20s, cold compiles a few minutes)."""
+    import os
+    import threading
+
+    def _fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "two_tower_train_examples_per_sec",
+                    "value": 0.0,
+                    "unit": "examples/sec",
+                    "vs_baseline": 0.0,
+                    "extra": {
+                        "error": f"bench exceeded {limit_s:.0f}s wall clock "
+                        "(TPU tunnel hang mid-run); partial sections discarded"
+                    },
+                }
+            ),
+            flush=True,
+        )
+        os._exit(0)
+
+    t = threading.Timer(limit_s, _fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
     _require_device()
+    _arm_wall_watchdog()
     # persistent compile cache: repeat bench runs skip the ~60s TPU compiles
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_bench")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

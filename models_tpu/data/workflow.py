@@ -175,8 +175,12 @@ class TargetEncoding(Op):
             and hashlib.sha1(np.ascontiguousarray(col).tobytes()).digest()
             == self._fit_digest
         ):
-            vals = self._fit_oof  # the exact split this op was fitted on
-            self._fit_oof = None
+            # the exact split this op was fitted on (sha1 of the raw column)
+            # — serve the out-of-fold values EVERY time it comes back:
+            # Workflow.fit() itself transforms the train split to feed
+            # downstream ops, and the user's later wf.transform(train) must
+            # get the same leak-free encodings, not the full-mapping ones
+            vals = self._fit_oof
         else:
             vals = np.asarray(
                 [self.mapping.get(v, self.global_mean) for v in col.tolist()]

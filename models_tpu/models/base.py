@@ -45,6 +45,10 @@ from ..schema import Schema
 # bounds pinned HBM; see BaseModel._pack_for_eval
 _EVAL_PACK_LRU: deque = deque()
 
+# same bound for device-resident TRAINING packs (cached on the dataset so
+# consecutive fit() calls skip the up-to-2GB re-upload through the tunnel)
+_TRAIN_PACK_LRU: deque = deque()
+
 # optimizer slots persisted across fit() calls, keyed weakly by model:
 # (opt_state, tx, param_fingerprint, mesh_fingerprint, global_step).
 # A side table instead of a module attribute — the nnx pytree must not carry
@@ -269,6 +273,9 @@ class BaseModel(Block):
                     "MultiOptimizer with low_precision_optimizer_state instead"
                 )
             self._tx = low_precision_optimizer_state(self._tx, optimizer_state_dtype)
+        # the compiled transform; fit() derives its per-run effective _tx from
+        # this (MultiOptimizer build, frozen-block zeroing) without mutating it
+        self._base_tx = self._tx
         if isinstance(embedding_optimizer, str):
             kind = embedding_optimizer.replace("lazy_", "").replace("sparse_", "")
             embedding_optimizer = SparseEmbeddingOptimizer(
@@ -1079,6 +1086,9 @@ class BaseModel(Block):
         n_run_epochs = epochs - initial_epoch
         loader = self._as_loader(data, batch_size, shuffle=shuffle, drop_last=True)
         self.build(loader)
+        # Keras resets this at every fit() start; a stale True from a previous
+        # EarlyStopping/TerminateOnNaN stop would silently truncate this run
+        self.stop_training = False
         self._pre_transform = as_block(pre) if pre is not None else nnx.data(None)
 
         sparse = getattr(self, "_emb_opt", None)
@@ -1108,14 +1118,23 @@ class BaseModel(Block):
             graphdef, params, rest = self._split()
         from ..blocks.optimizer import MultiOptimizer
 
-        if isinstance(self._tx, MultiOptimizer):
-            self._tx = self._tx.build(params)
+        # derive the EFFECTIVE transform for this fit from the compiled one —
+        # never mutate the compiled transform in place: a frozen-block fit
+        # must not leave its zero-update rules behind after unfreeze, and
+        # repeated frozen fits must not nest wrappers. With no frozen blocks
+        # and a plain transform this is the identical object every fit, which
+        # is what lets optimizer-state continuity (`_resume_fit_state`'s
+        # `tx_ref is self._tx` check) carry slots across fit() calls.
+        tx = getattr(self, "_base_tx", self._tx)
+        if isinstance(tx, MultiOptimizer):
+            tx = tx.build(params)
         frozen = self.frozen_blocks()
         if frozen:
             # frozen blocks get zero updates (reference freeze_blocks semantics)
-            self._tx = MultiOptimizer(
-                default=self._tx, rules=[(b, optax.set_to_zero()) for b in frozen]
+            tx = MultiOptimizer(
+                default=tx, rules=[(b, optax.set_to_zero()) for b in frozen]
             ).build(params)
+        self._tx = tx
         if mesh is not None:
             from ..parallel.mesh import shard_state
 
@@ -1177,21 +1196,45 @@ class BaseModel(Block):
             and loader.drop_last
             and getattr(loader, "pad", "max") == "max"  # bucketed shapes vary
         ):
-            try:
-                feats_h, targs_h, n_rows = loader.dense_columns()
-            except ValueError:
-                feats_h = None
-            if feats_h is not None:
-                nbytes = sum(
-                    a.nbytes
-                    for a in jax.tree_util.tree_leaves((feats_h, targs_h))
-                    if hasattr(a, "nbytes")
-                )
-                if nbytes <= (2 << 30):
-                    packed_h, pack_spec, pack_treedef = self._pack_device_columns(
-                        feats_h, targs_h, n_rows
+            ds_obj = loader.dataset
+            cached_pack = getattr(ds_obj, "_device_train_pack", None)
+            if cached_pack is not None:
+                # consecutive fit() calls on the same dataset (continuation
+                # workflows, warm+measure benches) reuse the uploaded pack —
+                # a fresh upload costs up to 2GB over the ~40MB/s tunnel. The
+                # pack is batch-size independent (no padding; drop_last only
+                # changes how many rows the scan consumes). Never donated.
+                n_rows, pack_spec, pack_treedef, packed_dev = cached_pack
+                device_data = (packed_dev, n_rows)
+            else:
+                try:
+                    feats_h, targs_h, n_rows = loader.dense_columns()
+                except ValueError:
+                    feats_h = None
+                if feats_h is not None:
+                    nbytes = sum(
+                        a.nbytes
+                        for a in jax.tree_util.tree_leaves((feats_h, targs_h))
+                        if hasattr(a, "nbytes")
                     )
-                    device_data = (jnp.asarray(packed_h), n_rows)
+                    if nbytes <= (2 << 30):
+                        packed_h, pack_spec, pack_treedef = self._pack_device_columns(
+                            feats_h, targs_h, n_rows
+                        )
+                        device_data = (jnp.asarray(packed_h), n_rows)
+                        try:
+                            ds_obj._device_train_pack = (
+                                n_rows, pack_spec, pack_treedef, device_data[0]
+                            )
+                            # bound pinned HBM like the eval packs: at most two
+                            # datasets keep a device-resident training pack
+                            _TRAIN_PACK_LRU.append(weakref.ref(ds_obj))
+                            while len(_TRAIN_PACK_LRU) > 2:
+                                old = _TRAIN_PACK_LRU.popleft()()
+                                if old is not None and old is not ds_obj:
+                                    old._device_train_pack = None
+                        except AttributeError:
+                            pass
         chunk_fns: Dict[Tuple[int, bool], Any] = {}
 
         def device_chunk_fn(k: int, with_metrics: bool):
@@ -1280,7 +1323,9 @@ class BaseModel(Block):
                     # pack layout must key the executable: a different dataset
                     # with equal n_batches/batch_size would otherwise reuse a
                     # closure over the WRONG spec/treedef and misdecode columns
-                    tuple(pack_spec), pack_treedef,
+                    # str(): the cache dict rides the nnx module, whose
+                    # flatten sorts keys — raw PyTreeDefs aren't orderable
+                    tuple(pack_spec), str(pack_treedef),
                     None if val_scan is None
                     else (val_loader.batch_size, vn, tuple(vspec)),
                 )
@@ -1632,7 +1677,12 @@ class BaseModel(Block):
             return None
         packed_dev, n_rows, spec, treedef = pack
         bs = loader.batch_size
-        key = ("eval_scan", bs, n_rows, spec)
+        # treedef must key the cache too: two datasets with identical spec
+        # (column widths/dtypes) but different column names would otherwise
+        # share a scan whose closure binds columns to the WRONG feature names.
+        # str() because _step_cache rides the nnx module: flatten sorts dict
+        # keys, and raw PyTreeDefs aren't orderable
+        key = ("eval_scan", bs, n_rows, spec, str(treedef))
         cached = self._step_cache.get(key)
         fn = cached[0] if cached is not None and cached[1] == self._graphdef else None
         if fn is None:

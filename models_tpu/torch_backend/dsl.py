@@ -774,10 +774,13 @@ class MMOEBlock(nn.Module):
 
 class CGCBlock(nn.Module):
     """Customized gate control: shared + per-task experts (reference
-    ``CGCBlock:138``)."""
+    ``CGCBlock:138``). With ``shared_gate=True`` (PLE intermediate layers) it
+    also emits a ``"shared"`` stream gated over ALL experts, and accepts the
+    dict a previous CGC layer produced (per-task + shared streams)."""
 
     def __init__(self, expert: Block, num_shared: int, num_task: int,
-                 in_dim: int, out_dim: int, outputs: Seq[str]):
+                 in_dim: int, out_dim: int, outputs: Seq[str],
+                 shared_gate: bool = False):
         super().__init__()
         self.shared = nn.ModuleList([_fresh_copy(expert) for _ in range(num_shared)])
         self.task_experts = nn.ModuleDict(
@@ -787,30 +790,60 @@ class CGCBlock(nn.Module):
         self.gates = nn.ModuleDict(
             {t: _ExpertGate(in_dim, num_shared + num_task) for t in outputs}
         )
+        self.shared_gate = (
+            _ExpertGate(in_dim, num_shared + num_task * len(outputs))
+            if shared_gate else None
+        )
         self.out_dim = out_dim
 
-    def forward(self, inputs: torch.Tensor, batch: Optional[Batch] = None):
-        shared = [_call(e, inputs, batch) for e in self.shared]
+    def forward(self, inputs, batch: Optional[Batch] = None):
+        def stream(t):
+            return inputs[t] if isinstance(inputs, dict) else inputs
+
+        shared_in = inputs["shared"] if isinstance(inputs, dict) else inputs
+        shared = [_call(e, shared_in, batch) for e in self.shared]
         out = {}
+        task_outs: List[torch.Tensor] = []
         for t, gate in self.gates.items():
-            own = [_call(e, inputs, batch) for e in self.task_experts[t]]
-            out[t] = gate(inputs, torch.stack(shared + own, dim=1))
+            own = [_call(e, stream(t), batch) for e in self.task_experts[t]]
+            task_outs.extend(own)
+            out[t] = gate(stream(t), torch.stack(shared + own, dim=1))
+        if self.shared_gate is not None:
+            out["shared"] = self.shared_gate(
+                shared_in, torch.stack(shared + task_outs, dim=1)
+            )
         return out
 
 
-def PLEBlock(expert_factory: Callable[[], Block], num_shared: int, num_task: int,
+def PLEBlock(expert_factory: Callable[..., Block], num_shared: int, num_task: int,
              depth: int, in_dim: int, out_dim: int, outputs: Seq[str]) -> Block:
-    """Progressive layered extraction = stacked CGC layers (reference
-    ``PLEBlock:79``; single-layer form here — per-task towers consume the
-    dict)."""
+    """Progressive layered extraction = ``depth`` stacked CGC layers
+    (reference ``PLEBlock:79``): intermediate layers keep a gated shared
+    stream alongside the per-task streams; the final layer emits per-task
+    only. ``expert_factory`` may take the layer's input dim as its single
+    argument (layers past the first see ``out_dim``-wide inputs); a zero-arg
+    factory requires ``in_dim == out_dim`` when ``depth > 1``."""
+    import inspect
+
+    try:
+        takes_dim = len(inspect.signature(expert_factory).parameters) >= 1
+    except (TypeError, ValueError):
+        takes_dim = False
+    if depth > 1 and in_dim != out_dim and not takes_dim:
+        raise ValueError(
+            "PLEBlock(depth>1) with in_dim != out_dim needs an expert_factory "
+            "that accepts the layer input dim (layers past the first consume "
+            f"{out_dim}-wide streams, the first consumes {in_dim})"
+        )
     layers: List[nn.Module] = []
     d = in_dim
-    for _ in range(depth):
-        layers.append(CGCBlock(expert_factory(), num_shared, num_task, d, out_dim,
-                               outputs))
-        # deeper layers would need per-task routing; keep the reference's
-        # common single-layer usage simple
-        break
+    for i in range(depth):
+        expert = expert_factory(d) if takes_dim else expert_factory()
+        layers.append(
+            CGCBlock(expert, num_shared, num_task, d, out_dim, outputs,
+                     shared_gate=i < depth - 1)
+        )
+        d = out_dim
     return Block(*layers)
 
 

@@ -144,19 +144,37 @@ class CSVLogger(Callback):
         self.append = append
         self._keys = None
         self._file = None
+        self._rows = []  # (epoch, logs) written this run, for header widening
+        self._fixed_header = False  # appending to a pre-existing file
 
-    def on_epoch_end(self, epoch, logs):
-        logs = dict(logs or {})
-        if self._file is None:
-            mode = "a" if self.append else "w"
-            self._file = open(self.filename, mode)
-            self._keys = sorted(logs)
-            if not (self.append and self._file.tell() > 0):
-                self._file.write(self.sep.join(["epoch"] + self._keys) + "\n")
+    def _write_row(self, epoch, logs):
         row = [str(epoch)] + [
             f"{logs[k]:.6g}" if k in logs else "" for k in self._keys
         ]
         self._file.write(self.sep.join(row) + "\n")
+
+    def on_epoch_end(self, epoch, logs):
+        logs = dict(logs or {})
+        self._rows.append((epoch, logs))
+        if self._file is None:
+            mode = "a" if self.append else "w"
+            self._file = open(self.filename, mode)
+            self._keys = sorted(logs)
+            # appending to a file that already has content: its header is on
+            # disk and cannot be widened — keep the first epoch's columns
+            self._fixed_header = self.append and self._file.tell() > 0
+            if not self._fixed_header:
+                self._file.write(self.sep.join(["epoch"] + self._keys) + "\n")
+        elif not self._fixed_header and not set(logs) <= set(self._keys):
+            # new columns appeared (e.g. val_* with validation_freq > 1):
+            # union the keys and rewrite this run's file with the wider header
+            self._keys = sorted(set(self._keys) | set(logs))
+            self._file.close()
+            self._file = open(self.filename, "w")
+            self._file.write(self.sep.join(["epoch"] + self._keys) + "\n")
+            for e, lg in self._rows[:-1]:
+                self._write_row(e, lg)
+        self._write_row(epoch, logs)
         self._file.flush()
 
     def on_train_end(self, logs=None):

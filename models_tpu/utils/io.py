@@ -35,7 +35,7 @@ CONFIG_FILE = "config.json"
 STATE_FILE = "state.npz"
 
 # engine attributes that hold closures / compiled functions — rebuilt by compile()
-_ENGINE_ATTRS = ("_tx", "_step_cache", "_graphdef", "_pre_transform", "_loss_spec", "_metrics_spec", "_mesh")
+_ENGINE_ATTRS = ("_tx", "_base_tx", "_step_cache", "_graphdef", "_pre_transform", "_loss_spec", "_metrics_spec", "_mesh")
 
 
 # ---------------------------------------------------------------------------

@@ -619,3 +619,32 @@ def test_torch_dlrm_out_dim_with_shared_domain():
     }
     out = blk(x)
     assert out.shape == (5, blk.out_dim)
+
+
+def test_torch_ple_block_depth_stacks_layers():
+    """Regression (review): PLEBlock(depth=N) must build N CGC layers (the
+    old loop broke after one); intermediate layers carry a gated shared
+    stream, the final layer emits per-task streams only."""
+    dsl = _torch_dsl()
+    import torch
+
+    D = 12
+    ple = dsl.PLEBlock(
+        lambda d: dsl.MLPBlock((16,), d), num_shared=2, num_task=1,
+        depth=3, in_dim=D, out_dim=16, outputs=["click", "like"],
+    )
+    layers = list(ple.values)
+    assert len(layers) == 3
+    assert all(isinstance(l, dsl.CGCBlock) for l in layers)
+    assert layers[0].shared_gate is not None  # intermediate: shared stream
+    assert layers[-1].shared_gate is None     # final: per-task only
+    out = ple(torch.randn(4, D))
+    assert set(out) == {"click", "like"}
+    assert out["click"].shape == (4, 16)
+    assert not torch.allclose(out["click"], out["like"])
+
+    # zero-arg factory with in_dim != out_dim cannot stack: clear error
+    import pytest
+    with pytest.raises(ValueError, match="expert_factory"):
+        dsl.PLEBlock(lambda: dsl.MLPBlock((16,), D), num_shared=1, num_task=1,
+                     depth=2, in_dim=D, out_dim=16, outputs=["click"])

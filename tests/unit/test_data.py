@@ -566,3 +566,28 @@ def test_target_encoding_same_size_split_uses_mapping_not_oof():
     data1, _ = op.transform({"c": col, "y": y}, schema)
     full = np.array([op.mapping[v] for v in col.tolist()], np.float32)
     assert not np.allclose(data1["TE"], full)
+
+
+def test_target_encoding_fit_then_transform_train_is_oof_and_repeatable():
+    """Regression (review): Workflow.fit() internally transforms the train
+    split (feeding downstream ops), so the user's later transform(train) must
+    STILL return the out-of-fold encodings — and return the same values every
+    time (the old one-shot consumption leaked in-sample encodings)."""
+    from models_tpu.data.workflow import TargetEncoding
+    from models_tpu.schema import ColumnSchema, Schema, create_continuous_column
+
+    rng = np.random.default_rng(3)
+    n = 150
+    col = rng.integers(0, 6, size=n)
+    y = rng.random(n)
+    schema = Schema([
+        ColumnSchema("c", dtype="int64"), create_continuous_column("y"),
+    ])
+    op = TargetEncoding("c", target="y", kfold=3, p_smooth=4.0, out="TE",
+                        normalize=False)
+    op.fit({"c": col, "y": y}, schema)
+    d1, _ = op.transform({"c": col, "y": y}, schema)  # e.g. inside wf.fit()
+    d2, _ = op.transform({"c": col, "y": y}, schema)  # user's transform(train)
+    np.testing.assert_allclose(d1["TE"], d2["TE"])
+    full = np.array([op.mapping[v] for v in col.tolist()], np.float32)
+    assert not np.allclose(d2["TE"], full)  # still OOF, not leaked mapping

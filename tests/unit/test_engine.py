@@ -429,3 +429,127 @@ def test_fused_fit_initial_epoch_continuation(ecommerce):
               verbose=0).history
     assert len(a["loss"]) == 3 and len(b["loss"]) == 3
     np.testing.assert_allclose(a["loss"] + b["loss"], one["loss"], rtol=1e-5)
+
+
+def test_stop_training_resets_between_fits(ecommerce):
+    """Regression (review): a fit stopped by EarlyStopping/TerminateOnNaN must
+    not leave stop_training=True behind — Keras resets it at every fit()
+    start, and continuation workflows (consecutive fits) rely on that."""
+    from models_tpu.utils.callbacks import Callback
+
+    class StopNow(Callback):
+        def on_epoch_end(self, epoch, logs):
+            self.model.stop_training = True
+
+    m = _simple_model(ecommerce.schema)
+    m.compile()
+    h1 = m.fit(ecommerce, epochs=3, batch_size=32, verbose=0, callbacks=[StopNow()])
+    assert len(h1.history["loss"]) == 1  # the callback stopped epoch 0
+    h2 = m.fit(ecommerce, epochs=3, batch_size=32, verbose=0)
+    assert len(h2.history["loss"]) == 3  # stale flag must not truncate
+
+
+def test_unfreeze_trains_without_recompile(ecommerce):
+    """Regression (review): fit() derives a per-run optimizer from the
+    compiled one, so unfreeze_all_frozen_blocks() takes effect on the next
+    fit WITHOUT re-compiling (the old in-place rewrap kept zeroing forever)."""
+    from models_tpu.core.block import iter_blocks
+    from models_tpu.inputs import EmbeddingTable
+
+    m = _simple_model(ecommerce.schema)
+    m.compile()
+    tables = [b for b in iter_blocks(m) if isinstance(b, EmbeddingTable)]
+    m.freeze_blocks(tables[0])
+    m.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    before = tables[0].to_array().copy()
+    np.testing.assert_array_equal(before, tables[0].to_array())
+    m.unfreeze_all_frozen_blocks()
+    m.fit(ecommerce, epochs=1, batch_size=32, verbose=0)  # no compile()
+    assert not np.array_equal(before, tables[0].to_array())
+
+
+def test_device_train_pack_cached_across_fits(ecommerce):
+    """Regression (review): the device-resident training pack is cached on
+    the Dataset — consecutive fit() calls must reuse the uploaded matrix
+    (a re-upload costs up to 2GB over the ~40MB/s tunnel) and train the
+    same trajectory as a fresh pack."""
+    def build():
+        m = _simple_model(ecommerce.schema, seed=11)
+        m.compile(optimizer="adam", learning_rate=0.01, steps_per_execution=4,
+                  metrics=[])
+        return m
+
+    ecommerce._device_train_pack = None
+    m1 = build()
+    h1 = m1.fit(ecommerce, epochs=1, batch_size=32, shuffle=False, verbose=0)
+    pack1 = getattr(ecommerce, "_device_train_pack", None)
+    assert pack1 is not None  # the fused path packed and cached
+    # a second fit (fresh model, same dataset) reuses the same device buffer
+    m2 = build()
+    h2 = m2.fit(ecommerce, epochs=1, batch_size=32, shuffle=False, verbose=0)
+    pack2 = getattr(ecommerce, "_device_train_pack")
+    assert pack2[3] is pack1[3]
+    np.testing.assert_allclose(
+        h1.history["loss"], h2.history["loss"], rtol=1e-6
+    )
+    ecommerce._device_train_pack = None  # don't leak HBM into other tests
+
+
+def test_device_eval_cache_keys_on_column_names():
+    """Regression (review): the device-eval scan cache must key on the pack
+    treedef, not just the spec — two eval datasets with identical column
+    widths/dtypes but different column NAMES must not share a compiled scan
+    (the closure would bind columns to the wrong features)."""
+    from models_tpu.data import Dataset
+    from models_tpu.schema import (
+        ColumnSchema, Schema, Tags, create_categorical_column,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 96
+    user = rng.integers(0, 20, n).astype(np.int64)
+    item = rng.integers(0, 30, n).astype(np.int64)
+    extra = rng.integers(0, 10, n).astype(np.int64)
+    click = (rng.random(n) < 0.5).astype(np.float32)
+    base_cols = [
+        create_categorical_column("user_id", 20, tags=Tags.USER_ID),
+        create_categorical_column("item_id", 30, tags=Tags.ITEM_ID),
+        ColumnSchema("click", tags=(Tags.BINARY_CLASSIFICATION, Tags.TARGET),
+                     dtype="float32"),
+    ]
+
+    def make(extra_name):
+        cols = base_cols + [create_categorical_column(extra_name, 10)]
+        data = {"user_id": user, "item_id": item, extra_name: extra,
+                "click": click}
+        return Dataset(data, Schema(cols))
+
+    # "aa_*" sorts FIRST among the features, "zz_*" sorts LAST: same pack
+    # spec (all int32 width-1 + the f32 target), different treedef — the
+    # old spec-only cache key collided and misbound every real column
+    ds_a, ds_b = make("aa_x"), make("zz_x")
+    train = Dataset(
+        {"user_id": user, "item_id": item, "click": click}, Schema(base_cols)
+    )
+    m = _simple_model(Schema(base_cols), seed=2)
+    m.compile()
+    m.fit(train, epochs=2, batch_size=32, verbose=0)
+    # drive the fused-eval cache directly with a FIXED graphdef (a public
+    # evaluate() round-trip can hide the collision when build() with the new
+    # column happens to perturb the graphdef and dodge the cache)
+    loss_fns = m._resolve_task_losses()
+    task_metrics = m._resolve_task_metrics()
+    la = m._as_loader(ds_a, 32, shuffle=False, drop_last=False)
+    lb = m._as_loader(ds_b, 32, shuffle=False, drop_last=False)
+    fa = m._try_device_eval(la, loss_fns, task_metrics)
+    fb = m._try_device_eval(lb, loss_fns, task_metrics)
+    assert fa is not None and fb is not None
+    _, params, rest = m._split()
+    ra = fa(params, rest)
+    rb = fb(params, rest)
+    # identical real features -> identical metric/loss states (the extra
+    # column is ignored by the model); a collided scan misbinds every column
+    import jax
+
+    for xa, xb in zip(jax.tree_util.tree_leaves(ra), jax.tree_util.tree_leaves(rb)):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=1e-6)

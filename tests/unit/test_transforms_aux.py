@@ -440,3 +440,27 @@ def test_csv_logger_and_terminate_on_nan(tmp_path):
     m2.compile(optimizer="sgd", learning_rate=1e12)  # guaranteed blow-up
     h = m2.fit(ds, epochs=6, batch_size=32, verbose=0, callbacks=[TerminateOnNaN()])
     assert len(h.history["loss"]) < 6
+
+
+def test_csv_logger_unions_late_columns(tmp_path):
+    """Regression (review): columns appearing after epoch 0 (e.g. val_* with
+    validation_freq=2) must be unioned into the CSV, not silently dropped."""
+    from models_tpu.utils.callbacks import CSVLogger
+
+    path = str(tmp_path / "log.csv")
+    cb = CSVLogger(path)
+    cb.on_epoch_end(0, {"loss": 1.0})
+    cb.on_epoch_end(1, {"loss": 0.5, "val_loss": 0.7})
+    cb.on_train_end()
+    lines = open(path).read().strip().splitlines()
+    assert lines[0] == "epoch,loss,val_loss"
+    assert lines[1].split(",") == ["0", "1", ""]  # epoch 0 has no val_loss
+    assert lines[2].split(",") == ["1", "0.5", "0.7"]
+
+    # append mode onto an existing file keeps the on-disk header fixed
+    cb2 = CSVLogger(path, append=True)
+    cb2.on_epoch_end(2, {"loss": 0.25, "val_loss": 0.6, "extra": 9.0})
+    cb2.on_train_end()
+    lines = open(path).read().strip().splitlines()
+    assert lines[0] == "epoch,loss,val_loss"  # unchanged
+    assert len(lines) == 4

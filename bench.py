@@ -730,7 +730,9 @@ def _require_device(timeout_s: float = 180.0) -> None:
                 "vs_baseline": 0.0,
                 "extra": {
                     "error": f"TPU backend unreachable within {timeout_s:.0f}s "
-                    "(axon tunnel outage — jax.devices() hung); no measurements taken"
+                    "(axon tunnel outage — jax.devices() hung); no measurements taken",
+                    "last_valid_chip_record": "BENCH_r02.json (same code paths; "
+                    "see docs/BENCHMARKS.md for clean-window methodology)",
                 },
             }
         )

@@ -41,8 +41,12 @@ class NoveltyAt(_TopKIdMetric):
 
     def update(self, state, outputs, targets, sample_weight=None, **kw):
         ids = targets.astype(jnp.int32)[:, : self.k]
+        # id -1 = top-k padding sentinel (k > valid candidates): exclude it
+        # instead of clipping onto item 0's statistics
+        valid = (ids >= 0).astype(jnp.float32)
         p = jnp.take(self.probs, jnp.clip(ids, 0, self.num_items - 1), axis=0)
-        novelty = -jnp.log2(jnp.maximum(p, 1e-12)).mean(axis=1)
+        per = -jnp.log2(jnp.maximum(p, 1e-12)) * valid
+        novelty = per.sum(axis=1) / jnp.maximum(valid.sum(axis=1), 1.0)
         w = jnp.ones_like(novelty) if sample_weight is None else sample_weight.reshape(-1)
         return {
             "total": state["total"] + jnp.sum(novelty * w),
@@ -64,8 +68,9 @@ class PopularityBiasAt(_TopKIdMetric):
 
     def update(self, state, outputs, targets, sample_weight=None, **kw):
         ids = targets.astype(jnp.int32)[:, : self.k]
+        valid = (ids >= 0).astype(jnp.float32)  # exclude -1 padding sentinels
         p = jnp.take(self.probs, jnp.clip(ids, 0, self.num_items - 1), axis=0)
-        bias = p.mean(axis=1)
+        bias = (p * valid).sum(axis=1) / jnp.maximum(valid.sum(axis=1), 1.0)
         w = jnp.ones_like(bias) if sample_weight is None else sample_weight.reshape(-1)
         return {
             "total": state["total"] + jnp.sum(bias * w),
@@ -84,12 +89,16 @@ class ItemCoverageAt(_TopKIdMetric):
     name = "item_coverage_at"
 
     def init_state(self):
-        return {"seen": jnp.zeros((self.num_items,), jnp.bool_)}
+        # one extra slot absorbs -1 padding sentinels (k > valid candidates)
+        return {"seen": jnp.zeros((self.num_items + 1,), jnp.bool_)}
 
     def update(self, state, outputs, targets, sample_weight=None, **kw):
         ids = targets.astype(jnp.int32)[:, : self.k].reshape(-1)
-        seen = state["seen"].at[jnp.clip(ids, 0, self.num_items - 1)].set(True)
+        # -1 padding sentinels must not mark item 0 as recommended: route
+        # them to the sacrificial overflow slot instead of clipping to 0
+        idx = jnp.where((ids >= 0) & (ids < self.num_items), ids, self.num_items)
+        seen = state["seen"].at[idx].set(True)
         return {"seen": seen}
 
     def result(self, state):
-        return jnp.mean(state["seen"].astype(jnp.float32))
+        return jnp.mean(state["seen"][: self.num_items].astype(jnp.float32))

@@ -88,7 +88,6 @@ def ndcg_at(k: int, rel: jnp.ndarray, num_relevant: jnp.ndarray) -> jnp.ndarray:
     discounts = 1.0 / jnp.log2(jnp.arange(2, k + 2, dtype=jnp.float32))
     dcg = jnp.sum(rel[:, :k] * discounts, axis=1)
     # ideal DCG: first min(num_relevant, k) positions relevant
-    counts = jnp.minimum(num_relevant[:, None], jnp.arange(1, k + 1, dtype=jnp.float32)[None, :])
     hits = (jnp.arange(k, dtype=jnp.float32)[None, :] < jnp.minimum(num_relevant, float(k))[:, None])
     idcg = jnp.sum(hits * discounts[None, :], axis=1)
     return dcg / jnp.maximum(idcg, 1e-9)
@@ -144,13 +143,24 @@ class TopKMetric(Metric):
     ):
         if self.pre_sorted:
             rel = targets
+            if label_relevant_counts is None:
+                # targets here are TRUNCATED top-k relevances: summing them
+                # counts only the HITS, making e.g. recall@k == 1 on any hit.
+                # The reference errors for the same reason
+                # (tf/metrics/topk.py label_relevant_counts protocol).
+                raise ValueError(
+                    f"{self.name}: pre_sorted=True requires "
+                    "label_relevant_counts (the top-k-truncated relevance "
+                    "cannot recover the total number of relevant items)"
+                )
+            num_rel = label_relevant_counts
         else:
             _, rel, _ = extract_topk(self.k, outputs, targets)
-        num_rel = (
-            label_relevant_counts
-            if label_relevant_counts is not None
-            else jnp.sum(targets.astype(jnp.float32), axis=-1)
-        )
+            num_rel = (
+                label_relevant_counts
+                if label_relevant_counts is not None
+                else jnp.sum(targets.astype(jnp.float32), axis=-1)
+            )
         vals = self._compute(rel, num_rel)
         w = jnp.ones_like(vals) if sample_weight is None else sample_weight.reshape(-1).astype(vals.dtype)
         return {

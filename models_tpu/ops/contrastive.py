@@ -49,6 +49,19 @@ def sampled_softmax_loss(
     tile: int = 8192,
     pos_bias: Optional[jnp.ndarray] = None,  # (Q,) positive logit bias (logQ)
 ) -> jnp.ndarray:
+    """Streaming sampled-softmax CE.
+
+    CONTRACT: ``weights``, ``neg_bias`` and ``pos_bias`` are treated as
+    CONSTANTS — the custom VJP returns no cotangent for them (they are logQ
+    corrections / sample weights, non-trainable throughout this framework and
+    the reference). ``stop_gradient`` here makes that explicit rather than
+    silently dropping a gradient someone tries to train through."""
+    if weights is not None:
+        weights = jax.lax.stop_gradient(weights)
+    if neg_bias is not None:
+        neg_bias = jax.lax.stop_gradient(neg_bias)
+    if pos_bias is not None:
+        pos_bias = jax.lax.stop_gradient(pos_bias)
     loss, _ = _forward(query, pos_emb, neg_emb, pos_id, neg_id, weights, neg_bias,
                        temperature, tile, pos_bias)
     return loss

@@ -308,11 +308,24 @@ class ContrastiveOutput(ModelOutput):
                         w = rvf if w is None else w * rvf
                     temp = self.logits_scaler.temperature if self.logits_scaler else 1.0
                     neg_bias = None
+                    neg_emb_fused = negatives.embedding
                     if self.logq_sampling_correction and negatives.sampling_prob is not None:
                         neg_bias = -jnp.log(negatives.sampling_prob + LOGQ_EPS)
                     if negatives.valid is not None:
-                        pad_pen = jnp.where(negatives.valid, 0.0, MIN_FLOAT)
-                        neg_bias = pad_pen if neg_bias is None else neg_bias + pad_pen
+                        # REPLACE semantics like the non-fused path (line
+                        # ~255), not additive: an invalid row whose raw dot
+                        # exceeds |MIN_FLOAT| would survive an additive bias.
+                        # The fused kernel takes bias additively, so zero the
+                        # invalid embeddings (score exactly 0) AND pin the
+                        # bias to MIN_FLOAT — logit = MIN_FLOAT/T, suppressed.
+                        neg_emb_fused = jnp.where(
+                            negatives.valid[:, None], neg_emb_fused, 0.0
+                        )
+                        neg_bias = jnp.where(
+                            negatives.valid,
+                            0.0 if neg_bias is None else neg_bias,
+                            MIN_FLOAT,
+                        )
                     from ..core.policy import cast_compute as _cc
 
                     pos_bias = None
@@ -321,13 +334,13 @@ class ContrastiveOutput(ModelOutput):
                     loss = sampled_softmax_loss(
                         _cc(query),
                         _cc(positive.embedding),
-                        _cc(negatives.embedding),
+                        _cc(neg_emb_fused),
                         positive.id if self.downscore_false_negatives else None,
                         negatives.id if self.downscore_false_negatives else None,
                         w,
                         neg_bias,
                         temp,
-                        min(self.fused_tile, negatives.embedding.shape[0]),
+                        min(self.fused_tile, neg_emb_fused.shape[0]),
                         pos_bias=pos_bias,
                     )
                     return Prediction(outputs=loss, precomputed_loss=loss)

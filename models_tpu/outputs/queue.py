@@ -33,14 +33,43 @@ class FIFOQueue(Block):
     def enqueue_functional(self, ids: jnp.ndarray, embeddings: jnp.ndarray):
         """New (embeddings, ids, cursor) arrays after enqueue — no mutation
         (NNX forbids Variable writes inside the grad trace; the train body
-        applies these into the step's output state instead)."""
+        applies these into the step's output state instead).
+
+        Implementation notes: NO row scatter. ``.at[pos].set`` with computed
+        indices is the pattern CLAUDE.md records as catastrophically slow on
+        this TPU (serialized row updates), and with ``n > capacity`` the
+        wrapped indices collide — duplicate-index write order is unspecified,
+        so the queue could keep the OLDEST rows. A ring write is two
+        contiguous pieces: write the block into a doubled buffer at ``start``
+        (one dynamic_update_slice), then fold the halves."""
         n = ids.shape[0]
+        cap = self.capacity
+        emb = jax.lax.stop_gradient(embeddings).astype(self.embeddings.value.dtype)
+        ids = ids.astype(jnp.int32)
         start = self.cursor.value
-        pos = (start + jnp.arange(n)) % self.capacity
-        new_emb = self.embeddings.value.at[pos].set(jax.lax.stop_gradient(embeddings))
-        new_ids = self.ids.value.at[pos].set(ids.astype(jnp.int32))
-        new_cursor = (start + n) % self.capacity
-        return new_emb, new_ids, new_cursor
+        new_cursor = (start + n) % cap
+        if n >= cap:
+            # full wrap: only the LAST `cap` rows survive (FIFO). Slot
+            # (new_cursor + i) % cap holds kept[i] — i.e. roll by the final
+            # cursor so the oldest kept row sits at new_cursor.
+            kept_emb = emb[n - cap:]
+            kept_ids = ids[n - cap:]
+            new_emb = jnp.roll(kept_emb, new_cursor, axis=0)
+            new_ids = jnp.roll(kept_ids, new_cursor, axis=0)
+            return new_emb, new_ids, new_cursor
+
+        def ring_write(buf, block):
+            doubled = jnp.concatenate([buf, buf], axis=0)
+            doubled = jax.lax.dynamic_update_slice(
+                doubled, block, (start,) + (0,) * (buf.ndim - 1)
+            )
+            lo, hi = doubled[:cap], doubled[cap:]
+            # second-copy slot cap+j was written iff start + n > cap + j
+            wrapped = (jnp.arange(cap) < start + n - cap)
+            mask = wrapped.reshape((cap,) + (1,) * (buf.ndim - 1))
+            return jnp.where(mask, hi, lo)
+
+        return ring_write(self.embeddings.value, emb), ring_write(self.ids.value, ids), new_cursor
 
     def enqueue(self, ids: jnp.ndarray, embeddings: jnp.ndarray) -> None:
         """Eager/host-side enqueue (outside any jit/grad trace)."""
@@ -61,11 +90,13 @@ class FIFOQueue(Block):
 
 @sampler_registry.register_with_multiple_names("cross-batch", "cached-cross-batch")
 class CachedCrossBatchSampler(CandidateSampler):
-    """Negatives = the last ``capacity`` positives seen across batches
-    (reference ``CachedCrossBatchSampler``): enqueue current positives, return
-    the queue snapshot. Unfilled slots carry id -1 and ``valid=False`` — the
-    contrastive head downscores them to MIN_FLOAT so warm-up batches never
-    score against zero vectors."""
+    """Negatives = the last ``capacity`` positives seen across PREVIOUS
+    batches (reference ``CachedCrossBatchSampler``): the snapshot is taken
+    BEFORE enqueueing the current batch, deliberately — the standard
+    composition ``[InBatchSampler(), CachedCrossBatchSampler()]`` would
+    otherwise score every current positive twice. Unfilled slots carry id -1
+    and ``valid=False`` — the contrastive head downscores them to MIN_FLOAT
+    so warm-up batches never score against zero vectors."""
 
     def __init__(self, capacity: int = 4096, dim: int = 64):
         super().__init__()

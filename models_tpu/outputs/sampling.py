@@ -62,7 +62,10 @@ class PopularityBasedSampler(CandidateSampler):
     probabilities for logQ correction (reference ``outputs/sampling/popularity.py:24``,
     probability form of ``tf.random.log_uniform_candidate_sampler``):
 
-        P(id) = (log(id+2) - log(id+1)) / log(max_id + 1)
+        P(id) = (log(id+2) - log(id+1)) / log(max_id + 2)
+
+    (the +2 divisor matches ``_zipf_sample``'s inverse CDF over [0, max_id] —
+    the distribution must integrate to 1 over the ids the sampler can emit)
 
     Requires item ids to be frequency-sorted (id 0 = most popular), the same
     contract as the reference. Embeddings for the sampled ids are looked up from

@@ -36,10 +36,8 @@ class TopKLayer(Block):
                            dtype=jnp.float32) -> "TopKLayer":
         """Index from a Dataset with columns id + embedding (or id + vector cols)."""
         data = dataset.to_numpy_dict() if hasattr(dataset, "to_numpy_dict") else dataset
-        if "id" in data:
-            ids = np.asarray(data["id"])
-        else:
-            ids = np.asarray(next(iter(data.values())))
+        id_col = "id" if "id" in data else next(iter(data))
+        ids = np.asarray(data[id_col])
         if "embedding__values" in data:
             values = data["embedding__values"]
             dim = len(values) // len(ids)
@@ -47,7 +45,9 @@ class TopKLayer(Block):
         elif "embedding" in data:
             emb = np.asarray(list(data["embedding"]))
         else:
-            cols = [c for c in data if c != "id"]
+            # the id source column must NOT ride into the embedding matrix —
+            # stacking raw ids as a vector dimension distorts every score
+            cols = [c for c in data if c != id_col]
             emb = np.stack([data[c] for c in cols], axis=1)
         if check_unique_ids:
             self._check_unique_ids(ids)

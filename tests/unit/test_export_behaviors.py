@@ -333,3 +333,21 @@ def test_bruteforce_bf16_index_exact_vs_naive():
         len(set(a) & set(b)) / 10.0 for a, b in zip(np.asarray(pred.identifiers), ids32)
     ])
     assert overlap >= 0.95, overlap
+
+
+def test_index_from_dataset_fallback_excludes_id_column():
+    """Regression (review): with vector columns and no 'id'/'embedding' key,
+    the first column provides the ids and must NOT also be stacked into the
+    embedding matrix (raw id magnitudes would distort every score)."""
+    from models_tpu.outputs.topk import BruteForce
+
+    n = 6
+    ids = np.arange(100, 100 + n).astype(np.int64)  # big values, would dominate
+    f0 = np.linspace(0, 1, n).astype(np.float32)
+    f1 = np.linspace(1, 0, n).astype(np.float32)
+    bf = BruteForce(k=3)
+    bf.index_from_dataset({"item_id": ids, "f0": f0, "f1": f1})
+    assert bf.candidates.shape == (n, 2)
+    # query along (1, 0): best candidates are the largest f0 rows, ids 104/105
+    scores, got_ids = bf(jnp.asarray([[1.0, 0.0]]))
+    assert int(got_ids[0, 0]) == 105 and int(got_ids[0, 1]) == 104

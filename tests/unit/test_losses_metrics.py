@@ -310,3 +310,20 @@ def test_loss_registry_parses_aliases():
     assert get_loss("bce") is get_loss("binary_crossentropy")
     with pytest.raises(Exception):
         get_loss("not_a_loss")
+
+
+def test_pre_sorted_topk_metric_requires_relevant_counts():
+    """Regression (review): pre_sorted relevances are top-k-truncated, so the
+    total relevant count cannot be recovered — recall@k would read 1.0 on any
+    hit. The metric must refuse, like the reference's label_relevant_counts
+    protocol."""
+    from models_tpu.metrics.topk import RecallAt
+
+    m = RecallAt(k=2, pre_sorted=True)
+    rel = jnp.asarray([[1.0, 0.0]])
+    with pytest.raises(ValueError, match="label_relevant_counts"):
+        m.update(m.init_state(), None, rel)
+    # with counts it computes the true divisor: min(num_relevant, k) = 2
+    # (the reference clips the recall divisor at k — TF-oracle-tested)
+    st = m.update(m.init_state(), None, rel, label_relevant_counts=jnp.asarray([4.0]))
+    assert abs(float(m.result(st)) - 0.5) < 1e-6

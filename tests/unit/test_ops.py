@@ -579,3 +579,56 @@ def test_pallas_row_scatter_write_matches_numpy():
         got = pallas_row_scatter_write(table, ids, rows, valid, **kw)
         assert got.dtype == jnp.bfloat16
         np.testing.assert_array_equal(np.asarray(got, np.float32), want)
+
+
+def test_sampled_softmax_invalid_negative_with_huge_score_suppressed():
+    """Regression (review): the fused path must EXCLUDE invalid (padded)
+    negatives exactly — an additive MIN_FLOAT bias leaks rows whose raw dot
+    exceeds |MIN_FLOAT|. The engine zeroes invalid embeddings and pins their
+    bias to MIN_FLOAT; this asserts that construction equals true exclusion."""
+    from models_tpu.core.constants import MIN_FLOAT
+
+    rng = np.random.default_rng(0)
+    Q, N, D = 8, 16, 32
+    q = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32) * 10.0
+    pos = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32)
+    neg = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    # make the LAST negative a monster: raw dots ~ +3200 >> |MIN_FLOAT|
+    neg = neg.at[-1].set(q.sum(axis=0) * 4.0)
+    valid = jnp.arange(N) < N - 1
+
+    # engine construction for invalid rows (contrastive.py fused path)
+    neg_masked = jnp.where(valid[:, None], neg, 0.0)
+    bias = jnp.where(valid, 0.0, MIN_FLOAT)
+    got = sampled_softmax_loss(q, pos, neg_masked, None, None, None, bias, 1.0, 8)
+    want = sampled_softmax_loss(q, pos, neg[:-1], None, None, None, None, 1.0, 8)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_sampled_softmax_bias_and_weights_are_gradient_constants():
+    """Documented contract: logQ biases / sample weights take no gradient
+    through the fused loss (stop_gradient at entry, uniform across the scan
+    and flash paths)."""
+    rng = np.random.default_rng(1)
+    Q, N, D = 4, 8, 16
+    q = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32)
+    pos = jnp.asarray(rng.standard_normal((Q, D)), jnp.float32)
+    neg = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    nb = jnp.asarray(rng.standard_normal((N,)), jnp.float32)
+    pb = jnp.asarray(rng.standard_normal((Q,)), jnp.float32)
+    w = jnp.abs(jnp.asarray(rng.standard_normal((Q,)), jnp.float32))
+
+    g_nb, g_pb, g_w = jax.grad(
+        lambda nb_, pb_, w_: sampled_softmax_loss(
+            q, pos, neg, None, None, w_, nb_, 1.0, 8, pos_bias=pb_
+        ),
+        argnums=(0, 1, 2),
+    )(nb, pb, w)
+    assert float(jnp.abs(g_nb).max()) == 0.0
+    assert float(jnp.abs(g_pb).max()) == 0.0
+    assert float(jnp.abs(g_w).max()) == 0.0
+    # ...while the embedding gradient is real
+    g_q = jax.grad(
+        lambda q_: sampled_softmax_loss(q_, pos, neg, None, None, w, nb, 1.0, 8, pos_bias=pb)
+    )(q)
+    assert float(jnp.abs(g_q).max()) > 0.0

@@ -464,3 +464,64 @@ def test_csv_logger_unions_late_columns(tmp_path):
     lines = open(path).read().strip().splitlines()
     assert lines[0] == "epoch,loss,val_loss"  # unchanged
     assert len(lines) == 4
+
+
+def test_fifo_queue_batch_larger_than_capacity_keeps_newest():
+    """Regression (review): enqueueing more rows than capacity must keep the
+    LAST `capacity` rows (FIFO) — the old row-scatter produced duplicate
+    indices with unspecified write order."""
+    q = FIFOQueue(capacity=8, dim=4)
+    n = 20
+    ids = jnp.arange(n)
+    emb = jnp.arange(n, dtype=jnp.float32)[:, None] * jnp.ones((1, 4))
+    q.enqueue(ids, emb)
+    assert sorted(np.asarray(q.ids.value).tolist()) == list(range(12, 20))
+    # embeddings track their ids
+    for slot in range(8):
+        sid = int(q.ids.value[slot])
+        np.testing.assert_allclose(np.asarray(q.embeddings.value[slot]), float(sid))
+    # ring order: continuing with a small batch evicts the OLDEST (id 12)
+    q.enqueue(jnp.asarray([100]), jnp.full((1, 4), 100.0))
+    kept = sorted(np.asarray(q.ids.value).tolist())
+    assert 12 not in kept and 100 in kept
+
+
+def test_fifo_queue_wrap_matches_numpy_reference():
+    """Ring writes across many odd-sized batches agree with a host loop."""
+    rng = np.random.default_rng(0)
+    cap, dim = 8, 3
+    q = FIFOQueue(capacity=cap, dim=dim)
+    ref_ids = np.full((cap,), -1, np.int32)
+    ref_emb = np.zeros((cap, dim), np.float32)
+    cur = 0
+    next_id = 0
+    for bs in [3, 5, 2, 7, 4, 6, 1, 5]:
+        ids = np.arange(next_id, next_id + bs, dtype=np.int32)
+        emb = rng.standard_normal((bs, dim)).astype(np.float32)
+        next_id += bs
+        q.enqueue(jnp.asarray(ids), jnp.asarray(emb))
+        for i in range(bs):
+            ref_ids[cur] = ids[i]
+            ref_emb[cur] = emb[i]
+            cur = (cur + 1) % cap
+    np.testing.assert_array_equal(np.asarray(q.ids.value), ref_ids)
+    np.testing.assert_allclose(np.asarray(q.embeddings.value), ref_emb, rtol=1e-6)
+    assert int(q.cursor.value) == cur
+
+
+def test_topk_id_metrics_ignore_padding_sentinel():
+    """Regression (review): id -1 (top-k padding) must not pollute novelty/
+    popularity-bias with item 0's stats nor mark item 0 as covered."""
+    freqs = np.array([100.0, 1.0, 1.0, 1.0])  # item 0 hugely popular
+    ids_clean = jnp.asarray([[1, 2]])
+    ids_padded = jnp.asarray([[1, 2, -1, -1]])
+
+    m = NoveltyAt(freqs, k=2)
+    clean = m.result(m.update(m.init_state(), None, ids_clean))
+    m4 = NoveltyAt(freqs, k=4)
+    padded = m4.result(m4.update(m4.init_state(), None, ids_padded))
+    np.testing.assert_allclose(float(clean), float(padded), rtol=1e-6)
+
+    c = ItemCoverageAt(freqs, k=4)
+    st = c.update(c.init_state(), None, jnp.asarray([[1, 2, -1, -1]]))
+    assert abs(float(c.result(st)) - 0.5) < 1e-6  # items 1,2 of 4; NOT item 0

@@ -146,6 +146,23 @@ _CLEAN_HBM_GBPS = 550.0  # clean windows measure ~900-950 on this chip
 _CAL_FLOOR_S = ((_CAL_N2 - _CAL_N1) * (_CAL_WIN * 4) / 2**30) / 1250.0
 
 
+_SECTION_ERRORS = {}
+
+
+def _try_section(name, fn, default, **kw):
+    """Run a section; on an unrecoverable error (e.g. a kernel that fails to
+    compile on the real chip) record it and return ``default`` so the bench
+    still emits its JSON line — one broken section must not zero the round's
+    entire record (round-3 lesson: the first bf16 Mosaic failure aborted main
+    before the print and the driver recorded nothing)."""
+    try:
+        return _section(fn, **kw)
+    except Exception as e:  # noqa: BLE001 — anything: report, don't die
+        _SECTION_ERRORS[name] = f"{type(e).__name__}: {e}"[:300]
+        print(f"# section {name} FAILED: {_SECTION_ERRORS[name]}", file=sys.stderr)
+        return default, float("inf")
+
+
 def _section(fn, retries: int = 1, threshold: float = 1.5,
              fom=None, clean_fom: float = None):
     """Run a bench section bracketed by calibrations, retrying contended
@@ -785,21 +802,23 @@ def main():
     # clean_fom anchors = CLAUDE.md clean-window step times (seconds); a
     # result >1.5x its anchor triggers retry-with-backoff even when the
     # short probe read clean (timeslice co-tenancy — see _section docstring)
-    (fp32_res, contention["two_tower_fp32"]) = _section(
-        bench_two_tower_compute, retries=3, fom=lambda r: r[1], clean_fom=1.8
+    (fp32_res, contention["two_tower_fp32"]) = _try_section(
+        "two_tower_fp32", bench_two_tower_compute, (0.0, 0.0, 1.0),
+        retries=3, fom=lambda r: r[1], clean_fom=1.8,
     )
     examples_per_sec, step_ms, param_bytes = fp32_res
-    (bf16_res, contention["two_tower_bf16"]) = _section(
-        lambda: bench_two_tower_compute("mixed_bfloat16"),
-        retries=3, fom=lambda r: r[1], clean_fom=1.8,
+    (bf16_res, contention["two_tower_bf16"]) = _try_section(
+        "two_tower_bf16", lambda: bench_two_tower_compute("mixed_bfloat16"),
+        (0.0, 0.0, 1.0), retries=3, fom=lambda r: r[1], clean_fom=1.8,
     )
     eps_bf16, step_ms_bf16, _ = bf16_res
     # third production config: bf16-at-rest optimizer slots on top of the
     # bf16 policy (both knobs trajectory-parity tested) — the adagrad phase
     # is HBM-bound so halving slot width is a direct step-time cut
-    (bf16s_res, contention["two_tower_bf16_state"]) = _section(
+    (bf16s_res, contention["two_tower_bf16_state"]) = _try_section(
+        "two_tower_bf16_state",
         lambda: bench_two_tower_compute("mixed_bfloat16", opt_state_dtype="bfloat16"),
-        retries=2, fom=lambda r: r[1], clean_fom=1.6,
+        (0.0, 0.0, 1.0), retries=2, fom=lambda r: r[1], clean_fom=1.6,
     )
     eps_bf16s, step_ms_bf16s, _ = bf16s_res
     candidates_early = [
@@ -808,28 +827,31 @@ def main():
         (eps_bf16s, ("mixed_bfloat16", "bfloat16")),
     ]
     best_policy_early, best_state_early = max(candidates_early, key=lambda t: t[0])[1]
-    (dlrm_res, contention["dlrm"]) = _section(
-        bench_dlrm_compute, fom=lambda r: r[1], clean_fom=2.4
+    (dlrm_res, contention["dlrm"]) = _try_section(
+        "dlrm", bench_dlrm_compute, (0.0, 0.0), fom=lambda r: r[1], clean_fom=2.4,
     )
     dlrm_eps, dlrm_ms = dlrm_res
-    (sess_res, contention["session"]) = _section(
-        bench_session_transformer, fom=lambda r: r[1], clean_fom=2.0,
-        retries=2,
+    (sess_res, contention["session"]) = _try_section(
+        "session", bench_session_transformer, (0.0, 0.0),
+        fom=lambda r: r[1], clean_fom=2.0, retries=2,
     )
     sess_eps, sess_ms = sess_res
-    (pipe_res, contention["pipeline"]) = _section(
+    (pipe_res, contention["pipeline"]) = _try_section(
+        "pipeline",
         lambda: bench_two_tower_pipeline(
             policy=best_policy_early, opt_state_dtype=best_state_early
         ),
+        (0.0, {}),
         fom=lambda r: BATCH * PIPE_BATCHES / max(r[0], 1.0), clean_fom=0.40,
     )
     pipeline_eps, pipe_breakdown = pipe_res
-    (topk_res, contention["topk"]) = _section(
-        bench_topk, fom=lambda r: r[1], clean_fom=3.0
+    (topk_res, contention["topk"]) = _try_section(
+        "topk", bench_topk, (0.0, 0.0, 0.0, 0.0), fom=lambda r: r[1], clean_fom=3.0,
     )
     topk_qps, topk_ms, build_ms, topk_ms_bf16 = topk_res
-    (sparse_res, contention["sparse_opt"]) = _section(
-        bench_sparse_optimizer, fom=lambda r: r[0], clean_fom=1.6
+    (sparse_res, contention["sparse_opt"]) = _try_section(
+        "sparse_opt", bench_sparse_optimizer, (0.0, 0.0, 0.0, 0.0),
+        fom=lambda r: r[0], clean_fom=1.6,
     )
     sparse_4m, dense_4m, sparse_8m, bf16_16m = sparse_res
 
@@ -838,10 +860,10 @@ def main():
     best_eps, (best_policy, best_state) = max(candidates_early, key=lambda t: t[0])
     if best_state is not None:
         best_policy = f"{best_policy}+bf16_state"
-    best_step_s = {
+    best_step_s = max({
         "float32": step_ms, "mixed_bfloat16": step_ms_bf16,
         "mixed_bfloat16+bf16_state": step_ms_bf16s,
-    }[best_policy] / 1000
+    }[best_policy] / 1000, 1e-9)
     # roofline context: dense-adagrad two-tower traffic ~ 6x param bytes/step
     # (read+write of weights and accumulators + grad materialization); bf16
     # slots halve the accumulator share (6x -> 5x). The step is HBM-bound
@@ -868,16 +890,16 @@ def main():
             "session_transformer_sessions_per_sec": round(sess_eps, 1),
             "session_transformer_step_ms": round(sess_ms, 3),
             "pipeline_examples_per_sec": round(pipeline_eps, 1),
-            "pipeline_vs_compute": round(pipeline_eps / best_eps, 3),
+            "pipeline_vs_compute": round(pipeline_eps / max(best_eps, 1e-9), 3),
             "pipeline_breakdown": pipe_breakdown,
             "topk_qps_1M_catalog": round(topk_qps, 1),
             "topk_ms_per_256q": round(topk_ms, 3),
             "topk_ms_per_256q_bf16_index": round(topk_ms_bf16, 3),
-            "topk_qps_1M_catalog_bf16_index": round(256.0 / max(topk_ms_bf16, 1e-9) * 1000.0, 1),
+            "topk_qps_1M_catalog_bf16_index": round(256.0 / topk_ms_bf16 * 1000.0, 1) if topk_ms_bf16 else 0.0,
             "index_encode_1M_ms": round(build_ms, 2),
             "sparse_adagrad_step_ms_4Mx128": round(sparse_4m, 3),
             "dense_adagrad_step_ms_4Mx128": round(dense_4m, 3),
-            "sparse_vs_dense_speedup": round(dense_4m / sparse_4m, 2),
+            "sparse_vs_dense_speedup": round(dense_4m / max(sparse_4m, 1e-9), 2),
             "sparse_adagrad_step_ms_8Mx128": round(sparse_8m, 3),
             "dense_adagrad_8Mx128": "OOM (needs 19.1G of 15.75G HBM)",
             "bf16_sr_sparse_adagrad_step_ms_16Mx128": round(bf16_16m, 3),
@@ -885,6 +907,7 @@ def main():
             # calibration-kernel slowdown (1.0 = clean) of the window each
             # section's KEPT attempt ran in; contended sections were retried
             "contention": contention,
+            "section_errors": _SECTION_ERRORS or None,
             # absolute machine state: best achieved HBM streaming bandwidth
             # of the session's calibration probe (clean v5e window ~600-800)
             "cal_hbm_gbps": round(_cal_hbm_gbps(_CAL_STATE["min"]), 1)

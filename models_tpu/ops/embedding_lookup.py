@@ -41,54 +41,73 @@ def pallas_gather(
     block: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Gather rows of an HBM-resident table with double-buffered row DMA."""
+    """Gather rows of an HBM-resident table with pipelined row DMA.
+
+    Each row is ONE direct HBM->HBM async copy ``table[ids[j]] -> out[j]``
+    with ``n_buf`` copies in flight — no VPU touches row data, so the kernel
+    is dtype-agnostic (dynamic-row vector loads/stores on sub-fp32 VMEM
+    buffers fail Mosaic's alignment proof; DMA descriptors don't care)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if not interpret and jnp.dtype(table.dtype).itemsize == 2:
+        # Mosaic rejects dynamic single-row DMA slices of 16-bit arrays and
+        # sub-128-lane slices of their uint32 half-width view (see
+        # scatter.pack_pair_u32) -> gather full PAIR rows of the (R//2, D)
+        # uint32 pair view and select the wanted half on the VPU (2x read
+        # amplification on 2x-narrower rows: same bytes as an fp32 gather)
+        from .scatter import pack_pair_u32, unpack_rows_u32
+
+        R, D = table.shape
+        if R % 2 or D % 2:
+            return jnp.take(table, ids, axis=0)
+        pair = pallas_gather(pack_pair_u32(table), ids >> 1, block=block)
+        both = unpack_rows_u32(pair, table.dtype)  # (B, 2D)
+        return jnp.where((ids & 1)[:, None] == 0, both[:, :D], both[:, D:])
+
+    n_buf = 8
     B = ids.shape[0]
     R, D = table.shape
     pad = (-B) % block
     ids_p = jnp.pad(ids, (0, pad)) if pad else ids
     n_blocks = ids_p.shape[0] // block
+    lo = min(n_buf, block)
 
-    def kernel(ids_ref, table_ref, out_ref, scratch, sems):
-        blk = pl.program_id(0)
+    def kernel(ids_ref, table_ref, out_ref, sems):
+        base = pl.program_id(0) * block
 
-        def get_dma(slot, j):
-            row = ids_ref[blk * block + j]
+        def get_dma(j):
             return pltpu.make_async_copy(
-                table_ref.at[row], scratch.at[slot], sems.at[slot]
+                table_ref.at[ids_ref[base + j]], out_ref.at[base + j],
+                sems.at[j % n_buf],
             )
 
-        get_dma(0, 0).start()
-
         def body(j, _):
-            slot = j % 2
-
-            @pl.when(j + 1 < block)
+            @pl.when(j >= n_buf)
             def _():
-                get_dma((j + 1) % 2, j + 1).start()
+                get_dma(j - n_buf).wait()
 
-            get_dma(slot, j).wait()
-            out_ref[j, :] = scratch[slot]
+            get_dma(j).start()
             return ()
 
         jax.lax.fori_loop(0, block, body, ())
+        for k in range(lo):
+            get_dma(block - lo + k).wait()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table stays in HBM
-        out_specs=pl.BlockSpec((block, D), lambda b, ids_ref: (b, 0)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # table stays in HBM
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),    # rows land in HBM
         scratch_shapes=[
-            pltpu.VMEM((2, D), table.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((n_buf,)),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ids_p.shape[0], D), table.dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(ids_p, table)
     return out[:B]

@@ -69,6 +69,82 @@ def stochastic_round(x: jnp.ndarray, key, dtype=jnp.bfloat16) -> jnp.ndarray:
     return jnp.where(jnp.isfinite(x), out, x.astype(jnp.bfloat16))
 
 
+def pack_rows_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, D) 16-bit -> (N, D//2) uint32 bitwise view (zero-copy XLA bitcast)."""
+    n, d = x.shape
+    if d % 2:
+        raise ValueError(f"16-bit row kernels need an even row width, got {d}")
+    return jax.lax.bitcast_convert_type(x.reshape(n, d // 2, 2), jnp.uint32)
+
+
+def unpack_rows_u32(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Inverse of :func:`pack_rows_u32`."""
+    n, d2 = x.shape
+    return jax.lax.bitcast_convert_type(x, dtype).reshape(n, d2 * 2)
+
+
+def pack_pair_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """(R, D) 16-bit -> (R//2, D) uint32 view: one packed row = TWO consecutive
+    logical rows (row 2p in the first D//2 lanes' worth of bits, row 2p+1 in
+    the rest). Row-major byte layout makes this a zero-copy XLA bitcast.
+
+    Why pairs: Mosaic rejects dynamic single-row HBM DMA slices of 16-bit
+    arrays (the packed (8,128)(2,1) tiling needs 8-row alignment: "Slice shape
+    along dimension 0 must be aligned to tiling (8)") AND rejects sub-128-lane
+    slices of the lane-padded (R, D//2) uint32 view ("Slice shape along
+    dimension 1 must be aligned to tiling (128)") — both measured on v5e. The
+    pair view keeps D uint32 lanes and 32-bit elements, which the fp32 kernels
+    prove Mosaic accepts for dynamic 1-row DMAs."""
+    r, d = x.shape
+    if r % 2:
+        raise ValueError(f"pair packing needs an even row count, got {r}")
+    return pack_rows_u32(x.reshape(r // 2, 2 * d))
+
+
+def unpack_pair_u32(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Inverse of :func:`pack_pair_u32`."""
+    r2, d = x.shape
+    return unpack_rows_u32(x, dtype).reshape(r2 * 2, d)
+
+
+def _scatter_write_16bit(table, ids, rows, valid, block, n_buf, interpret=False):
+    """Row-scatter-write on a 16-bit table via the pair-packed uint32 view.
+
+    Each write covers a full pair row, so the half NOT being written must be
+    reconstructed: its new value when its id is also in the valid set, else
+    its current table value (one XLA row gather). All merging is plain
+    vectorized XLA; the DMA kernel then writes unique 32-bit pair rows."""
+    B = ids.shape[0]
+    R, D = table.shape
+    imax = jnp.int32(2**31 - 1)
+    key = jnp.where(valid, ids.astype(jnp.int32), imax)
+    order = jnp.argsort(key)
+    sid = jnp.take(key, order)
+    srow = jnp.take(rows, order, axis=0)
+    svalid = sid != imax
+    h = sid & 1
+    nb = jnp.where(svalid, sid ^ 1, imax)
+    # is the pair's other half also being written? (sid is sorted; duplicate
+    # ids from dedup_rows are invalid non-run-starts sharing the run value, so
+    # searchsorted's leftmost hit IS the valid run start carrying the row)
+    pos = jnp.clip(jnp.searchsorted(sid, nb), 0, B - 1)
+    nb_present = svalid & (jnp.take(sid, pos) == nb)
+    nb_new = jnp.take(srow, pos, axis=0)
+    nb_old = jnp.take(table, jnp.where(svalid, nb, 0), axis=0)
+    other = jnp.where(nb_present[:, None], nb_new, nb_old).astype(table.dtype)
+    # one writer per pair: the even half when both halves are present
+    lead = svalid & ((h == 0) | ~nb_present)
+    half0 = jnp.where((h == 0)[:, None], srow, other)
+    half1 = jnp.where((h == 0)[:, None], other, srow)
+    pair_rows = pack_rows_u32(jnp.concatenate([half0, half1], axis=1))
+    pair_ids = jnp.where(lead, sid >> 1, 0)
+    packed = pallas_row_scatter_write(
+        pack_pair_u32(table), pair_ids, pair_rows, lead, block=block, n_buf=n_buf,
+        interpret=interpret,
+    )
+    return unpack_pair_u32(packed, table.dtype)
+
+
 def _xla_scatter_write(table, ids, rows, valid):
     R = table.shape[0]
     # invalid positions write out-of-bounds and get dropped — duplicate ids
@@ -90,10 +166,18 @@ def pallas_row_scatter_write(
     """``table[ids[j]] = rows[j]`` for every valid j; returns the table.
 
     The write-mode sibling of :func:`pallas_row_scatter_add` (same donated
-    in-place pipeline, no read phase): used by the stochastic-rounding update
+    in-place table, no read phase): used by the stochastic-rounding update
     for low-precision tables, where the new row value is computed in float32
     and must REPLACE the old one (adding a rounded delta to a rounded base
-    would double-round). HBM traffic ~ B x D x itemsize, independent of R."""
+    would double-round). HBM traffic ~ B x D x itemsize, independent of R.
+
+    Unlike the add kernel, nothing here touches row data with the VPU: each
+    valid row is ONE direct HBM->HBM async copy ``rows[j] -> table[ids[j]]``
+    with ``n_buf`` copies in flight. This is what makes the kernel
+    dtype-agnostic — Mosaic rejects dynamic-row *vector* loads/stores on
+    sub-fp32 VMEM buffers (bf16 tiles are (16, 128): "cannot statically prove
+    that index ... is a multiple of 8" on the real chip), but DMA descriptors
+    take arbitrary dynamic row offsets for any dtype."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -104,6 +188,12 @@ def pallas_row_scatter_write(
     rows = rows.astype(table.dtype)
     if force_xla or (not interpret and jax.default_backend() != "tpu"):
         return _xla_scatter_write(table, ids, rows, valid)
+    if jnp.dtype(table.dtype).itemsize == 2:
+        if R % 2 or D % 2:
+            return _xla_scatter_write(table, ids, rows, valid)
+        return _scatter_write_16bit(
+            table, ids, rows, valid, block, n_buf, interpret=interpret
+        )
 
     block = min(block, max(n_buf, B))
     pad = (-B) % block
@@ -116,7 +206,7 @@ def pallas_row_scatter_write(
     n_blocks = ids.shape[0] // block
     lo = min(n_buf, block)
 
-    def kernel(ids_ref, valid_ref, rows_ref, tbl_in_ref, out_ref, dummy_ref, wbuf, wsem):
+    def kernel(ids_ref, valid_ref, rows_ref, tbl_in_ref, out_ref, dummy_ref, wsem):
         del tbl_in_ref  # aliased with out_ref
         base = pl.program_id(0) * block
 
@@ -127,25 +217,24 @@ def pallas_row_scatter_write(
             def _():
                 action(
                     pltpu.make_async_copy(
-                        wbuf.at[slot], out_ref.at[ids_ref[base + j]], wsem.at[slot]
+                        rows_ref.at[base + j], out_ref.at[ids_ref[base + j]], wsem.at[slot]
                     )
                 )
 
             @pl.when(valid_ref[base + j] == 0)
             def _():
                 action(
-                    pltpu.make_async_copy(wbuf.at[slot], dummy_ref.at[slot], wsem.at[slot])
+                    pltpu.make_async_copy(
+                        rows_ref.at[base + j], dummy_ref.at[0], wsem.at[slot]
+                    )
                 )
 
         def body(j, _):
-            slot = j % n_buf
-
-            # retire the write that last used wbuf[slot]
+            # retire the copy that last used this semaphore slot
             @pl.when(j >= n_buf)
             def _():
                 write_op(j - n_buf, lambda c: c.wait())
 
-            wbuf[slot, :] = rows_ref[j, :]
             write_op(j, lambda c: c.start())
             return ()
 
@@ -159,7 +248,7 @@ def pallas_row_scatter_write(
         num_scalar_prefetch=2,  # ids, valid
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block, D), lambda b, *_: (b, 0)),  # rows: VMEM per block
+            pl.BlockSpec(memory_space=pltpu.ANY),            # rows stay in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),            # table stays in HBM
         ],
         out_specs=(
@@ -167,7 +256,6 @@ def pallas_row_scatter_write(
             pl.BlockSpec(memory_space=pltpu.ANY),            # dummy write target
         ),
         scratch_shapes=[
-            pltpu.VMEM((n_buf, D), table.dtype),
             pltpu.SemaphoreType.DMA((n_buf,)),
         ],
     )
@@ -176,7 +264,7 @@ def pallas_row_scatter_write(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((R, D), table.dtype),
-            jax.ShapeDtypeStruct((n_buf, D), table.dtype),
+            jax.ShapeDtypeStruct((1, D), table.dtype),
         ),
         input_output_aliases={3: 0},  # operand order: ids, valid, rows, table
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -215,6 +303,20 @@ def pallas_row_scatter_add(
         valid = jnp.ones((B,), bool)
     if force_xla or (not interpret and jax.default_backend() != "tpu"):
         return _xla_scatter_add(table, ids, updates, valid)
+    if table.dtype != jnp.float32:
+        # Mosaic rejects dynamic-row VPU loads/stores on sub-fp32 VMEM buffers
+        # (bf16 tiling is (16, 128)), so the RMW pipeline below is fp32-only.
+        # For low-precision tables, read the old rows with an XLA gather (fast)
+        # and REPLACE them via the pure-DMA write kernel — identical semantics
+        # since valid rows are unique. Round-to-nearest on the add; callers
+        # that need unbiased accumulation should use stochastic_round +
+        # pallas_row_scatter_write directly (see blocks/optimizer._commit_rows).
+        old = jnp.take(table, ids, axis=0).astype(jnp.float32)
+        new_rows = (old + updates.astype(jnp.float32)).astype(table.dtype)
+        return pallas_row_scatter_write(
+            table, ids, new_rows, valid, block=block, n_buf=n_buf,
+            interpret=interpret,
+        )
 
     block = min(block, max(n_buf, B))
     pad = (-B) % block

@@ -581,6 +581,51 @@ def test_pallas_row_scatter_write_matches_numpy():
         np.testing.assert_array_equal(np.asarray(got, np.float32), want)
 
 
+def test_scatter_write_16bit_pair_merge_cases():
+    """Regression (v5e Mosaic): 16-bit tables scatter through a (R/2, D)
+    uint32 PAIR view (single-row 16-bit DMA slices fail tiling alignment), so
+    the untouched half of each pair must be merged back exactly. Covers: both
+    halves written, even-only, odd-only, invalid lanes, duplicate ids (dedup
+    convention: only the run start valid), and unsorted inputs."""
+    from models_tpu.ops.scatter import pallas_row_scatter_write
+
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.standard_normal((32, 8)), jnp.bfloat16)
+    #        both-pair   odd-only  even-only  dup(invalid)  invalid-garbage
+    ids = jnp.asarray([7, 6, 11, 20, 7, 999_999], jnp.int32)
+    valid = jnp.asarray([True, True, True, True, False, False])
+    rows = jnp.asarray(rng.standard_normal((6, 8)), jnp.bfloat16)
+
+    want = np.asarray(table, np.float32)
+    for j in (0, 1, 2, 3):
+        want[int(ids[j])] = np.asarray(rows[j], np.float32)
+
+    got = pallas_row_scatter_write(
+        table, ids, rows, valid, block=4, n_buf=2, interpret=True
+    )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(got, np.float32), want)
+
+
+def test_scatter_add_16bit_delegates_to_write():
+    """bf16 scatter-add routes via gather + pair-write (Mosaic can't compile
+    the fp32 RMW pipeline on sub-fp32 VMEM buffers)."""
+    from models_tpu.ops.scatter import pallas_row_scatter_add
+
+    rng = np.random.default_rng(2)
+    table = jnp.asarray(rng.standard_normal((16, 8)), jnp.bfloat16)
+    ids = jnp.asarray([4, 5, 9], jnp.int32)
+    upd = jnp.asarray(rng.standard_normal((3, 8)), jnp.float32)
+    want = np.asarray(table, np.float32)
+    for j in range(3):
+        want[int(ids[j])] = np.float32(
+            jnp.asarray(want[int(ids[j])] + np.asarray(upd[j]), jnp.bfloat16)
+        )
+    got = pallas_row_scatter_add(table, ids, upd, None, block=4, n_buf=2, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), want, rtol=0.02, atol=0.02)
+
+
 def test_sampled_softmax_invalid_negative_with_huge_score_suppressed():
     """Regression (review): the fused path must EXCLUDE invalid (padded)
     negatives exactly — an additive MIN_FLOAT bias leaks rows whose raw dot

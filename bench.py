@@ -154,13 +154,42 @@ def _try_section(name, fn, default, **kw):
     compile on the real chip) record it and return ``default`` so the bench
     still emits its JSON line — one broken section must not zero the round's
     entire record (round-3 lesson: the first bf16 Mosaic failure aborted main
-    before the print and the driver recorded nothing)."""
+    before the print and the driver recorded nothing). The failure sentinel
+    contention factor is ``None`` (JSON null): ``float('inf')`` serialized as
+    the non-standard token ``Infinity``, breaking strict-JSON consumers."""
     try:
         return _section(fn, **kw)
     except Exception as e:  # noqa: BLE001 — anything: report, don't die
         _SECTION_ERRORS[name] = f"{type(e).__name__}: {e}"[:300]
         print(f"# section {name} FAILED: {_SECTION_ERRORS[name]}", file=sys.stderr)
-        return default, float("inf")
+        return default, None
+
+
+def _run_sections(specs):
+    """Run every section, then RE-QUEUE errored ones once at end-of-run:
+    round-3's sparse sections died on a transient remote-compile HTTP 500 and
+    recorded zeros; a transient tunnel error early in the run must get a
+    second chance after the other sections (minutes later) before the record
+    is finalized with nulls."""
+    results, contention = {}, {}
+    failed = []
+    for name, fn, default, kw in specs:
+        r, c = _try_section(name, fn, default, **kw)
+        results[name], contention[name] = r, c
+        if name in _SECTION_ERRORS:
+            failed.append((name, fn, default, kw))
+    for name, fn, default, kw in failed:
+        deadline = _CAL_STATE.get("deadline")
+        if deadline is not None and time.monotonic() > deadline:
+            break
+        first_err = _SECTION_ERRORS.pop(name)
+        r, c = _try_section(name, fn, default, **kw)
+        if name in _SECTION_ERRORS:
+            _SECTION_ERRORS[name] = (
+                f"retry: {_SECTION_ERRORS[name]}; first: {first_err}"[:300]
+            )
+        results[name], contention[name] = r, c
+    return results, contention
 
 
 def _section(fn, retries: int = 1, threshold: float = 1.5,
@@ -798,62 +827,61 @@ def main():
 
     # retries stop once the bench has been running ~8 min (driver wall bound)
     _CAL_STATE["deadline"] = time.monotonic() + 480
-    contention = {}
     # clean_fom anchors = CLAUDE.md clean-window step times (seconds); a
     # result >1.5x its anchor triggers retry-with-backoff even when the
     # short probe read clean (timeslice co-tenancy — see _section docstring)
-    (fp32_res, contention["two_tower_fp32"]) = _try_section(
-        "two_tower_fp32", bench_two_tower_compute, (0.0, 0.0, 1.0),
-        retries=3, fom=lambda r: r[1], clean_fom=1.8,
-    )
-    examples_per_sec, step_ms, param_bytes = fp32_res
-    (bf16_res, contention["two_tower_bf16"]) = _try_section(
-        "two_tower_bf16", lambda: bench_two_tower_compute("mixed_bfloat16"),
-        (0.0, 0.0, 1.0), retries=3, fom=lambda r: r[1], clean_fom=1.8,
-    )
-    eps_bf16, step_ms_bf16, _ = bf16_res
-    # third production config: bf16-at-rest optimizer slots on top of the
-    # bf16 policy (both knobs trajectory-parity tested) — the adagrad phase
-    # is HBM-bound so halving slot width is a direct step-time cut
-    (bf16s_res, contention["two_tower_bf16_state"]) = _try_section(
-        "two_tower_bf16_state",
-        lambda: bench_two_tower_compute("mixed_bfloat16", opt_state_dtype="bfloat16"),
-        (0.0, 0.0, 1.0), retries=2, fom=lambda r: r[1], clean_fom=1.6,
-    )
-    eps_bf16s, step_ms_bf16s, _ = bf16s_res
+    specs = [
+        ("two_tower_fp32", bench_two_tower_compute, None,
+         dict(retries=3, fom=lambda r: r[1], clean_fom=1.8)),
+        ("two_tower_bf16", lambda: bench_two_tower_compute("mixed_bfloat16"),
+         None, dict(retries=3, fom=lambda r: r[1], clean_fom=1.8)),
+        # third production config: bf16-at-rest optimizer slots on top of the
+        # bf16 policy (both knobs trajectory-parity tested) — the adagrad
+        # phase is HBM-bound so halving slot width is a direct step-time cut
+        ("two_tower_bf16_state",
+         lambda: bench_two_tower_compute("mixed_bfloat16", opt_state_dtype="bfloat16"),
+         None, dict(retries=2, fom=lambda r: r[1], clean_fom=1.6)),
+        ("dlrm", bench_dlrm_compute, None,
+         dict(fom=lambda r: r[1], clean_fom=2.4)),
+        ("session", bench_session_transformer, None,
+         dict(fom=lambda r: r[1], clean_fom=2.0, retries=2)),
+        ("topk", bench_topk, None, dict(fom=lambda r: r[1], clean_fom=2.4)),
+        ("sparse_opt", bench_sparse_optimizer, None,
+         dict(fom=lambda r: r[0], clean_fom=1.6)),
+    ]
+    results, contention = _run_sections(specs)
+    examples_per_sec, step_ms, param_bytes = results["two_tower_fp32"] or (None, None, None)
+    eps_bf16, step_ms_bf16, _ = results["two_tower_bf16"] or (None, None, None)
+    eps_bf16s, step_ms_bf16s, _ = results["two_tower_bf16_state"] or (None, None, None)
+    dlrm_eps, dlrm_ms = results["dlrm"] or (None, None)
+    sess_eps, sess_ms = results["session"] or (None, None)
+    topk_qps, topk_ms, build_ms, topk_ms_bf16 = results["topk"] or (None,) * 4
+    sparse_4m, dense_4m, sparse_8m, bf16_16m = results["sparse_opt"] or (None,) * 4
+
     candidates_early = [
-        (examples_per_sec, ("float32", None)),
-        (eps_bf16, ("mixed_bfloat16", None)),
-        (eps_bf16s, ("mixed_bfloat16", "bfloat16")),
+        (examples_per_sec or 0.0, ("float32", None)),
+        (eps_bf16 or 0.0, ("mixed_bfloat16", None)),
+        (eps_bf16s or 0.0, ("mixed_bfloat16", "bfloat16")),
     ]
     best_policy_early, best_state_early = max(candidates_early, key=lambda t: t[0])[1]
-    (dlrm_res, contention["dlrm"]) = _try_section(
-        "dlrm", bench_dlrm_compute, (0.0, 0.0), fom=lambda r: r[1], clean_fom=2.4,
-    )
-    dlrm_eps, dlrm_ms = dlrm_res
-    (sess_res, contention["session"]) = _try_section(
-        "session", bench_session_transformer, (0.0, 0.0),
-        fom=lambda r: r[1], clean_fom=2.0, retries=2,
-    )
-    sess_eps, sess_ms = sess_res
-    (pipe_res, contention["pipeline"]) = _try_section(
-        "pipeline",
-        lambda: bench_two_tower_pipeline(
-            policy=best_policy_early, opt_state_dtype=best_state_early
-        ),
-        (0.0, {}),
-        fom=lambda r: BATCH * PIPE_BATCHES / max(r[0], 1.0), clean_fom=0.40,
-    )
-    pipeline_eps, pipe_breakdown = pipe_res
-    (topk_res, contention["topk"]) = _try_section(
-        "topk", bench_topk, (0.0, 0.0, 0.0, 0.0), fom=lambda r: r[1], clean_fom=3.0,
-    )
-    topk_qps, topk_ms, build_ms, topk_ms_bf16 = topk_res
-    (sparse_res, contention["sparse_opt"]) = _try_section(
-        "sparse_opt", bench_sparse_optimizer, (0.0, 0.0, 0.0, 0.0),
-        fom=lambda r: r[0], clean_fom=1.6,
-    )
-    sparse_4m, dense_4m, sparse_8m, bf16_16m = sparse_res
+    # pipeline section runs after the headline choice is known (it reuses the
+    # fastest trajectory-tested policy); it participates in the same re-queue
+    # discipline via its own spec list
+    pipe_results, pipe_cont = _run_sections([
+        ("pipeline",
+         lambda: bench_two_tower_pipeline(
+             policy=best_policy_early, opt_state_dtype=best_state_early
+         ),
+         None,
+         dict(fom=lambda r: BATCH * PIPE_BATCHES / max(r[0], 1.0), clean_fom=0.40)),
+    ])
+    contention.update(pipe_cont)
+    pipeline_eps, pipe_breakdown = pipe_results["pipeline"] or (None, {})
+
+    def _r(x, nd=3):
+        """Round, passing through None (errored section → JSON null, not 0.0:
+        round-3's zeros were mistaken for measurements)."""
+        return None if x is None else round(x, nd)
 
     # headline = the fastest production config (all three trajectory-tested);
     # every variant recorded in extras
@@ -861,62 +889,97 @@ def main():
     if best_state is not None:
         best_policy = f"{best_policy}+bf16_state"
     best_step_s = max({
-        "float32": step_ms, "mixed_bfloat16": step_ms_bf16,
-        "mixed_bfloat16+bf16_state": step_ms_bf16s,
+        "float32": step_ms or 0.0, "mixed_bfloat16": step_ms_bf16 or 0.0,
+        "mixed_bfloat16+bf16_state": step_ms_bf16s or 0.0,
     }[best_policy] / 1000, 1e-9)
     # roofline context: dense-adagrad two-tower traffic ~ 6x param bytes/step
     # (read+write of weights and accumulators + grad materialization); bf16
     # slots halve the accumulator share (6x -> 5x). The step is HBM-bound
     # (CLAUDE.md decomposition), so this estimates BW%
-    est_traffic = (5.0 if best_state is not None else 6.0) * param_bytes
+    est_traffic = (5.0 if best_state is not None else 6.0) * (param_bytes or 0)
     hbm_pct = 100.0 * est_traffic / best_step_s / (V5E_HBM_GBPS * 1e9)
+    # per-section roofline (VERDICT r3 #1/#7): achieved vs the catalog-stream
+    # bound at the session's CALIBRATED clean rate (not nominal): top-k phase A
+    # must stream the full candidate matrix once; phase B re-reads the selected
+    # bins (~2% extra). The reported pct is achieved/(1-pass bound) — 100%
+    # means the kernel runs at memcpy speed over the index.
+    cal_gbps = _cal_hbm_gbps(_CAL_STATE["min"]) if _CAL_STATE["min"] else None
+    topk_catalog_gb_fp32 = 1_000_000 * 128 * 4 / 1e9
+    def _topk_roofline(ms, passes, dtype_bytes):
+        if not ms or not cal_gbps:
+            return None
+        bound_ms = passes * topk_catalog_gb_fp32 * (dtype_bytes / 4) / cal_gbps * 1e3
+        return round(100.0 * bound_ms / ms, 1)
     result = {
         "metric": "two_tower_train_examples_per_sec",
-        "value": round(best_eps, 1),
+        "value": _r(best_eps, 1),
         "unit": "examples/sec",
-        "vs_baseline": round(best_eps / REFERENCE_EXAMPLES_PER_SEC, 3),
+        "vs_baseline": _r(best_eps / REFERENCE_EXAMPLES_PER_SEC, 3),
         "extra": {
             "headline_policy": best_policy,
-            "compute_examples_per_sec_fp32": round(examples_per_sec, 1),
-            "compute_step_ms": round(step_ms, 3),
-            "compute_examples_per_sec_bf16": round(eps_bf16, 1),
-            "compute_step_ms_bf16": round(step_ms_bf16, 3),
-            "compute_examples_per_sec_bf16_state": round(eps_bf16s, 1),
-            "compute_step_ms_bf16_state": round(step_ms_bf16s, 3),
-            "est_hbm_traffic_mb_per_step": round(est_traffic / 2**20, 1),
-            "est_hbm_bw_util_pct": round(hbm_pct, 1),
-            "dlrm_criteo_examples_per_sec": round(dlrm_eps, 1),
-            "dlrm_criteo_step_ms": round(dlrm_ms, 3),
-            "session_transformer_sessions_per_sec": round(sess_eps, 1),
-            "session_transformer_step_ms": round(sess_ms, 3),
-            "pipeline_examples_per_sec": round(pipeline_eps, 1),
-            "pipeline_vs_compute": round(pipeline_eps / max(best_eps, 1e-9), 3),
+            "compute_examples_per_sec_fp32": _r(examples_per_sec, 1),
+            "compute_step_ms": _r(step_ms),
+            "compute_examples_per_sec_bf16": _r(eps_bf16, 1),
+            "compute_step_ms_bf16": _r(step_ms_bf16),
+            "compute_examples_per_sec_bf16_state": _r(eps_bf16s, 1),
+            "compute_step_ms_bf16_state": _r(step_ms_bf16s),
+            "est_hbm_traffic_mb_per_step": _r(est_traffic / 2**20, 1),
+            "est_hbm_bw_util_pct": _r(hbm_pct, 1),
+            "dlrm_criteo_examples_per_sec": _r(dlrm_eps, 1),
+            "dlrm_criteo_step_ms": _r(dlrm_ms),
+            "session_transformer_sessions_per_sec": _r(sess_eps, 1),
+            "session_transformer_step_ms": _r(sess_ms),
+            "pipeline_examples_per_sec": _r(pipeline_eps, 1),
+            "pipeline_vs_compute": _r((pipeline_eps or 0.0) / max(best_eps, 1e-9)),
             "pipeline_breakdown": pipe_breakdown,
-            "topk_qps_1M_catalog": round(topk_qps, 1),
-            "topk_ms_per_256q": round(topk_ms, 3),
-            "topk_ms_per_256q_bf16_index": round(topk_ms_bf16, 3),
-            "topk_qps_1M_catalog_bf16_index": round(256.0 / topk_ms_bf16 * 1000.0, 1) if topk_ms_bf16 else 0.0,
-            "index_encode_1M_ms": round(build_ms, 2),
-            "sparse_adagrad_step_ms_4Mx128": round(sparse_4m, 3),
-            "dense_adagrad_step_ms_4Mx128": round(dense_4m, 3),
-            "sparse_vs_dense_speedup": round(dense_4m / max(sparse_4m, 1e-9), 2),
-            "sparse_adagrad_step_ms_8Mx128": round(sparse_8m, 3),
+            "topk_qps_1M_catalog": _r(topk_qps, 1),
+            "topk_ms_per_256q": _r(topk_ms),
+            "topk_ms_per_256q_bf16_index": _r(topk_ms_bf16),
+            "topk_qps_1M_catalog_bf16_index": _r(
+                256.0 / topk_ms_bf16 * 1000.0, 1
+            ) if topk_ms_bf16 else None,
+            # pct of the 1-pass catalog-stream bound at the session's
+            # calibrated HBM rate (the honest speed-of-light for an exact
+            # kernel that must look at every candidate once)
+            "topk_roofline_pct": _topk_roofline(topk_ms, 1.0, 4),
+            "topk_roofline_pct_bf16_index": _topk_roofline(topk_ms_bf16, 1.0, 2),
+            "index_encode_1M_ms": _r(build_ms, 2),
+            "sparse_adagrad_step_ms_4Mx128": _r(sparse_4m),
+            "dense_adagrad_step_ms_4Mx128": _r(dense_4m),
+            "sparse_vs_dense_speedup": _r(
+                dense_4m / max(sparse_4m, 1e-9), 2
+            ) if (dense_4m and sparse_4m) else None,
+            "sparse_adagrad_step_ms_8Mx128": _r(sparse_8m),
             "dense_adagrad_8Mx128": "OOM (needs 19.1G of 15.75G HBM)",
-            "bf16_sr_sparse_adagrad_step_ms_16Mx128": round(bf16_16m, 3),
+            "bf16_sr_sparse_adagrad_step_ms_16Mx128": _r(bf16_16m),
             "fp32_16Mx128": "OOM (table+slots 16G of 15.75G HBM)",
             # calibration-kernel slowdown (1.0 = clean) of the window each
-            # section's KEPT attempt ran in; contended sections were retried
+            # section's KEPT attempt ran in; contended sections were retried;
+            # null = section errored (re-queued once, still failed)
             "contention": contention,
             "section_errors": _SECTION_ERRORS or None,
             # absolute machine state: best achieved HBM streaming bandwidth
             # of the session's calibration probe (clean v5e window ~600-800)
-            "cal_hbm_gbps": round(_cal_hbm_gbps(_CAL_STATE["min"]), 1)
-            if _CAL_STATE["min"]
-            else None,
+            "cal_hbm_gbps": _r(cal_gbps, 1),
         },
     }
-    print(json.dumps(result))
+    print(json.dumps(_json_safe(result), allow_nan=False))
     print(f"# device={jax.devices()[0].device_kind} batch={BATCH}", file=sys.stderr)
+
+
+def _json_safe(obj):
+    """Replace non-finite floats (nan from an all-poisoned _marginal, inf)
+    with None so the record is strict JSON; allow_nan=False then guarantees
+    nothing non-standard slips through rather than killing the print."""
+    import math
+
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    return obj
 
 
 if __name__ == "__main__":

@@ -50,18 +50,22 @@ def pallas_gather(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if not interpret and jnp.dtype(table.dtype).itemsize == 2:
+    if jnp.dtype(table.dtype).itemsize == 2:
         # Mosaic rejects dynamic single-row DMA slices of 16-bit arrays and
         # sub-128-lane slices of their uint32 half-width view (see
         # scatter.pack_pair_u32) -> gather full PAIR rows of the (R//2, D)
         # uint32 pair view and select the wanted half on the VPU (2x read
-        # amplification on 2x-narrower rows: same bytes as an fp32 gather)
+        # amplification on 2x-narrower rows: same bytes as an fp32 gather).
+        # interpret mode takes the SAME branch so the pair-select/merge logic
+        # is covered off-chip (ADVICE r3).
         from .scatter import pack_pair_u32, unpack_rows_u32
 
         R, D = table.shape
         if R % 2 or D % 2:
-            return jnp.take(table, ids, axis=0)
-        pair = pallas_gather(pack_pair_u32(table), ids >> 1, block=block)
+            return jnp.take(table, ids, axis=0, mode="clip")
+        pair = pallas_gather(
+            pack_pair_u32(table), ids >> 1, block=block, interpret=interpret
+        )
         both = unpack_rows_u32(pair, table.dtype)  # (B, 2D)
         return jnp.where((ids & 1)[:, None] == 0, both[:, :D], both[:, D:])
 

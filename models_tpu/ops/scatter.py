@@ -311,7 +311,9 @@ def pallas_row_scatter_add(
         # since valid rows are unique. Round-to-nearest on the add; callers
         # that need unbiased accumulation should use stochastic_round +
         # pallas_row_scatter_write directly (see blocks/optimizer._commit_rows).
-        old = jnp.take(table, ids, axis=0).astype(jnp.float32)
+        # invalid lanes may carry arbitrary ids: clip explicitly rather than
+        # relying on jnp.take's implicit out-of-bounds behavior (ADVICE r3)
+        old = jnp.take(table, ids, axis=0, mode="clip").astype(jnp.float32)
         new_rows = (old + updates.astype(jnp.float32)).astype(table.dtype)
         return pallas_row_scatter_write(
             table, ids, new_rows, valid, block=block, n_buf=n_buf,

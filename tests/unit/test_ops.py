@@ -677,3 +677,53 @@ def test_sampled_softmax_bias_and_weights_are_gradient_constants():
         lambda q_: sampled_softmax_loss(q_, pos, neg, None, None, w, nb, 1.0, 8, pos_bias=pb)
     )(q)
     assert float(jnp.abs(g_q).max()) > 0.0
+
+
+def test_pallas_gather_interpret_fp32_padding_and_duplicates():
+    """pallas_gather (fp32, interpret mode): duplicate ids, ids forcing block
+    padding (B not a multiple of block), and full coverage vs jnp.take
+    (ADVICE r3: the kernel had no unit test at all)."""
+    from models_tpu.ops.embedding_lookup import pallas_gather
+
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.standard_normal((64, 8)), jnp.float32)
+    ids = jnp.asarray([0, 63, 7, 7, 7, 12, 1], jnp.int32)  # B=7 pads to block
+    got = pallas_gather(table, ids, block=4, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(jnp.take(table, ids, axis=0))
+    )
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16])
+def test_pallas_gather_interpret_16bit_pair_select(dtype):
+    """The 16-bit gather routes through the (R/2, 2D) uint32 pair view and
+    selects the even/odd half per id — interpret mode now takes the SAME
+    branch as the chip so a layout bug shows up off-TPU (ADVICE r3). Covers
+    even ids, odd ids, adjacent pair members, and duplicates."""
+    from models_tpu.ops.embedding_lookup import pallas_gather
+
+    rng = np.random.default_rng(4)
+    table = jnp.asarray(rng.standard_normal((32, 8)), dtype)
+    ids = jnp.asarray([0, 1, 30, 31, 7, 6, 7, 16], jnp.int32)
+    got = pallas_gather(table, ids, block=4, interpret=True)
+    assert got.dtype == dtype
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32),
+        np.asarray(jnp.take(table, ids, axis=0), np.float32),
+    )
+
+
+def test_pallas_gather_16bit_odd_shape_falls_back():
+    """Odd row-count / odd feature-dim 16-bit tables can't form the uint32
+    pair view; the documented fallback is a plain XLA gather."""
+    from models_tpu.ops.embedding_lookup import pallas_gather
+
+    rng = np.random.default_rng(5)
+    for shape in ((33, 8), (32, 7)):
+        table = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+        ids = jnp.asarray([0, shape[0] - 1, 3], jnp.int32)
+        got = pallas_gather(table, ids, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32),
+            np.asarray(jnp.take(table, ids, axis=0), np.float32),
+        )

@@ -44,36 +44,32 @@ def pallas_gather(
     """Gather rows of an HBM-resident table with pipelined row DMA.
 
     Each row is ONE direct HBM->HBM async copy ``table[ids[j]] -> out[j]``
-    with ``n_buf`` copies in flight — no VPU touches row data, so the kernel
-    is dtype-agnostic (dynamic-row vector loads/stores on sub-fp32 VMEM
-    buffers fail Mosaic's alignment proof; DMA descriptors don't care)."""
+    with ``n_buf`` copies in flight — no VPU touches row data. 32-bit dtypes
+    copy single rows; 16-bit tables copy the aligned 8-row block containing
+    each id and select the row afterwards (Mosaic's tiling-alignment rules,
+    see below)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if jnp.dtype(table.dtype).itemsize == 2:
-        # Mosaic rejects dynamic single-row DMA slices of 16-bit arrays and
-        # sub-128-lane slices of their uint32 half-width view (see
-        # scatter.pack_pair_u32) -> gather full PAIR rows of the (R//2, D)
-        # uint32 pair view and select the wanted half on the VPU (2x read
-        # amplification on 2x-narrower rows: same bytes as an fp32 gather).
-        # interpret mode takes the SAME branch so the pair-select/merge logic
-        # is covered off-chip (ADVICE r3).
-        from .scatter import pack_pair_u32, unpack_rows_u32
-
-        R, D = table.shape
-        if R % 2 or D % 2:
-            return jnp.take(table, ids, axis=0, mode="clip")
-        pair = pallas_gather(
-            pack_pair_u32(table), ids >> 1, block=block, interpret=interpret
-        )
-        both = unpack_rows_u32(pair, table.dtype)  # (B, 2D)
-        return jnp.where((ids & 1)[:, None] == 0, both[:, :D], both[:, D:])
-
+    # 16-bit tables: Mosaic rejects dynamic single-row DMA slices (8-row
+    # tiling alignment) and the XLA-level uint32 pair view is unusable at
+    # scale (the rank-3 bitcast materializes 64x lane-padded — 524GB for a
+    # 16Mx128 table, measured on the AOT compiler). The chip-validated form
+    # is an 8-row-aligned (8, D) slice, so gather the full aligned block each
+    # id lives in and select the wanted row on the VPU (8x read amplification
+    # — this kernel targets HBM-resident tables where XLA's gather is the
+    # alternative, not a hot forward path). interpret mode takes the SAME
+    # branch so the block-select logic is covered off-chip (ADVICE r3).
+    itemsize = jnp.dtype(table.dtype).itemsize
+    rpi = 8 if itemsize == 2 else 1  # rows per DMA item
     n_buf = 8
     B = ids.shape[0]
     R, D = table.shape
+    if rpi > 1 and R % rpi:
+        return jnp.take(table, ids, axis=0, mode="clip")
+    kids = ids >> 3 if rpi > 1 else ids
     pad = (-B) % block
-    ids_p = jnp.pad(ids, (0, pad)) if pad else ids
+    ids_p = jnp.pad(kids, (0, pad)) if pad else kids
     n_blocks = ids_p.shape[0] // block
     lo = min(n_buf, block)
 
@@ -81,10 +77,13 @@ def pallas_gather(
         base = pl.program_id(0) * block
 
         def get_dma(j):
-            return pltpu.make_async_copy(
-                table_ref.at[ids_ref[base + j]], out_ref.at[base + j],
-                sems.at[j % n_buf],
-            )
+            if rpi == 1:
+                src = table_ref.at[ids_ref[base + j]]
+                dst = out_ref.at[base + j]
+            else:
+                src = table_ref.at[pl.ds(rpi * ids_ref[base + j], rpi)]
+                dst = out_ref.at[pl.ds(rpi * (base + j), rpi)]
+            return pltpu.make_async_copy(src, dst, sems.at[j % n_buf])
 
         def body(j, _):
             @pl.when(j >= n_buf)
@@ -110,11 +109,16 @@ def pallas_gather(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ids_p.shape[0], D), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((ids_p.shape[0] * rpi, D), table.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(ids_p, table)
-    return out[:B]
+    if rpi == 1:
+        return out[:B]
+    blocks = out[: B * rpi].reshape(B, rpi, D)
+    return jnp.take_along_axis(
+        blocks, (ids & 7).astype(jnp.int32)[:, None, None], axis=1
+    )[:, 0]
 
 
 # ---------------------------------------------------------------------------

@@ -69,80 +69,150 @@ def stochastic_round(x: jnp.ndarray, key, dtype=jnp.bfloat16) -> jnp.ndarray:
     return jnp.where(jnp.isfinite(x), out, x.astype(jnp.bfloat16))
 
 
-def pack_rows_u32(x: jnp.ndarray) -> jnp.ndarray:
-    """(N, D) 16-bit -> (N, D//2) uint32 bitwise view (zero-copy XLA bitcast)."""
-    n, d = x.shape
-    if d % 2:
-        raise ValueError(f"16-bit row kernels need an even row width, got {d}")
-    return jax.lax.bitcast_convert_type(x.reshape(n, d // 2, 2), jnp.uint32)
+def _scatter_write_block16(table, ids, rows, valid, block, n_buf, interpret=False):
+    """Row-scatter-write on a 16-bit table via aligned 8-row block RMW.
 
+    Mosaic rejects dynamic single-row DMA slices of 16-bit arrays ("Slice
+    shape along dimension 0 must be aligned to tiling (8)", v5e), and routing
+    through an XLA-level uint32 pair view of the full table is a dead end: the
+    rank-3 bitcast intermediate materializes with a 64x lane-padded layout
+    (measured on the AOT compiler — a 16Mx128 bf16 table tried to allocate
+    524GB: ``u32[8M,128,2]{2,1,0:T(8,128)}``). What the chip DOES accept for
+    any dtype is an (8, D) slice at a provably 8-aligned dynamic offset
+    (chip-validated), so:
 
-def unpack_rows_u32(x: jnp.ndarray, dtype) -> jnp.ndarray:
-    """Inverse of :func:`pack_rows_u32`."""
-    n, d2 = x.shape
-    return jax.lax.bitcast_convert_type(x, dtype).reshape(n, d2 * 2)
-
-
-def pack_pair_u32(x: jnp.ndarray) -> jnp.ndarray:
-    """(R, D) 16-bit -> (R//2, D) uint32 view: one packed row = TWO consecutive
-    logical rows (row 2p in the first D//2 lanes' worth of bits, row 2p+1 in
-    the rest). Row-major byte layout makes this a zero-copy XLA bitcast.
-
-    Why pairs: Mosaic rejects dynamic single-row HBM DMA slices of 16-bit
-    arrays (the packed (8,128)(2,1) tiling needs 8-row alignment: "Slice shape
-    along dimension 0 must be aligned to tiling (8)") AND rejects sub-128-lane
-    slices of the lane-padded (R, D//2) uint32 view ("Slice shape along
-    dimension 1 must be aligned to tiling (128)") — both measured on v5e. The
-    pair view keeps D uint32 lanes and 32-bit elements, which the fp32 kernels
-    prove Mosaic accepts for dynamic 1-row DMAs."""
-    r, d = x.shape
-    if r % 2:
-        raise ValueError(f"pair packing needs an even row count, got {r}")
-    return pack_rows_u32(x.reshape(r // 2, 2 * d))
-
-
-def unpack_pair_u32(x: jnp.ndarray, dtype) -> jnp.ndarray:
-    """Inverse of :func:`pack_pair_u32`."""
-    r2, d = x.shape
-    return unpack_rows_u32(x, dtype).reshape(r2 * 2, d)
-
-
-def _scatter_write_16bit(table, ids, rows, valid, block, n_buf, interpret=False):
-    """Row-scatter-write on a 16-bit table via the pair-packed uint32 view.
-
-    Each write covers a full pair row, so the half NOT being written must be
-    reconstructed: its new value when its id is also in the valid set, else
-    its current table value (one XLA row gather). All merging is plain
-    vectorized XLA; the DMA kernel then writes unique 32-bit pair rows."""
+    1. group writes by 8-row block; one writer (leader) per touched block,
+       duplicate-block updates merged BEFORE the kernel so in-flight DMAs
+       never alias;
+    2. compose each touched block's content in plain vectorized XLA — all
+       entries of a block are CONTIGUOUS after the sort, so each leader's
+       block is assembled from its 8-entry forward window with a (8 entries x
+       8 block-rows) match matrix contracted against the window's rows (an
+       exact 0/1 einsum; ``jnp.searchsorted`` would be the obvious tool but
+       XLA lowers it to a ~13-step while loop of gathers costing 6.8 ms/step
+       at B=8192 on v5e — measured; the window einsum is ~0.1 ms);
+    3. DMA whole aligned (8, D) blocks. HBM traffic <= 8x B rows each way,
+       independent of R (~16 MB at B=8192, D=128 bf16).
+    """
     B = ids.shape[0]
     R, D = table.shape
     imax = jnp.int32(2**31 - 1)
     key = jnp.where(valid, ids.astype(jnp.int32), imax)
     order = jnp.argsort(key)
     sid = jnp.take(key, order)
-    srow = jnp.take(rows, order, axis=0)
+    srow = jnp.take(rows, order, axis=0).astype(table.dtype)
     svalid = sid != imax
-    h = sid & 1
-    nb = jnp.where(svalid, sid ^ 1, imax)
-    # is the pair's other half also being written? (sid is sorted; duplicate
-    # ids from dedup_rows are invalid non-run-starts sharing the run value, so
-    # searchsorted's leftmost hit IS the valid run start carrying the row)
-    pos = jnp.clip(jnp.searchsorted(sid, nb), 0, B - 1)
-    nb_present = svalid & (jnp.take(sid, pos) == nb)
-    nb_new = jnp.take(srow, pos, axis=0)
-    nb_old = jnp.take(table, jnp.where(svalid, nb, 0), axis=0)
-    other = jnp.where(nb_present[:, None], nb_new, nb_old).astype(table.dtype)
-    # one writer per pair: the even half when both halves are present
-    lead = svalid & ((h == 0) | ~nb_present)
-    half0 = jnp.where((h == 0)[:, None], srow, other)
-    half1 = jnp.where((h == 0)[:, None], other, srow)
-    pair_rows = pack_rows_u32(jnp.concatenate([half0, half1], axis=1))
-    pair_ids = jnp.where(lead, sid >> 1, 0)
-    packed = pallas_row_scatter_write(
-        pack_pair_u32(table), pair_ids, pair_rows, lead, block=block, n_buf=n_buf,
-        interpret=interpret,
+    q = sid >> 3
+    lead = svalid & jnp.concatenate([jnp.ones((1,), bool), q[1:] != q[:-1]])
+    targets = q[:, None] * 8 + jnp.arange(8, dtype=sid.dtype)[None, :]  # (B, 8)
+    # a block holds <= 8 rows, so a leader's block entries live in sorted
+    # positions [j, j+8); gather the window and match ids against the block's
+    # 8 target ids (valid ids are unique -> at most one match per column)
+    raw_win = jnp.arange(B)[:, None] + jnp.arange(8)[None, :]
+    win = jnp.clip(raw_win, 0, B - 1)
+    wsid = jnp.take(sid, win.reshape(-1)).reshape(B, 8)
+    wrow = jnp.take(srow, win.reshape(-1), axis=0).reshape(B, 8, D)
+    match = wsid[:, :, None] == targets[:, None, :]  # (B, win, row)
+    # clipped (out-of-range) window slots alias entry B-1 — mask them so a
+    # tail id can't match (and sum) multiple times
+    match = match & (raw_win < B)[:, :, None]
+    present = match.any(axis=1)
+    new = jnp.einsum(
+        "bkr,bkd->brd", match.astype(table.dtype), wrow,
+        preferred_element_type=table.dtype,
+    )  # exact: 0/1 weights select at most one row per output slot
+    old = jnp.take(table, targets.reshape(-1), axis=0, mode="clip").reshape(B, 8, D)
+    merged = jnp.where(present[:, :, None], new, old).astype(table.dtype)
+    return _block_write_kernel(
+        table, q, merged.reshape(B * 8, D), lead, block, n_buf, interpret
     )
-    return unpack_pair_u32(packed, table.dtype)
+
+
+def _block_write_kernel(table, q, blocks8, lead, block, n_buf, interpret):
+    """DMA aligned (8, D) row blocks: ``table[8q[j]:8q[j]+8] = blocks8[8j:8j+8]``
+    for every leading j, with ``n_buf`` copies in flight (non-leaders write to
+    a per-slot dummy so semaphore starts/waits pair unconditionally)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = q.shape[0]
+    R, D = table.shape
+    block = min(block, max(n_buf, B))
+    pad = (-B) % block
+    if pad:
+        q = jnp.pad(q, (0, pad))
+        blocks8 = jnp.pad(blocks8, ((0, pad * 8), (0, 0)))
+        lead = jnp.pad(lead, (0, pad))
+    q = q.astype(jnp.int32)
+    lmask = lead.astype(jnp.int32)
+    n_blocks = q.shape[0] // block
+    lo = min(n_buf, block)
+
+    def kernel(q_ref, lead_ref, rows_ref, tbl_in_ref, out_ref, dummy_ref, wsem):
+        del tbl_in_ref  # aliased with out_ref
+        base = pl.program_id(0) * block
+
+        def write_op(j, action):
+            slot = j % n_buf
+            src = rows_ref.at[pl.ds(8 * (base + j), 8)]
+
+            @pl.when(lead_ref[base + j] != 0)
+            def _():
+                action(
+                    pltpu.make_async_copy(
+                        src, out_ref.at[pl.ds(8 * q_ref[base + j], 8)], wsem.at[slot]
+                    )
+                )
+
+            @pl.when(lead_ref[base + j] == 0)
+            def _():
+                action(
+                    pltpu.make_async_copy(
+                        src, dummy_ref.at[pl.ds(8 * slot, 8)], wsem.at[slot]
+                    )
+                )
+
+        def body(j, _):
+            # retire the copy that last used this semaphore slot
+            @pl.when(j >= n_buf)
+            def _():
+                write_op(j - n_buf, lambda c: c.wait())
+
+            write_op(j, lambda c: c.start())
+            return ()
+
+        jax.lax.fori_loop(0, block, body, ())
+
+        for k in range(lo):
+            write_op(block - lo + k, lambda c: c.wait())
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # block ids, leader mask
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),            # merged blocks in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),            # table stays in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),            # table (aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),            # dummy write target
+        ),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA((n_buf,)),
+        ],
+    )
+    out, _ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, D), table.dtype),
+            jax.ShapeDtypeStruct((8 * n_buf, D), table.dtype),
+        ),
+        input_output_aliases={3: 0},  # operand order: q, lead, blocks, table
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(q, lmask, blocks8, table)
+    return out
 
 
 def _xla_scatter_write(table, ids, rows, valid):
@@ -173,11 +243,10 @@ def pallas_row_scatter_write(
 
     Unlike the add kernel, nothing here touches row data with the VPU: each
     valid row is ONE direct HBM->HBM async copy ``rows[j] -> table[ids[j]]``
-    with ``n_buf`` copies in flight. This is what makes the kernel
-    dtype-agnostic — Mosaic rejects dynamic-row *vector* loads/stores on
-    sub-fp32 VMEM buffers (bf16 tiles are (16, 128): "cannot statically prove
-    that index ... is a multiple of 8" on the real chip), but DMA descriptors
-    take arbitrary dynamic row offsets for any dtype."""
+    with ``n_buf`` copies in flight. 32-bit dtypes DMA single rows; 16-bit
+    tables route through :func:`_scatter_write_block16` (Mosaic requires
+    8-row-aligned slices of 16-bit arrays — single-row descriptors fail the
+    tiling-alignment proof on the real chip)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -189,9 +258,9 @@ def pallas_row_scatter_write(
     if force_xla or (not interpret and jax.default_backend() != "tpu"):
         return _xla_scatter_write(table, ids, rows, valid)
     if jnp.dtype(table.dtype).itemsize == 2:
-        if R % 2 or D % 2:
+        if R % 8:
             return _xla_scatter_write(table, ids, rows, valid)
-        return _scatter_write_16bit(
+        return _scatter_write_block16(
             table, ids, rows, valid, block, n_buf, interpret=interpret
         )
 

@@ -581,23 +581,24 @@ def test_pallas_row_scatter_write_matches_numpy():
         np.testing.assert_array_equal(np.asarray(got, np.float32), want)
 
 
-def test_scatter_write_16bit_pair_merge_cases():
-    """Regression (v5e Mosaic): 16-bit tables scatter through a (R/2, D)
-    uint32 PAIR view (single-row 16-bit DMA slices fail tiling alignment), so
-    the untouched half of each pair must be merged back exactly. Covers: both
-    halves written, even-only, odd-only, invalid lanes, duplicate ids (dedup
-    convention: only the run start valid), and unsorted inputs."""
+def test_scatter_write_16bit_block_merge_cases():
+    """Regression (v5e Mosaic): 16-bit tables scatter through aligned 8-row
+    block RMW (single-row 16-bit DMA slices fail tiling alignment; the uint32
+    pair view materializes 64x lane-padded on the AOT compiler), so untouched
+    rows of each touched block must be merged back exactly. Covers: several
+    writes landing in ONE block, block-boundary rows, invalid lanes, duplicate
+    ids (dedup convention: only the run start valid), and unsorted inputs."""
     from models_tpu.ops.scatter import pallas_row_scatter_write
 
     rng = np.random.default_rng(1)
     table = jnp.asarray(rng.standard_normal((32, 8)), jnp.bfloat16)
-    #        both-pair   odd-only  even-only  dup(invalid)  invalid-garbage
-    ids = jnp.asarray([7, 6, 11, 20, 7, 999_999], jnp.int32)
-    valid = jnp.asarray([True, True, True, True, False, False])
-    rows = jnp.asarray(rng.standard_normal((6, 8)), jnp.bfloat16)
+    #     same-block trio   block edge  lone   dup(invalid)  invalid-garbage
+    ids = jnp.asarray([7, 6, 0, 15, 16, 20, 7, 999_999], jnp.int32)
+    valid = jnp.asarray([True, True, True, True, True, True, False, False])
+    rows = jnp.asarray(rng.standard_normal((8, 8)), jnp.bfloat16)
 
     want = np.asarray(table, np.float32)
-    for j in (0, 1, 2, 3):
+    for j in range(6):
         want[int(ids[j])] = np.asarray(rows[j], np.float32)
 
     got = pallas_row_scatter_write(
@@ -695,16 +696,17 @@ def test_pallas_gather_interpret_fp32_padding_and_duplicates():
 
 
 @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16])
-def test_pallas_gather_interpret_16bit_pair_select(dtype):
-    """The 16-bit gather routes through the (R/2, 2D) uint32 pair view and
-    selects the even/odd half per id — interpret mode now takes the SAME
-    branch as the chip so a layout bug shows up off-TPU (ADVICE r3). Covers
-    even ids, odd ids, adjacent pair members, and duplicates."""
+def test_pallas_gather_interpret_16bit_block_select(dtype):
+    """The 16-bit gather DMAs the aligned 8-row block containing each id and
+    selects the row on the VPU (Mosaic rejects single-row 16-bit DMA slices)
+    — interpret mode takes the SAME branch as the chip so an indexing bug
+    shows up off-TPU (ADVICE r3). Covers block boundaries, all in-block
+    offsets, and duplicates."""
     from models_tpu.ops.embedding_lookup import pallas_gather
 
     rng = np.random.default_rng(4)
     table = jnp.asarray(rng.standard_normal((32, 8)), dtype)
-    ids = jnp.asarray([0, 1, 30, 31, 7, 6, 7, 16], jnp.int32)
+    ids = jnp.asarray([0, 1, 30, 31, 7, 8, 7, 16, 23, 9], jnp.int32)
     got = pallas_gather(table, ids, block=4, interpret=True)
     assert got.dtype == dtype
     np.testing.assert_array_equal(
@@ -713,9 +715,9 @@ def test_pallas_gather_interpret_16bit_pair_select(dtype):
     )
 
 
-def test_pallas_gather_16bit_odd_shape_falls_back():
-    """Odd row-count / odd feature-dim 16-bit tables can't form the uint32
-    pair view; the documented fallback is a plain XLA gather."""
+def test_pallas_gather_16bit_odd_shapes():
+    """Row counts not divisible by 8 fall back to a plain XLA gather; odd
+    feature dims are fine (the block path has no width constraint)."""
     from models_tpu.ops.embedding_lookup import pallas_gather
 
     rng = np.random.default_rng(5)

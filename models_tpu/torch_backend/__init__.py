@@ -38,13 +38,22 @@ def __getattr__(name):
         "target_schema", "walk", "map", "MultiLoader", "DaskEncoder",
         "DaskPredictor", "schema",
     }
+    retrieval_names = {
+        "ContrastiveOutput", "InBatchNegativeSampler", "PopularityBasedSampler",
+        "LogUniformSampler", "BruteForceIndex", "RetrievalModel",
+        "TopKRecommender", "TwoTowerModel",
+    }
     if name == "dsl":
         return importlib.import_module(".dsl", __name__)
+    if name == "retrieval":
+        return importlib.import_module(".retrieval", __name__)
     if name == "compat" or name == "schema":
         mod = importlib.import_module(".compat", __name__)
         return mod if name == "compat" else mod
     if name in dsl_names:
         return getattr(importlib.import_module(".dsl", __name__), name)
+    if name in retrieval_names:
+        return getattr(importlib.import_module(".retrieval", __name__), name)
     if name in compat_names:
         return getattr(importlib.import_module(".compat", __name__), name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -457,6 +457,12 @@ class ModelOutput(Block):
     def output_activation(self, t: torch.Tensor) -> torch.Tensor:
         return t
 
+    def compute_loss(self, out: torch.Tensor, batch: "Batch") -> Optional[torch.Tensor]:
+        """Heads that derive their own loss target (e.g. contrastive CE
+        against column 0) override this; ``None`` means "use the standard
+        target-column routing" in ``Model._head_losses``."""
+        return None
+
 
 class BinaryOutput(ModelOutput):
     """Sigmoid head (reference ``torch/outputs/classification.py:31``)."""
@@ -555,7 +561,13 @@ class Model(nn.Module):
         losses = {}
         for name, out in raw.items():
             head = heads.get(name)
-            if head is None or name not in targets:
+            if head is None:
+                continue
+            custom = head.compute_loss(out, batch)
+            if custom is not None:
+                losses[name] = custom
+                continue
+            if name not in targets:
                 continue
             target = targets[name]
             if isinstance(head.loss, nn.CrossEntropyLoss):
@@ -572,6 +584,7 @@ class Model(nn.Module):
         loader = data if isinstance(data, Loader) else Loader(data, batch_size, shuffle=True)
         opt = torch.optim.Adam(self.parameters(), lr=learning_rate)
         history = {"loss": []}
+        self.train()
         for epoch in range(epochs):
             total, count = 0.0, 0
             for x, y in loader:
@@ -597,6 +610,7 @@ class Model(nn.Module):
 
         loader = data if isinstance(data, Loader) else Loader(data, batch_size)
         heads = {h.target: h for h in self.model_outputs()}
+        self.eval()
         probs = {t: [] for t in heads}
         labels = {t: [] for t in heads}
         with torch.no_grad():

@@ -648,3 +648,151 @@ def test_torch_ple_block_depth_stacks_layers():
     with pytest.raises(ValueError, match="expert_factory"):
         dsl.PLEBlock(lambda: dsl.MLPBlock((16,), D), num_shared=1, num_task=1,
                      depth=2, in_dim=D, out_dim=16, outputs=["click"])
+
+
+# ---------------------------------------------------------------------------
+# torch retrieval stack (reference merlin/models/torch/outputs/contrastive.py,
+# torch/outputs/sampling/*) — VERDICT r3 #3
+# ---------------------------------------------------------------------------
+
+def _planted_retrieval_data(n_users=50, rows=800, seed=0):
+    from models_tpu.data import Dataset
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+
+    rng = np.random.default_rng(seed)
+    users = rng.integers(0, n_users, size=rows).astype(np.int32)
+    items = users.copy()  # item == user id: perfectly learnable
+    schema = Schema([
+        create_categorical_column("user_id", n_users - 1, tags=(Tags.USER, Tags.USER_ID)),
+        create_categorical_column("item_id", n_users - 1, tags=(Tags.ITEM, Tags.ITEM_ID)),
+    ])
+    return Dataset({"user_id": users, "item_id": items}, schema=schema), schema
+
+
+def test_torch_two_tower_learns_planted_signal_and_serves_topk():
+    pytest.importorskip("torch")
+    import torch
+
+    torch.manual_seed(0)
+    from models_tpu.torch_backend import TwoTowerModel
+
+    ds, schema = _planted_retrieval_data()
+    model = TwoTowerModel(schema, dim=16, query_block=(32,))
+    hist = model.fit(ds, epochs=6, batch_size=32, learning_rate=0.02)
+    assert hist["loss"][-1] < hist["loss"][0] * 0.7, hist["loss"]
+    res = model.evaluate_retrieval(ds, k=10)
+    assert res["recall_at_10"] > 0.5, res
+    assert 0.0 <= res["mrr_at_10"] <= 1.0 and 0.0 <= res["ndcg_at_10"] <= 1.0
+
+    rec = model.to_top_k_recommender(ds, k=5)
+    scores, ids = rec({"user_id": np.asarray([3, 7], np.int32)})
+    assert ids.shape == (2, 5) and scores.shape == (2, 5)
+    # the planted mapping is identity: top-1 must be the user's own id
+    assert ids[0, 0].item() == 3 and ids[1, 0].item() == 7
+    # scores sorted descending
+    assert (scores[:, :-1] >= scores[:, 1:]).all()
+
+    q = model.query_embeddings(ds)
+    c = model.candidate_embeddings(ds.unique_by("item_id"))
+    assert q.shape == (800, 16) and c.shape == (50, 16)
+
+
+def test_torch_two_tower_save_load_roundtrip(tmp_path):
+    pytest.importorskip("torch")
+    import torch
+
+    from models_tpu.torch_backend import TwoTowerModel
+
+    ds, schema = _planted_retrieval_data(rows=256)
+    model = TwoTowerModel(schema, dim=8)
+    model.fit(ds, epochs=1, batch_size=64)
+    model.save(str(tmp_path / "tt"))
+    model2 = TwoTowerModel(schema, dim=8)
+    model2.load_weights(str(tmp_path / "tt"))
+    feats = {"user_id": np.asarray([1, 2, 3], np.int32)}
+    with torch.no_grad():
+        from models_tpu.torch_backend.dsl import Batch
+
+        b = Batch.from_loader_batch(feats)
+        q1 = model.blocks[0].branches["query"](b.features, batch=b)
+        q2 = model2.blocks[0].branches["query"](b.features, batch=b)
+    np.testing.assert_array_equal(q1.numpy(), q2.numpy())
+
+
+def test_torch_contrastive_false_negative_downscore_and_logq():
+    pytest.importorskip("torch")
+    import torch
+
+    from models_tpu.core.constants import MIN_FLOAT
+    from models_tpu.schema import Tags, create_categorical_column
+    from models_tpu.torch_backend.dsl import Batch
+    from models_tpu.torch_backend.retrieval import ContrastiveOutput
+
+    col = create_categorical_column("item_id", 99, tags=(Tags.ITEM, Tags.ITEM_ID))
+    head = ContrastiveOutput(col, negative_sampling="in-batch")
+    head.train()
+    B, D = 4, 8
+    q = torch.randn(B, D)
+    c = torch.randn(B, D)
+    ids = torch.tensor([5, 5, 7, 9])  # rows 0/1 share an id -> mutual false negs
+    batch = Batch(features={"item_id": ids})
+    logits = head({"query": q, "candidate": c}, batch=batch)
+    assert logits.shape == (B, 1 + B)
+    # negative column j for row i is a false negative when ids match (i != j)
+    assert logits[0, 1 + 1].item() == pytest.approx(MIN_FLOAT)
+    assert logits[1, 1 + 0].item() == pytest.approx(MIN_FLOAT)
+    # self-columns (the row's own positive repeated as a negative) also match
+    assert logits[2, 1 + 2].item() == pytest.approx(MIN_FLOAT)
+    # positive column is the plain dot product
+    assert logits[3, 0].item() == pytest.approx(float((q[3] * c[3]).sum()), rel=1e-5)
+    # loss: CE against column 0, computable without explicit targets
+    loss = head.compute_loss(logits, batch)
+    assert torch.isfinite(loss)
+
+    # eval mode: positive logit only
+    head.eval()
+    out = head({"query": q, "candidate": c})
+    assert out.shape == (B, 1)
+
+
+def test_torch_log_uniform_sampler_distribution():
+    pytest.importorskip("torch")
+    import torch
+
+    from models_tpu.torch_backend.retrieval import LogUniformSampler
+
+    s = LogUniformSampler(max_id=1000, n_sample=64)
+    # analytic distribution sums to 1 and is monotone decreasing (zipfian)
+    assert float(s.probs.sum()) == pytest.approx(1.0, abs=1e-4)
+    assert (s.probs[:-1] >= s.probs[1:]).all()
+    torch.manual_seed(0)
+    ids, expected = s.sample()
+    assert ids.shape == (64,) and (ids >= 0).all() and (ids < 1000).all()
+    assert (expected > 0).all() and (expected <= 1.0).all()
+    # small ids must dominate: median of log-uniform draws over 1000 is ~sqrt
+    assert ids.float().median() < 300
+
+
+def test_torch_two_tower_popularity_sampling_trains():
+    pytest.importorskip("torch")
+    import torch
+
+    torch.manual_seed(0)
+    from models_tpu.torch_backend import TwoTowerModel
+
+    ds, schema = _planted_retrieval_data(rows=512, seed=1)
+    model = TwoTowerModel(
+        schema, dim=8, negative_sampling=["in-batch", "popularity"], n_samples=16
+    )
+    hist = model.fit(ds, epochs=3, batch_size=64, learning_rate=0.02)
+    assert np.isfinite(hist["loss"][-1])
+    assert hist["loss"][-1] < hist["loss"][0]
+
+
+def test_torch_brute_force_index_rejects_duplicate_ids():
+    pytest.importorskip("torch")
+    from models_tpu.torch_backend.retrieval import BruteForceIndex
+
+    idx = BruteForceIndex(k=2)
+    with pytest.raises(ValueError, match="unique"):
+        idx.index(np.asarray([1, 1, 2]), np.zeros((3, 4), np.float32))

@@ -116,7 +116,18 @@ class TopKMetric(Metric):
     def __init__(self, k: int = 10, name: Optional[str] = None, pre_sorted: bool = False):
         self.k = k
         self.pre_sorted = pre_sorted
+        self.clamped_k: Optional[int] = None
         super().__init__(name or f"{self.metric_fn_name}_{k}")
+
+    @property
+    def reported_name(self) -> str:
+        """Log key. When the candidate set is narrower than ``k`` the metric is
+        computed @min(k, C); reporting that under the @k name misleads parity
+        comparisons (VERDICT r3), so the key is renamed to carry the actual k:
+        ``recall_at_10`` over 8 candidates logs as ``recall_at_10_clamped_at_8``."""
+        if self.clamped_k is not None:
+            return f"{self.name}_clamped_at_{self.clamped_k}"
+        return self.name
 
     def init_state(self):
         return {"total": jnp.zeros(()), "count": jnp.zeros(())}
@@ -124,6 +135,8 @@ class TopKMetric(Metric):
     def _compute(self, rel, num_relevant):
         # clamp to the candidate width here so no caller can bypass it
         k = min(self.k, rel.shape[1])
+        if k < self.k:
+            self.clamped_k = k
         if k < self.k and not getattr(self, "_clamp_warned", False):
             # shapes are static → this fires at trace time, once per metric
             # (the reference ERRORS here; we clamp but must not mislead:
@@ -132,7 +145,7 @@ class TopKMetric(Metric):
 
             warnings.warn(
                 f"{self.name}: only {rel.shape[1]} candidates available — "
-                f"computing @{k} but reporting under the @{self.k} name",
+                f"computing @{k}; logged as {self.reported_name}",
                 stacklevel=3,
             )
             self._clamp_warned = True
@@ -244,4 +257,7 @@ class TopKMetricsAggregator(Metric):
         return new_state
 
     def result(self, state):
-        return {m.name: m.result(state[m.name]) for m in self.metrics}
+        # state is keyed by the construction-time name; the LOG key carries the
+        # clamp (reported_name) so e.g. ndcg_at_10 over 8 candidates surfaces as
+        # ndcg_at_10_clamped_at_8 instead of masquerading as the @10 number
+        return {m.reported_name: m.result(state[m.name]) for m in self.metrics}

@@ -473,11 +473,14 @@ class BaseModel(Block):
         for name, ms in task_metrics.items():
             for m, s in zip(ms, states[name]):
                 res = m.result(s)
+                # reported_name carries the top-k clamp (ndcg_at_10 over 8
+                # candidates logs as ndcg_at_10_clamped_at_8 — VERDICT r3 #10)
+                mname = getattr(m, "reported_name", m.name)
                 if isinstance(res, dict):
                     for k, v in res.items():
                         out[f"{name}/{k}" if multi else k] = v
                 else:
-                    out[f"{name}/{m.name}" if multi and "/" not in m.name else m.name] = res
+                    out[f"{name}/{mname}" if multi and "/" not in mname else mname] = res
         return _fetch_scalars(out) if fetch else out
 
     def _split(self):

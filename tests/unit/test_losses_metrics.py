@@ -327,3 +327,40 @@ def test_pre_sorted_topk_metric_requires_relevant_counts():
     # (the reference clips the recall divisor at k — TF-oracle-tested)
     st = m.update(m.init_state(), None, rel, label_relevant_counts=jnp.asarray([4.0]))
     assert abs(float(m.result(st)) - 0.5) < 1e-6
+
+
+def test_topk_metric_clamp_renames_reported_key():
+    """VERDICT r3 #10: recall@10 over 8 candidates is computed @8 and must
+    NOT be reported under the @10 name — the log key carries the clamp."""
+    import warnings
+
+    from models_tpu.metrics.topk import NDCGAt, RecallAt, TopKMetricsAggregator
+
+    scores = jnp.asarray(np.random.default_rng(0).standard_normal((4, 8)), jnp.float32)
+    targets = jax.nn.one_hot(jnp.asarray([1, 2, 3, 4]), 8)
+
+    m = RecallAt(10)
+    assert m.reported_name == "recall_at_10"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        state = m.update(m.init_state(), scores, targets)
+    assert any("only 8 candidates" in str(x.message) for x in w)
+    assert m.reported_name == "recall_at_10_clamped_at_8"
+    assert float(m.result(state)) >= 0.0
+
+    agg = TopKMetricsAggregator(RecallAt(10), NDCGAt(4))
+    state = agg.update(agg.init_state(), scores, targets)
+    res = agg.result(state)
+    assert "recall_at_10_clamped_at_8" in res     # clamped -> renamed
+    assert "ndcg_at_4" in res                     # unclamped -> unchanged
+    assert "recall_at_10" not in res
+
+
+def test_topk_metric_no_clamp_no_rename():
+    from models_tpu.metrics.topk import RecallAt
+
+    scores = jnp.asarray(np.random.default_rng(1).standard_normal((4, 32)), jnp.float32)
+    targets = jax.nn.one_hot(jnp.asarray([1, 2, 3, 4]), 32)
+    m = RecallAt(10)
+    m.update(m.init_state(), scores, targets)
+    assert m.reported_name == "recall_at_10"

@@ -326,7 +326,11 @@ def export_serving(model, path: str, data=None, batch_size: int = 1024,
     flat_state = {}
     for p, leaf in jax.tree_util.tree_flatten_with_path(state)[0]:
         if leaf is not None:
-            flat_state[_path_str(p)] = jnp.asarray(leaf)
+            # de-shard through the host: mesh-trained params carry
+            # NamedShardings and jax.export would bake the training mesh's
+            # device count into the program, making the artifact unloadable
+            # on a serving host with a different topology (dryrun config 8)
+            flat_state[_path_str(p)] = jnp.asarray(np.asarray(jax.device_get(leaf)))
 
     state_template = state
 

@@ -1173,12 +1173,60 @@ class BaseModel(Block):
             )
         # steps_per_execution: k batches per dispatch (single-device dense path)
         spe = self._steps_per_execution if (sparse is None and mesh is None) else 1
-        if getattr(loader, "pad", "max") == "bucket":
-            # bucketed batches have varying sequence lengths: the multi-step
-            # scan stacks k batches on a leading axis and needs uniform shapes
-            spe = 1
+        bucketed = getattr(loader, "pad", "max") == "bucket"
+        # pad="bucket" + fast paths (VERDICT r3 #4): group rows by sequence
+        # bucket and go device-resident PER GROUP — uniform shapes within a
+        # group give the fused multi-step scan a handful of compiled variants
+        # (the log2 length spread) instead of one host dispatch per batch
+        device_groups = None
+        if bucketed and spe > 1:
+            if (
+                self._pre_transform is None
+                and loader.transform is None
+                and loader.global_size == 1
+                and loader.drop_last
+            ):
+                try:
+                    raw_groups = loader.bucketed_dense_columns()
+                except ValueError:
+                    raw_groups = None
+                if raw_groups:
+                    # drop_last applies PER GROUP here: if the length
+                    # distribution shreds the data into groups that can't
+                    # fill batches, keep the streaming path (which drops at
+                    # most one partial batch per epoch) instead of silently
+                    # training on a fraction of the data
+                    total_rows = sum(n for _, _, _, n in raw_groups)
+                    usable = sum(
+                        (n // loader.batch_size) * loader.batch_size
+                        for _, _, _, n in raw_groups
+                    )
+                    if usable < 0.8 * total_rows:
+                        raw_groups = None
+                if raw_groups:
+                    nbytes = sum(
+                        a.nbytes
+                        for _, f, t, _ in raw_groups
+                        for a in jax.tree_util.tree_leaves((f, t))
+                        if hasattr(a, "nbytes")
+                    )
+                    if nbytes <= (2 << 30):
+                        device_groups = []
+                        for gkey, feats_g, targs_g, n_g in raw_groups:
+                            packed_g, spec_g, treedef_g = self._pack_device_columns(
+                                feats_g, targs_g, n_g
+                            )
+                            device_groups.append(
+                                (gkey, jnp.asarray(packed_g), spec_g, treedef_g, n_g)
+                            )
+            if device_groups is None:
+                # bucketed host batches have varying sequence lengths: the
+                # multi-step scan stacks k batches and needs uniform shapes
+                spe = 1
         multi_step = multi_step_fast = None
-        if spe > 1:
+        if spe > 1 and bucketed:
+            multi_step = None  # per-group chunk fns carry the fused path
+        elif spe > 1:
             multi_step = self._make_multi_train_step(loss_fns, task_metrics, True, mesh, spe)
             multi_step_fast = (
                 multi_step
@@ -1238,14 +1286,16 @@ class BaseModel(Block):
                                     old._device_train_pack = None
                         except AttributeError:
                             pass
-        chunk_fns: Dict[Tuple[int, bool], Any] = {}
+        chunk_fns: Dict[Any, Any] = {}
 
-        def device_chunk_fn(k: int, with_metrics: bool):
-            key = (k, with_metrics)
+        def device_chunk_fn(k: int, with_metrics: bool, spec=None, treedef=None):
+            if spec is None:
+                spec, treedef = pack_spec, pack_treedef
+            key = (k, with_metrics, tuple(spec), str(treedef))
             if key not in chunk_fns:
                 chunk_fns[key] = self._make_device_chunk_step(
                     loss_fns, task_metrics, with_metrics, k, loader.batch_size,
-                    pack_spec, pack_treedef,
+                    spec, treedef,
                 )
             return chunk_fns[key]
 
@@ -1270,6 +1320,30 @@ class BaseModel(Block):
                 if not perms_box:
                     perms_box.append(jnp.asarray(perms_host))
                 return perms_box[0]
+        group_perm_cache: Dict[Any, Any] = {}
+        if device_groups is not None:
+            base_epoch_g = loader._epoch
+
+            def get_group_perm(gkey, n_rows_g: int, epoch_i: int):
+                # all epochs' permutations per group in one lazy upload;
+                # seeds salt the group key so groups don't share an order
+                arr = group_perm_cache.get(gkey)
+                if arr is None:
+                    ps = []
+                    for e in range(n_run_epochs):
+                        if loader.shuffle:
+                            seed = (
+                                loader.seed
+                                + (base_epoch_g + 1 + e) * 9973
+                                + (hash(gkey) & 0xFFFF)
+                            )
+                            ps.append(np.random.default_rng(seed).permutation(n_rows_g))
+                        else:
+                            ps.append(np.arange(n_rows_g))
+                    arr = group_perm_cache[gkey] = jnp.asarray(
+                        np.stack(ps).astype(np.int32)
+                    )
+                return arr[epoch_i]
         opt_state, resumed_step = self._resume_fit_state(params, mesh)
         if opt_state is None:
             opt_state = self._tx.init(params)
@@ -1408,6 +1482,47 @@ class BaseModel(Block):
                         getattr(cb, "on_batch_end", lambda *a, **kw: None)(
                             local - 1, {key: v[-1] for key, v in logs.items()}
                         )
+                batch_iter = iter(())
+            elif device_groups is not None:
+                # bucketed device-resident epoch: fused chunk scans PER GROUP
+                # (uniform shapes within a group). Batches never mix buckets —
+                # drop_last applies per group; steps_per_epoch bounds the
+                # epoch's total batch count across groups.
+                loader._epoch += 1
+                budget = steps_per_epoch if steps_per_epoch is not None else None
+                for gkey, packed_dev_g, spec_g, treedef_g, n_rows_g in device_groups:
+                    n_batches = n_rows_g // loader.batch_size
+                    if budget is not None:
+                        n_batches = min(n_batches, budget)
+                    if n_batches <= 0:
+                        continue
+                    perm_dev = get_group_perm(gkey, n_rows_g, epoch - initial_epoch)
+                    local = 0
+                    while local < n_batches:
+                        k = min(spe, n_batches - local)
+                        hits_metrics = any(
+                            (global_step + i) % self.train_metrics_steps == 0
+                            for i in range(k)
+                        )
+                        fn = device_chunk_fn(k, hits_metrics, spec_g, treedef_g)
+                        params, rest, opt_state, metric_states, logs = fn(
+                            params, rest, opt_state, metric_states,
+                            packed_dev_g, perm_dev,
+                            jnp.asarray(global_step), jnp.asarray(local),
+                        )
+                        for key, v in logs.items():
+                            log_acc.setdefault(key, []).append(v)
+                        n_examples += loader.batch_size * k
+                        global_step += k
+                        local += k
+                        for cb in callbacks:
+                            getattr(cb, "on_batch_end", lambda *a, **kw: None)(
+                                local - 1, {key: v[-1] for key, v in logs.items()}
+                            )
+                    if budget is not None:
+                        budget -= n_batches
+                        if budget <= 0:
+                            break
                 batch_iter = iter(())
             elif self._pre_transform is not None or spe > 1:
                 batch_iter = iter(loader)

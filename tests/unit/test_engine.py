@@ -553,3 +553,64 @@ def test_device_eval_cache_keys_on_column_names():
 
     for xa, xb in zip(jax.tree_util.tree_leaves(ra), jax.tree_util.tree_leaves(rb)):
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=1e-6)
+
+
+def test_bucket_padding_composes_with_steps_per_execution():
+    """VERDICT r3 #4: pad='bucket' + steps_per_execution trains through the
+    per-group device-resident fused path, and its loss trajectory matches the
+    spe=1 streaming-bucket path exactly when batch composition is identical
+    (single group)."""
+    from models_tpu.data import Loader, generate_data
+    from models_tpu.models.session import SessionBasedTransformerModel
+    from models_tpu.transformer.block import GPT2Block
+
+    ds = generate_data("sequence-testing", num_rows=256, seed=3)
+
+    def run(spe):
+        m = SessionBasedTransformerModel(
+            ds.schema, transformer=GPT2Block(d_model=16, n_head=2, n_layer=1),
+            embedding_dim=8,
+        )
+        m.compile(optimizer="adagrad", learning_rate=0.05, steps_per_execution=spe)
+        lb = Loader(ds, batch_size=32, pad="bucket", drop_last=True, shuffle=False)
+        return m.fit(lb, epochs=2, verbose=0).history["loss"]
+
+    fused = run(4)
+    streaming = run(1)
+    assert all(np.isfinite(v) for v in fused)
+    np.testing.assert_allclose(fused, streaming, rtol=2e-4)
+
+
+def test_bucket_fast_path_falls_back_when_groups_shred():
+    """Groups that can't fill batches (per-group drop_last would lose >20% of
+    rows) must fall back to the streaming path, not silently train on a
+    fraction of the data."""
+    import pyarrow as pa
+
+    from models_tpu.data import Dataset, Loader
+    from models_tpu.models.session import SessionBasedTransformerModel
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+    from models_tpu.transformer.block import GPT2Block
+
+    rng = np.random.default_rng(1)
+    n = 96
+    # lengths spread over many buckets -> tiny groups vs batch_size=32
+    lengths = rng.choice([1, 2, 4, 8, 16, 32], size=n)
+    vals = [rng.integers(1, 50, size=l).astype(np.int32).tolist() for l in lengths]
+    schema = Schema([
+        create_categorical_column(
+            "item_id_seq", 50, tags=(Tags.ITEM, Tags.ITEM_ID, Tags.SEQUENCE),
+            is_list=True, max_seq_length=32,
+        ),
+    ])
+    tbl = pa.table({"item_id_seq": pa.array(vals, pa.list_(pa.int32()))})
+    ds = Dataset(tbl, schema=schema)
+    m = SessionBasedTransformerModel(
+        ds.schema, transformer=GPT2Block(d_model=16, n_head=2, n_layer=1),
+        embedding_dim=8,
+    )
+    m.compile(optimizer="adagrad", learning_rate=0.05, steps_per_execution=4)
+    lb = Loader(ds, batch_size=32, pad="bucket", drop_last=True, shuffle=False)
+    h = m.fit(lb, epochs=1, verbose=0)
+    # streaming fallback still sees (n // batch_size) batches worth of rows
+    assert np.isfinite(h.history["loss"][0])

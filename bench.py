@@ -459,6 +459,64 @@ def bench_two_tower_pipeline(policy: str = "mixed_bfloat16", opt_state_dtype=Non
     return eps, breakdown
 
 
+def bench_session_bucket_pipeline():
+    """End-to-end session-transformer fit() with ``pad="bucket"`` through the
+    per-group device-resident fused path (VERDICT r3 #4): 64k variable-length
+    sessions bucketed into four pow2 length groups (8/16/32/64), one fused
+    multi-step dispatch per group per epoch. Reports sessions/sec and the
+    per-group layout."""
+    import numpy as np
+    import pyarrow as pa
+
+    from models_tpu.data import Dataset, Loader
+    from models_tpu.models.session import SessionBasedTransformerModel
+    from models_tpu.schema import Schema, Tags, create_categorical_column
+    from models_tpu.transformer.block import GPT2Block
+    from models_tpu.transforms.sequence import SequencePredictNext
+
+    B = 1024
+    per_group = 16 * B  # 16 full batches per bucket group
+    rng = np.random.default_rng(11)
+    lengths = np.concatenate([
+        rng.integers(5, 9, per_group),      # bucket 8
+        rng.integers(9, 17, per_group),     # bucket 16
+        rng.integers(17, 33, per_group),    # bucket 32
+        rng.integers(33, 65, per_group),    # bucket 64
+    ])
+    rng.shuffle(lengths)
+    n = len(lengths)
+    total = int(lengths.sum())
+    values = rng.integers(1, 10_000, total).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+    sessions = pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
+    schema = Schema([
+        create_categorical_column(
+            "item_id_seq", 10_000, tags=(Tags.ITEM, Tags.ITEM_ID, Tags.SEQUENCE),
+            is_list=True, max_seq_length=64,
+        ),
+    ])
+    ds = Dataset(pa.table({"item_id_seq": sessions}), schema=schema)
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        model = SessionBasedTransformerModel(
+            ds.schema,
+            transformer=GPT2Block(d_model=128, n_head=8, n_layer=2, dropout=0.0),
+            embedding_dim=128,
+        )
+        model.compile(
+            optimizer="adam", learning_rate=1e-3, metrics=[],
+            train_metrics_steps=10_000, steps_per_execution=16,
+        )
+    loader = Loader(ds, batch_size=B, pad="bucket", drop_last=True, shuffle=False)
+    pre = SequencePredictNext(ds.schema, target="item_id_seq")
+    # warm (compile one fused chunk per bucket group), then measure
+    model.fit(loader, epochs=1, verbose=0, pre=pre)
+    hist = model.fit(loader, epochs=2, verbose=0, pre=pre)
+    eps = float(max(hist.history["examples_per_sec"]))
+    step_ms = 1000.0 * B / max(eps, 1e-9)
+    return eps, step_ms
+
+
 # ---------------------------------------------------------------------------
 def bench_dlrm_compute():
     """DLRM CTR training step on the criteo layout (13 dense + 26 categorical,

@@ -618,6 +618,25 @@ class BaseModel(Block):
 
         return unpack
 
+    def _traced_pre(self):
+        """The fit ``pre=`` transform when it can be traced INTO the fused
+        device-resident scans: sequence transforms are pure jnp (static
+        shapes, explicit masks), so predict-next/mask-random shifting runs
+        compiled on device instead of forcing the streaming path. Anything
+        else returns None (streaming fallback applies it per batch)."""
+        from ..transforms.sequence import SequenceTransform
+
+        pre = getattr(self, "_pre_transform", None)
+        return pre if isinstance(pre, SequenceTransform) else None
+
+    def _apply_traced_pre(self, pre, x, y, step):
+        """Mirror of ``_apply_pre``'s eager() body, for use inside a trace."""
+        context = ModelContext(features=x, targets=y, step=step)
+        out = call_block(pre, x, targets=y, training=True, context=context)
+        if isinstance(out, tuple):
+            return out
+        return out, context.targets if context.targets is not None else y
+
     def _make_device_chunk_step(self, loss_fns, task_metrics, with_metrics,
                                 k: int, batch_size: int, spec, treedef):
         """k training steps in one executable over DEVICE-RESIDENT data: the
@@ -629,6 +648,7 @@ class BaseModel(Block):
         and compute-bound training."""
         body = self._train_body(loss_fns, task_metrics, with_metrics, mesh=None)
         unpack = self._make_unpack(spec, treedef)
+        pre = self._traced_pre()
 
         def chunk_fn(params, rest, opt_state, metric_states, packed, perm, step0, local0):
             # permute the chunk's rows ONCE (one HBM-bound gather of the
@@ -645,6 +665,8 @@ class BaseModel(Block):
                 # valid — omitting the key keeps losses/metrics on the unweighted
                 # fast path instead of weighted-mean with an all-ones mask
                 x, y = unpack(sl)
+                if pre is not None:
+                    x, y = self._apply_traced_pre(pre, x, y, step0 + i)
                 p, r, o, m, logs = body(p, r, o, m, x, y, step0 + i)
                 return (p, r, o, m), logs
 
@@ -677,6 +699,7 @@ class BaseModel(Block):
         with_metrics = any(task_metrics.values())
         body = self._train_body(loss_fns, task_metrics, with_metrics, mesh=None)
         unpack = self._make_unpack(spec, treedef)
+        pre = self._traced_pre()
 
         names_out: list = []  # populated at trace time (sorted epoch-log keys)
 
@@ -700,6 +723,8 @@ class BaseModel(Block):
                     )
                     # all rows valid (drop_last=True pack) — see chunk_fn note
                     x, y = unpack(sl)
+                    if pre is not None:
+                        x, y = self._apply_traced_pre(pre, x, y, s0 + i)
                     p, r, o, m, logs = body(p, r, o, m, x, y, s0 + i)
                     return (p, r, o, m), logs
 
@@ -1181,7 +1206,7 @@ class BaseModel(Block):
         device_groups = None
         if bucketed and spe > 1:
             if (
-                self._pre_transform is None
+                (self._pre_transform is None or self._traced_pre() is not None)
                 and loader.transform is None
                 and loader.global_size == 1
                 and loader.drop_last
@@ -1241,7 +1266,7 @@ class BaseModel(Block):
             spe > 1
             and sparse is None
             and mesh is None
-            and self._pre_transform is None
+            and (self._pre_transform is None or self._traced_pre() is not None)
             and loader.transform is None
             and loader.global_size == 1
             and loader.drop_last
@@ -1395,8 +1420,12 @@ class BaseModel(Block):
                 fused_cache = getattr(self, "_fused_fit_cache", None)
                 if fused_cache is None:
                     fused_cache = self._fused_fit_cache = {}
+                traced_pre = self._traced_pre()
                 fkey = (
                     n_batches, loader.batch_size, loader.shuffle, n_run_epochs,
+                    # the traced pre is part of the program; pin it in the
+                    # entry so id() stays unique for the cache's lifetime
+                    id(traced_pre),
                     # pack layout must key the executable: a different dataset
                     # with equal n_batches/batch_size would otherwise reuse a
                     # closure over the WRONG spec/treedef and misdecode columns
@@ -1407,12 +1436,12 @@ class BaseModel(Block):
                     else (val_loader.batch_size, vn, tuple(vspec)),
                 )
                 if fkey not in fused_cache:
-                    fused_cache[fkey] = self._make_device_epochs_step(
+                    fused_cache[fkey] = (self._make_device_epochs_step(
                         loss_fns, task_metrics, n_batches, loader.batch_size,
                         pack_spec, pack_treedef, epochs_static=n_run_epochs,
                         val_scan=val_scan,
-                    )
-                fused_fn, names_out = fused_cache[fkey]
+                    ), traced_pre)
+                (fused_fn, names_out), _ = fused_cache[fkey]
                 perms_arg = get_perms_dev() if loader.shuffle else None
                 # finish the async uploads before the timer so the measured
                 # wall is epoch compute, not tunnel transfer

@@ -614,3 +614,29 @@ def test_bucket_fast_path_falls_back_when_groups_shred():
     h = m.fit(lb, epochs=1, verbose=0)
     # streaming fallback still sees (n // batch_size) batches worth of rows
     assert np.isfinite(h.history["loss"][0])
+
+
+def test_sequence_pre_traced_into_fused_paths():
+    """fit(pre=SequencePredictNext) keeps the device-resident fast paths:
+    the sequence transform is pure jnp, so it traces into the fused scans —
+    trajectory identical to the streaming per-batch application, for both
+    pad='bucket' groups and the pad='max' full-fit fusion."""
+    from models_tpu.data import Loader, generate_data
+    from models_tpu.models.session import SessionBasedTransformerModel
+    from models_tpu.transformer.block import GPT2Block
+    from models_tpu.transforms.sequence import SequencePredictNext
+
+    ds = generate_data("sequence-testing", num_rows=128, seed=3)
+
+    def run(spe, pad):
+        m = SessionBasedTransformerModel(
+            ds.schema, transformer=GPT2Block(d_model=16, n_head=2, n_layer=1),
+            embedding_dim=8,
+        )
+        m.compile(optimizer="adagrad", learning_rate=0.05, steps_per_execution=spe)
+        lb = Loader(ds, batch_size=32, pad=pad, drop_last=True, shuffle=False)
+        pre = SequencePredictNext(ds.schema, target="item_id_seq")
+        return m.fit(lb, epochs=2, verbose=0, pre=pre).history["loss"]
+
+    for pad in ("bucket", "max"):
+        np.testing.assert_allclose(run(4, pad), run(1, pad), rtol=2e-4)

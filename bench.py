@@ -477,11 +477,13 @@ def bench_session_bucket_pipeline():
     B = 1024
     per_group = 16 * B  # 16 full batches per bucket group
     rng = np.random.default_rng(11)
+    # buckets 8/16/32: in-batch sampled softmax flattens B*L positions, and
+    # the 64-bucket's 65k-position batch exhausts HBM (the positive-pair
+    # machinery scales O((B*L)^2) through the streamed CE)
     lengths = np.concatenate([
         rng.integers(5, 9, per_group),      # bucket 8
         rng.integers(9, 17, per_group),     # bucket 16
         rng.integers(17, 33, per_group),    # bucket 32
-        rng.integers(33, 65, per_group),    # bucket 64
     ])
     rng.shuffle(lengths)
     n = len(lengths)
@@ -492,7 +494,7 @@ def bench_session_bucket_pipeline():
     schema = Schema([
         create_categorical_column(
             "item_id_seq", 10_000, tags=(Tags.ITEM, Tags.ITEM_ID, Tags.SEQUENCE),
-            is_list=True, max_seq_length=64,
+            is_list=True, max_seq_length=32,
         ),
     ])
     ds = Dataset(pa.table({"item_id_seq": sessions}), schema=schema)
@@ -919,6 +921,8 @@ def main():
          dict(fom=lambda r: r[1], clean_fom=2.4)),
         ("session", bench_session_transformer, None,
          dict(fom=lambda r: r[1], clean_fom=2.0, retries=2)),
+        ("session_bucket", bench_session_bucket_pipeline, None,
+         dict(fom=lambda r: r[1], clean_fom=4.0)),
         ("topk", bench_topk, None, dict(fom=lambda r: r[1], clean_fom=2.4)),
         ("sparse_opt", bench_sparse_optimizer, None,
          # r[0] (sparse 4M ms) anchors the window check; a failed sub-bench
@@ -932,6 +936,7 @@ def main():
     eps_bf16s, step_ms_bf16s, _ = results["two_tower_bf16_state"] or (None, None, None)
     dlrm_eps, dlrm_ms = results["dlrm"] or (None, None)
     sess_eps, sess_ms = results["session"] or (None, None)
+    sb_eps, sb_ms = results["session_bucket"] or (None, None)
     topk_qps, topk_ms, build_ms, topk_ms_bf16 = results["topk"] or (None,) * 4
     sparse_4m, dense_4m, sparse_8m, bf16_16m = results["sparse_opt"] or (None,) * 4
 
@@ -1006,6 +1011,10 @@ def main():
             "dlrm_criteo_step_ms": _r(dlrm_ms),
             "session_transformer_sessions_per_sec": _r(sess_eps, 1),
             "session_transformer_step_ms": _r(sess_ms),
+            # pad="bucket" end-to-end fit() through the per-group
+            # device-resident fused path (variable-length sessions)
+            "session_bucket_pipeline_sessions_per_sec": _r(sb_eps, 1),
+            "session_bucket_pipeline_step_ms": _r(sb_ms),
             "pipeline_examples_per_sec": _r(pipeline_eps, 1),
             "pipeline_vs_compute": _r((pipeline_eps or 0.0) / max(best_eps, 1e-9)),
             "pipeline_breakdown": pipe_breakdown,

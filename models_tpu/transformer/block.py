@@ -37,18 +37,36 @@ class TransformerLayer(Block):
     weights, LayerNorm, softmax and residuals stay float32.
     """
 
-    def __init__(self, d_model: int, n_heads: int, d_ff: int, dropout: float, seed: int):
+    def __init__(self, d_model: int, n_heads: int, d_ff: int, dropout: float, seed: int,
+                 relative_attention: bool = False):
         from ..blocks.mlp import Dropout
 
         super().__init__()
         if d_model % n_heads:
             raise ValueError(f"d_model={d_model} not divisible by n_heads={n_heads}")
+        if relative_attention and d_model % 2:
+            raise ValueError("relative attention needs an even d_model (sin/cos pairs)")
         rngs = nnx.Rngs(seed)
         self.n_heads = n_heads
         self.d_head = d_model // n_heads
+        self.relative = relative_attention
         init = nnx.initializers.glorot_uniform()
         key = jax.random.key(seed + 101)
         kq, kk, kv, ko, k1, k2 = jax.random.split(key, 6)
+        if relative_attention:
+            # Transformer-XL / XLNet relative attention (reference wraps HF
+            # XLNet, tf/transformers/block.py:449): scores decompose into a
+            # content term (q+u)·k and a position term (q+v)·r(j-i), with r =
+            # sinusoidal relative encodings through a learned projection and
+            # u/v global content/position biases
+            kr = jax.random.fold_in(key, 7)
+            self.wr = nnx.Param(init(kr, (d_model, d_model), jnp.float32))
+            self.u = nnx.Param(jnp.zeros((self.n_heads, self.d_head), jnp.float32))
+            self.v = nnx.Param(jnp.zeros((self.n_heads, self.d_head), jnp.float32))
+        else:
+            self.wr = nnx.data(None)
+            self.u = nnx.data(None)
+            self.v = nnx.data(None)
         self.wq = nnx.Param(init(kq, (d_model, d_model), jnp.float32))
         self.wk = nnx.Param(init(kk, (d_model, d_model), jnp.float32))
         self.wv = nnx.Param(init(kv, (d_model, d_model), jnp.float32))
@@ -78,21 +96,57 @@ class TransformerLayer(Block):
         ) + b.value
         return y.reshape(B, L, self.n_heads, self.d_head)
 
+    def _rel_encoding(self, L: int) -> jnp.ndarray:
+        """Sinusoidal encodings of relative offsets j-i in [-(L-1), L-1],
+        ascending — (2L-1, d_model)."""
+        d_model = self.wq.value.shape[0]
+        pos = jnp.arange(-(L - 1), L, dtype=jnp.float32)
+        inv = 1.0 / (10000.0 ** (jnp.arange(0, d_model, 2, dtype=jnp.float32) / d_model))
+        ang = pos[:, None] * inv[None, :]
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
     def _attn_logits(self, h, attn_mask):
         from ..core.policy import cast_compute
 
         q = self._proj(h, self.wq, self.bq)
         k = self._proj(h, self.wk, self.bk)
         scale = 1.0 / jnp.sqrt(jnp.float32(self.d_head))
-        logits = (
-            jnp.einsum(
+        if self.relative:
+            B, L = q.shape[0], q.shape[1]
+            r = jnp.matmul(
+                cast_compute(self._rel_encoding(L)), cast_compute(self.wr.value),
+                preferred_element_type=jnp.float32,
+            ).reshape(2 * L - 1, self.n_heads, self.d_head)
+            ac = jnp.einsum(
                 "blhd,bmhd->bhlm",
-                cast_compute(q),
+                cast_compute(q + self.u.value[None, None]),
                 cast_compute(k),
                 preferred_element_type=jnp.float32,
             )
-            * scale
-        )
+            bd_rel = jnp.einsum(
+                "blhd,rhd->bhlr",
+                cast_compute(q + self.v.value[None, None]),
+                cast_compute(r),
+                preferred_element_type=jnp.float32,
+            )  # (B, H, L, 2L-1) over relative offsets
+            # align offset axis: logits[..., i, j] reads offset (j - i) + L-1
+            idx = (jnp.arange(L)[None, :] - jnp.arange(L)[:, None]) + L - 1
+            bd = jnp.take_along_axis(
+                bd_rel,
+                jnp.broadcast_to(idx[None, None], (B, self.n_heads, L, L)),
+                axis=-1,
+            )
+            logits = (ac + bd) * scale
+        else:
+            logits = (
+                jnp.einsum(
+                    "blhd,bmhd->bhlm",
+                    cast_compute(q),
+                    cast_compute(k),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
         if attn_mask is not None:
             logits = jnp.where(attn_mask, logits, jnp.finfo(logits.dtype).min)
         return logits
@@ -156,6 +210,7 @@ class TransformerBlock(Block):
         dropout: float = 0.1,
         max_seq_len: int = 512,
         share_layers: bool = False,
+        relative_attention: bool = False,
         seed: int = 0,
         block_name: str = "transformer",
         output_hidden_states: bool = False,
@@ -170,18 +225,25 @@ class TransformerBlock(Block):
         self.d_model = d_model
         self.causal = causal
         self.share_layers = share_layers
+        self.relative_attention = relative_attention
         rngs = nnx.Rngs(seed + 7)
         self.in_proj = nnx.data(None)  # lazy: projects input dim -> d_model
-        self.pos_emb = nnx.Param(
-            jax.random.truncated_normal(jax.random.key(seed + 3), -2, 2, (max_seq_len, d_model))
-            * 0.02
-        )
+        if relative_attention:
+            # Transformer-XL style: position information enters ONLY through
+            # the per-layer relative encodings — no absolute position table
+            self.pos_emb = nnx.data(None)
+        else:
+            self.pos_emb = nnx.Param(
+                jax.random.truncated_normal(jax.random.key(seed + 3), -2, 2, (max_seq_len, d_model))
+                * 0.02
+            )
+        kw = dict(relative_attention=relative_attention)
         if share_layers:
-            self.layers = nnx.List([TransformerLayer(d_model, n_heads, d_ff, dropout, seed)])
+            self.layers = nnx.List([TransformerLayer(d_model, n_heads, d_ff, dropout, seed, **kw)])
             self.n_layers = n_layers
         else:
             self.layers = nnx.List(
-                [TransformerLayer(d_model, n_heads, d_ff, dropout, seed + i) for i in range(n_layers)]
+                [TransformerLayer(d_model, n_heads, d_ff, dropout, seed + i, **kw) for i in range(n_layers)]
             )
             self.n_layers = n_layers
         self.final_ln = nnx.LayerNorm(d_model, rngs=rngs)
@@ -206,7 +268,8 @@ class TransformerBlock(Block):
             raise ValueError(f"TransformerBlock expects (B, L, D) input, got {x.shape}")
         B, L, _ = x.shape
         x = self._project(x)
-        x = x + self.pos_emb.value[None, :L, :]
+        if self.pos_emb is not None:
+            x = x + self.pos_emb.value[None, :L, :]
 
         # attention mask (B, 1, L, L): padding ∧ (causal)
         if pad_mask is None:
@@ -254,10 +317,15 @@ def AlbertBlock(d_model=64, n_head=4, n_layer=2, **kwargs) -> TransformerBlock:
 
 
 def XLNetBlock(d_model=64, n_head=4, n_layer=2, **kwargs) -> TransformerBlock:
-    # two-stream attention approximated by a bidirectional encoder + masking
-    # transforms (the reference uses HF XLNet in exactly this MLM role)
+    """Transformer-XL relative positional attention (the architecture that
+    distinguishes XLNet from BERT): content/position score decomposition with
+    learned u/v biases and sinusoidal relative encodings (reference wraps HF
+    XLNet, tf/transformers/block.py:449-530). The permutation-LM two-stream
+    training objective is NOT used here — the reference's session role drives
+    XLNet with the same masking transforms as BERT (MLM), which needs only
+    the content stream."""
     return TransformerBlock(d_model, n_head, n_layer, causal=False,
-                            block_name="xlnet", **kwargs)
+                            relative_attention=True, block_name="xlnet", **kwargs)
 
 
 def GPT2Block(d_model=64, n_head=4, n_layer=2, **kwargs) -> TransformerBlock:

@@ -43,10 +43,19 @@ def __getattr__(name):
         "LogUniformSampler", "BruteForceIndex", "RetrievalModel",
         "TopKRecommender", "TwoTowerModel",
     }
+    sequence_names = {
+        "TabularSequenceTransform", "TabularPredictNext", "TabularPredictLast",
+        "TabularMaskRandom", "TabularMaskLast", "NextItemOutput",
+        "SessionTransformerModel",
+    }
     if name == "dsl":
         return importlib.import_module(".dsl", __name__)
     if name == "retrieval":
         return importlib.import_module(".retrieval", __name__)
+    if name == "sequences":
+        return importlib.import_module(".sequences", __name__)
+    if name in sequence_names:
+        return getattr(importlib.import_module(".sequences", __name__), name)
     if name == "compat" or name == "schema":
         mod = importlib.import_module(".compat", __name__)
         return mod if name == "compat" else mod

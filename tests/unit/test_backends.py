@@ -796,3 +796,108 @@ def test_torch_brute_force_index_rejects_duplicate_ids():
     idx = BruteForceIndex(k=2)
     with pytest.raises(ValueError, match="unique"):
         idx.index(np.asarray([1, 1, 2]), np.zeros((3, 4), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# torch sequence transforms + session model (VERDICT r3 #8; reference
+# merlin/models/torch/transforms/sequences.py, torch/predict.py)
+# ---------------------------------------------------------------------------
+
+def _session_data(C=30, n=256, L=8, seed=0):
+    import pyarrow as pa
+
+    from models_tpu.schema import Schema, create_categorical_column
+
+    rng = np.random.default_rng(seed)
+    starts = rng.integers(1, C, n)
+    seqs = [((s + np.arange(rng.integers(4, L + 1))) % (C - 1) + 1).astype(np.int32).tolist()
+            for s in starts]
+    schema = Schema([
+        create_categorical_column(
+            "item_id_seq", C, tags=(Tags.ITEM, Tags.ITEM_ID, Tags.SEQUENCE),
+            is_list=True, max_seq_length=L,
+        ),
+    ])
+    ds = Dataset(pa.table({"item_id_seq": pa.array(seqs, pa.list_(pa.int32()))}),
+                 schema=schema)
+    return ds, schema, seqs
+
+
+def test_torch_session_transformer_predict_next_learns_and_encodes():
+    pytest.importorskip("torch")
+    import torch
+
+    from models_tpu.torch_backend import SessionTransformerModel, TabularPredictNext
+
+    torch.manual_seed(0)
+    ds, schema, seqs = _session_data(n=512)
+    m = SessionTransformerModel(schema, d_model=32, n_head=2, n_layer=1)
+    pre = TabularPredictNext(schema, "item_id_seq")
+    h = m.fit(ds, epochs=6, batch_size=64, learning_rate=0.02, pre=pre)
+    assert h["loss"][-1] < h["loss"][0] * 0.5
+    emb = m.encode(ds)  # batch-predict: one embedding per session
+    assert emb.shape == (512, 32)
+    scores, ids = m.predict_next(ds, k=5)
+    # planted pattern: next item of x is (x % 29) + 1
+    correct = sum(int(ids[i, 0] == (s[-1] % 29) + 1) for i, s in enumerate(seqs))
+    assert correct / len(seqs) > 0.7
+
+
+def test_torch_mlm_mask_embedding_receives_gradient():
+    """Finite loss alone hides mask-threading bugs: without [MASK] input
+    replacement the model copies its input (loss 0, nothing learned)."""
+    pytest.importorskip("torch")
+    import torch
+
+    from models_tpu.data.loader import Loader
+    from models_tpu.torch_backend import SessionTransformerModel, TabularMaskRandom
+    from models_tpu.torch_backend.dsl import Batch
+
+    torch.manual_seed(0)
+    ds, schema, _ = _session_data()
+    m = SessionTransformerModel(schema, d_model=16, n_head=2, n_layer=1, causal=False)
+    pre = TabularMaskRandom(schema, "item_id_seq", 0.3)
+    x, y = Loader(ds, batch_size=64, drop_last=True).peek()
+    b = pre(Batch.from_loader_batch(x, y))
+    hidden = m.blocks[0](b.features, batch=b)
+    loss = m.blocks[1].compute_loss(m.blocks[1](hidden, batch=b), b)
+    assert float(loss) > 1.0  # not trivially zero
+    loss.backward()
+    g = m.blocks[0].mask_emb.grad
+    assert g is not None and float(g.abs().max()) > 0
+
+
+def test_torch_sequence_transform_shapes():
+    pytest.importorskip("torch")
+    import torch
+
+    from models_tpu.data.loader import Loader
+    from models_tpu.torch_backend import (
+        TabularMaskLast, TabularPredictLast, TabularPredictNext,
+    )
+    from models_tpu.torch_backend.dsl import Batch
+
+    ds, schema, seqs = _session_data(n=64)
+    x, _ = Loader(ds, batch_size=16).peek()
+    b = Batch.from_loader_batch(x)
+
+    pn = TabularPredictNext(schema, "item_id_seq")(b)
+    mask = pn.sequences.masks["item_id_seq"]
+    vals = pn.features["item_id_seq"]
+    tgt = pn.targets["item_id_seq"]
+    # at every prediction position, target == the next input item
+    idx = torch.nonzero(mask, as_tuple=False)
+    for r, c in idx[:20]:
+        assert tgt[r, c] == vals[r, c + 1]
+
+    pl = TabularPredictLast(schema, "item_id_seq")(b)
+    lens = b.sequences.masks["item_id_seq"].sum(-1).long()
+    for r in range(16):
+        assert pl.targets["item_id_seq"][r] == vals[r, lens[r] - 1]
+        assert pl.sequences.masks["item_id_seq"][r].sum() == lens[r] - 1
+
+    ml = TabularMaskLast(schema, "item_id_seq")(b)
+    mlm = ml.sequences.masks["__mlm__item_id_seq"]
+    assert int(mlm.sum()) == 16
+    for r in range(16):
+        assert mlm[r, lens[r] - 1]

@@ -162,13 +162,192 @@ def _load_movielens_100k_full(path: str):
     return retag(train), retag(valid)
 
 
+def movielens_1m_workflow() -> "object":
+    """The reference's ml-1m ETL re-stated over :mod:`models_tpu.data.workflow`
+    ops (reference ``entertainment/movielens/dataset.py:226-322``,
+    ``default_ml1m_transformation``): Categorify ids + demographics, target-
+    encode movieId/userId/age/gender/occupation/zipcode against rating
+    (kfold=5, p_smooth=20, normalized; user/item tagged as the reference
+    tags them), and emit ``rating``/``rating_binary`` targets. Genres are
+    encoded as a list feature OUTSIDE the workflow (see
+    :func:`_encode_genres_list`)."""
+    from .workflow import Categorify, LambdaOp, TargetEncoding, Workflow
+
+    te = dict(target="rating", kfold=5, p_smooth=20.0, normalize=True)
+    return Workflow(
+        [
+            Categorify(["movieId", "userId", "gender", "age", "occupation", "zipcode"]),
+            TargetEncoding("movieId", out="TE_movieId_rating", tags=Tags.ITEM, **te),
+            TargetEncoding("userId", out="TE_userId_rating", tags=Tags.USER, **te),
+            TargetEncoding("age", out="TE_age_rating", tags=Tags.USER, **te),
+            TargetEncoding("gender", out="TE_gender_rating", tags=Tags.USER, **te),
+            TargetEncoding("occupation", out="TE_occupation_rating", tags=Tags.USER, **te),
+            TargetEncoding("zipcode", out="TE_zipcode_rating", tags=Tags.USER, **te),
+            LambdaOp("rating", lambda v: (v > 3).astype("int32"), out="rating_binary",
+                     tags=("binary_classification", "target"), dtype="int32"),
+            LambdaOp("rating", lambda v: v.astype("float32"),
+                     tags=("regression", "target"), dtype="float32"),
+        ]
+    )
+
+
+def movielens_25m_workflow() -> "object":
+    """The reference's ml-25m ETL (reference ``dataset.py:159-222``,
+    ``default_ml25m_transformation``): Categorify ids, normalized
+    TE_movieId_rating (item), log count-encode userId (user),
+    ``rating``/``rating_binary`` targets; genres list handled outside."""
+    from .workflow import Categorify, GroupbyCount, LambdaOp, TargetEncoding, Workflow
+
+    return Workflow(
+        [
+            Categorify(["movieId", "userId"]),
+            TargetEncoding("movieId", target="rating", kfold=5, p_smooth=20.0,
+                           out="TE_movieId_rating", normalize=True, tags=Tags.ITEM),
+            GroupbyCount("userId", log=True, out="userId_count", tags=Tags.USER),
+            LambdaOp("rating", lambda v: (v > 3).astype("int32"), out="rating_binary",
+                     tags=("binary_classification", "target"), dtype="int32"),
+            LambdaOp("rating", lambda v: v.astype("float32"),
+                     tags=("regression", "target"), dtype="float32"),
+        ]
+    )
+
+
+def _encode_genres_list(genre_strs, vocab=None):
+    """``"A|B|C"`` strings → (list-of-int-ids, vocab). Id 0 is OOV/empty —
+    the NVTabular Categorify convention the rest of the stack assumes."""
+    lists = [s.split("|") if isinstance(s, str) and s else [] for s in genre_strs]
+    if vocab is None:
+        from collections import Counter
+
+        counts = Counter(g for row in lists for g in row)
+        vocab = {g: i + 1 for i, (g, _) in enumerate(counts.most_common())}
+    ids = [[vocab.get(g, 0) for g in row] for row in lists]
+    return ids, vocab
+
+
+def _movielens_join_and_transform(train_df, valid_df, workflow, genre_col=None,
+                                  genre_vocab_size=None, max_genres=8):
+    """Shared tail of the 1m/25m loaders: run the workflow on the joined
+    frames, re-tag id columns, and attach the genres list feature."""
+    import pyarrow as pa
+
+    from ..schema import ColumnSchema, create_categorical_column, create_continuous_column
+
+    def to_ds(df):
+        scalar_cols = [c for c in df.columns if c != "genres"]
+        data = {c: np.asarray(df[c]) for c in scalar_cols}
+        cols = []
+        for c in scalar_cols:
+            a = data[c]
+            if a.dtype.kind == "f":
+                cols.append(create_continuous_column(c))
+            elif a.dtype.kind in "iu":
+                cols.append(ColumnSchema(c, dtype="int64"))
+            else:
+                cols.append(ColumnSchema(c, dtype="bytes"))
+        return Dataset(data, schema=Schema(cols))
+
+    wf_train = workflow.fit_transform(to_ds(train_df))
+    wf_valid = workflow.transform(to_ds(valid_df))
+
+    genre_vocab = None
+
+    def finalize(ds, df):
+        nonlocal genre_vocab
+        tbl = ds.to_table()
+        data = {n: np.asarray(tbl[n]) for n in tbl.column_names}
+        cols = []
+        for c in ds.schema:
+            if c.name == "movieId":
+                cols.append(c.with_tags((Tags.ITEM, Tags.ITEM_ID)))
+            elif c.name == "userId":
+                cols.append(c.with_tags((Tags.USER, Tags.USER_ID)))
+            elif c.name in ("age", "gender", "occupation", "zipcode"):
+                cols.append(c.with_tags((Tags.USER,)))
+            else:
+                cols.append(c)
+        out = dict(data)
+        if genre_col is not None:
+            ids, genre_vocab = _encode_genres_list(df[genre_col].tolist(), genre_vocab)
+            ids = [row[:max_genres] for row in ids]
+            out["genres"] = pa.array(ids, pa.list_(pa.int32()))
+            cols.append(
+                create_categorical_column(
+                    "genres", genre_vocab_size or (max(genre_vocab.values()) if genre_vocab else 1),
+                    tags=(Tags.ITEM,), is_list=True, max_seq_length=max_genres,
+                )
+            )
+        table = pa.table({c.name: out[c.name] if c.name in out else data[c.name]
+                          for c in cols})
+        return Dataset(table, schema=Schema(cols))
+
+    return finalize(wf_train, train_df), finalize(wf_valid, valid_df)
+
+
+def _load_movielens_1m_full(path: str):
+    """Full raw ml-1m preparation (``users.dat``/``movies.dat``/``ratings.dat``,
+    ``::``-separated): joins demographics and genres, 80/20 shuffled split,
+    then the reference-equivalent workflow (reference
+    ``default_ml1m_transformation``, ``dataset.py:226-322``)."""
+    import pandas as pd
+
+    paths = {n: os.path.join(path, n) for n in ("users.dat", "movies.dat", "ratings.dat")}
+    if not all(os.path.exists(p) for p in paths.values()):
+        return None
+    kw = dict(sep="::", engine="python", encoding="latin1")
+    users = pd.read_csv(paths["users.dat"],
+                        names=["userId", "gender", "age", "occupation", "zipcode"], **kw)
+    movies = pd.read_csv(paths["movies.dat"], names=["movieId", "title", "genres"], **kw)
+    ratings = pd.read_csv(paths["ratings.dat"],
+                          names=["userId", "movieId", "rating", "timestamp"], **kw)
+    joined = ratings.merge(users, on="userId", how="left").merge(
+        movies[["movieId", "genres"]], on="movieId", how="left"
+    )
+    joined = joined.sample(frac=1.0, random_state=42).reset_index(drop=True)
+    n_valid = int(len(joined) * 0.2)
+    train_df, valid_df = joined[:-n_valid], joined[-n_valid:]
+    return _movielens_join_and_transform(
+        train_df, valid_df, movielens_1m_workflow(), genre_col="genres"
+    )
+
+
+def _load_movielens_25m_full(path: str):
+    """Full raw ml-25m preparation (``movies.csv`` + ``ratings.csv``): genre
+    join, 80/20 shuffled split, reference-equivalent workflow (reference
+    ``default_ml25m_transformation``, ``dataset.py:159-222``)."""
+    import pandas as pd
+
+    movies_csv = os.path.join(path, "movies.csv")
+    ratings_csv = os.path.join(path, "ratings.csv")
+    if not (os.path.exists(movies_csv) and os.path.exists(ratings_csv)):
+        return None
+    movies = pd.read_csv(movies_csv)
+    ratings = pd.read_csv(ratings_csv)
+    joined = ratings.merge(movies[["movieId", "genres"]], on="movieId", how="left")
+    joined = joined.sample(frac=1.0, random_state=42).reset_index(drop=True)
+    n_valid = int(len(joined) * 0.2)
+    train_df, valid_df = joined[:-n_valid], joined[-n_valid:]
+    return _movielens_join_and_transform(
+        train_df, valid_df, movielens_25m_workflow(), genre_col="genres"
+    )
+
+
 def _load_movielens_raw(path: str, variant: str):
     """Parse classic raw MovieLens files when present: 100k full layout
     (``u.*``/``ua.*`` — runs the reference-equivalent preprocessing workflow,
-    :func:`movielens_100k_workflow`) or ``u.data`` alone (ratings-only), 1M
-    ``ratings.dat`` (``::``-separated), 25M ``ratings.csv``."""
+    :func:`movielens_100k_workflow`), ml-1m full layout
+    (``users.dat``/``movies.dat``/``ratings.dat``), ml-25m full layout
+    (``movies.csv`` + ``ratings.csv``); ratings-only fallbacks otherwise."""
     if variant in ("ml-100k", "movielens-100k"):
         full = _load_movielens_100k_full(path)
+        if full is not None:
+            return full
+    if variant in ("ml-1m", "movielens-1m"):
+        full = _load_movielens_1m_full(path)
+        if full is not None:
+            return full
+    if variant in ("ml-25m", "movielens-25m"):
+        full = _load_movielens_25m_full(path)
         if full is not None:
             return full
     udata = os.path.join(path, "u.data")

@@ -901,3 +901,75 @@ def test_torch_sequence_transform_shapes():
     assert int(mlm.sum()) == 16
     for r in range(16):
         assert mlm[r, lens[r] - 1]
+
+
+def _write_ml1m_layout(td, n_users=60, n_movies=40, n=800, seed=0):
+    rng = np.random.default_rng(seed)
+    with open(td + "/users.dat", "w") as f:
+        for u in range(1, n_users + 1):
+            f.write(f"{u}::{'FM'[u % 2]}::{[1, 18, 25, 35, 45, 50, 56][u % 7]}"
+                    f"::{u % 20}::{u % 99:05d}\n")
+    genres = ["Action", "Comedy", "Drama", "Thriller"]
+    with open(td + "/movies.dat", "w", encoding="latin1") as f:
+        for m in range(1, n_movies + 1):
+            gs = "|".join(rng.choice(genres, size=rng.integers(1, 4), replace=False))
+            f.write(f"{m}::Movie {m} (1999)::{gs}\n")
+    with open(td + "/ratings.dat", "w") as f:
+        for _ in range(n):
+            u, m = rng.integers(1, n_users + 1), rng.integers(1, n_movies + 1)
+            f.write(f"{u}::{m}::{rng.integers(1, 6)}::978300{rng.integers(0, 9)}\n")
+    return n
+
+
+def test_movielens_1m_raw_workflow(tmp_path):
+    """VERDICT r3 #9: ml-1m local-file ETL reproduces the reference's output
+    schema (reference default_ml1m_transformation, dataset.py:226-322):
+    categorified ids + demographics, six normalized target encodings, genres
+    list feature, rating + rating_binary targets."""
+    from models_tpu.data.datasets import get_movielens
+
+    n = _write_ml1m_layout(str(tmp_path))
+    train, valid = get_movielens(str(tmp_path), variant="ml-1m")
+    sch = train.schema
+    for want in ["movieId", "userId", "TE_movieId_rating", "TE_userId_rating",
+                 "TE_age_rating", "TE_gender_rating", "TE_occupation_rating",
+                 "TE_zipcode_rating", "rating", "rating_binary", "genres"]:
+        assert want in sch.column_names, want
+    assert "item_id" in [str(t) for t in sch["movieId"].tags]
+    assert "user_id" in [str(t) for t in sch["userId"].tags]
+    assert sch["genres"].is_list
+    assert len(train.to_table()) + len(valid.to_table()) == n
+    # TE columns are normalized floats
+    te = np.asarray(train.to_table()["TE_movieId_rating"])
+    assert te.dtype.kind == "f" and abs(float(te.mean())) < 0.5
+    # validation transformed with TRAIN statistics: vocab ids within domain
+    mv = np.asarray(valid.to_table()["movieId"])
+    assert mv.min() >= 0 and mv.max() <= sch["movieId"].cardinality
+
+
+def test_movielens_25m_raw_workflow(tmp_path):
+    import pandas as pd
+
+    from models_tpu.data.datasets import get_movielens
+
+    rng = np.random.default_rng(1)
+    n_movies, n = 30, 500
+    pd.DataFrame({
+        "movieId": np.arange(1, n_movies + 1),
+        "title": [f"M{i}" for i in range(1, n_movies + 1)],
+        "genres": ["|".join(rng.choice(["A", "B", "C"], size=rng.integers(1, 3),
+                                       replace=False)) for _ in range(n_movies)],
+    }).to_csv(str(tmp_path / "movies.csv"), index=False)
+    pd.DataFrame({
+        "userId": rng.integers(1, 50, n),
+        "movieId": rng.integers(1, n_movies + 1, n),
+        "rating": rng.integers(1, 6, n).astype(float),
+        "timestamp": rng.integers(1e9, 2e9, n),
+    }).to_csv(str(tmp_path / "ratings.csv"), index=False)
+    train, valid = get_movielens(str(tmp_path), variant="ml-25m")
+    sch = train.schema
+    for want in ["movieId", "userId", "TE_movieId_rating", "userId_count",
+                 "rating", "rating_binary", "genres"]:
+        assert want in sch.column_names, want
+    assert sch["genres"].is_list
+    assert len(train.to_table()) + len(valid.to_table()) == n

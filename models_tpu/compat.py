@@ -54,7 +54,8 @@ from .models.retrieval import (  # noqa: F401,E402
 )
 from .blocks.retrieval import QueryItemIdsEmbeddingsBlock  # noqa: F401,E402
 
-ParallelPredictionBlock = ParallelBlock
+from .outputs.tasks import ParallelPredictionBlock  # noqa: F401,E402
+
 TabularBlock = ParallelBlock  # dict-in/dict-out block with pre/post/aggregation
 
 

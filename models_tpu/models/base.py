@@ -376,6 +376,26 @@ class BaseModel(Block):
                 total = total + fn()
         return total
 
+    def _loss_weight_for(self, name: str) -> float:
+        """Loss weight for a task: compile(loss_weights=...) first (exact head
+        name, then bare target name), falling back to weights declared on a
+        ``ParallelPredictionBlock`` (V1 ``task_weight_dict``, reference
+        ``tf/prediction_tasks/base.py:314``)."""
+        lw = self._loss_weights
+        if name in lw:
+            return lw[name]
+        base = name.split("/")[0]
+        if base in lw:
+            return lw[base]
+        for b in iter_blocks(self):
+            d = getattr(b, "task_weight_dict", None)
+            if isinstance(d, dict) and d:
+                if name in d:
+                    return d[name]
+                if base in d:
+                    return d[base]
+        return 1.0
+
     def _compute_losses(self, pred_dict, x, loss_fns):
         row_valid = x.get(ROW_VALID_KEY)
         logs: Dict[str, jnp.ndarray] = {}
@@ -383,7 +403,7 @@ class BaseModel(Block):
         for name, pred in pred_dict.items():
             if pred.precomputed_loss is not None:
                 # fused-loss head: weights/row-validity already folded in
-                weight = self._loss_weights.get(name, 1.0)
+                weight = self._loss_weight_for(name)
                 logs[f"loss/{name}"] = pred.precomputed_loss
                 total = total + weight * pred.precomputed_loss
                 continue
@@ -399,7 +419,7 @@ class BaseModel(Block):
                     csw = csw[:, 0]
                 sw = csw if sw is None else sw * csw.reshape(sw.shape)
             value = _auto_loss(loss_fns[name], t, pred.outputs, sw)
-            weight = self._loss_weights.get(name, 1.0)
+            weight = self._loss_weight_for(name)
             logs[f"loss/{name}"] = value
             total = total + weight * value
         reg = self._collect_reg_loss()

@@ -19,7 +19,6 @@ from .queue import CachedCrossBatchSampler, FIFOQueue
 # familiar names for users migrating from the reference's V1 API
 from .base import BinaryOutput as BinaryClassificationTask
 from .base import CategoricalOutput as MultiClassClassificationTask
-from .base import OutputBlock as PredictionTasks
 from .base import RegressionOutput as RegressionTask
 from .contrastive import ContrastiveOutput as ItemRetrievalTask
-from .tasks import NextItemPredictionTask
+from .tasks import NextItemPredictionTask, ParallelPredictionBlock, PredictionTasks

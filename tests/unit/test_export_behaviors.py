@@ -31,9 +31,7 @@ ALIASES = [
     ("ItemSampler", "CandidateSampler"),
     ("IndexBlock", "BruteForce"),
     ("TopKIndexBlock", "BruteForce"),
-    ("ParallelPredictionBlock", "ParallelBlock"),
     ("TabularBlock", "ParallelBlock"),
-    ("PredictionTasks", "OutputBlock"),
     ("TwoTowerModelV2", "TwoTowerModel"),
     ("MatrixFactorizationModelV2", "MatrixFactorizationModel"),
     ("YoutubeDNNRetrievalModelV2", "YoutubeDNNRetrievalModel"),

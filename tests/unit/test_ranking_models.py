@@ -503,3 +503,106 @@ def test_ncf_has_gmf_and_mlp_paths(music):
     m = NCFModel(schema, embedding_dim=8, mlp_block=(16,))
     tables = [b for b in iter_blocks(m) if isinstance(b, EmbeddingTable)]
     assert len(tables) >= 4  # user/item x GMF/MLP
+
+
+# ---------------------------------------------------------------------------
+# V1 PredictionTasks / ParallelPredictionBlock (reference
+# tf/prediction_tasks/multi.py:25 + base.py:238)
+# ---------------------------------------------------------------------------
+
+def _v1_multitask_model(ecommerce, **kwargs):
+    import models_tpu as mm
+
+    body = mm.InputBlockV2(ecommerce.schema) >> MLPBlock([16])
+    out = mm.PredictionTasks(ecommerce.schema, **kwargs)
+    return mm.Model(body, out, schema=ecommerce.schema), out
+
+
+def test_prediction_tasks_builds_heads_and_trains(ecommerce):
+    import models_tpu as mm
+
+    model, out = _v1_multitask_model(ecommerce)
+    assert isinstance(out, mm.ParallelPredictionBlock)
+    assert sorted(out.heads) == ["click/BinaryOutput", "conversion/BinaryOutput"]
+    model.compile(optimizer="adam", learning_rate=0.01)
+    hist = model.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    assert np.isfinite(hist.history["loss"][0])
+    assert "loss/click/BinaryOutput" in hist.history
+
+
+def test_prediction_tasks_single_tower_cloned_per_task(ecommerce):
+    """A single task_blocks layer is CLONED per task: fresh, independent params
+    (reference clones via from_config(get_config()), base.py:436)."""
+    from flax import nnx
+    import jax
+
+    model, out = _v1_multitask_model(ecommerce, task_blocks=MLPBlock([8]))
+    model.compile()
+    model.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    heads = [out.heads[k] for k in sorted(out.heads)]
+    leaves = [
+        [np.asarray(l.astype(jnp.float32)) for l in
+         jax.tree_util.tree_leaves(nnx.state(h.pre, nnx.Param))]
+        for h in heads
+    ]
+    assert len(leaves[0]) > 0
+    assert not all(np.array_equal(a, b) for a, b in zip(leaves[0], leaves[1]))
+
+
+def test_prediction_tasks_weight_zero_removes_task_from_total(ecommerce):
+    """task_weight_dict keys are bare target names; weight 0 drops that task's
+    loss from the total while its per-task log still reports."""
+    model, _ = _v1_multitask_model(
+        ecommerce, task_weight_dict={"click": 0.0, "conversion": 1.0}
+    )
+    model.compile()
+    hist = model.fit(ecommerce, epochs=1, batch_size=128, verbose=0).history
+    assert hist["loss"][0] == pytest.approx(
+        hist["loss/conversion/BinaryOutput"][0] + hist["regularization_loss"][0],
+        rel=1e-5,
+    )
+    # the zero-weighted task still logs its own (unweighted) loss
+    assert hist["loss/click/BinaryOutput"][0] > 0.0
+    # compile(loss_weights=...) overrides the block-declared weights
+    model.compile(loss_weights={"click": 1.0, "conversion": 1.0})
+    hist2 = model.fit(ecommerce, epochs=1, batch_size=128, verbose=0).history
+    assert hist2["loss"][0] == pytest.approx(
+        hist2["loss/click/BinaryOutput"][0] + hist2["loss/conversion/BinaryOutput"][0]
+        + hist2["regularization_loss"][0], rel=1e-5,
+    )
+
+
+def test_prediction_tasks_bias_block_shifts_every_task(ecommerce):
+    """bias_block output (through the Dense(1) bias_logit) is added to every
+    task's logits: zeroing the bias projection changes predictions."""
+    from flax import nnx
+
+    model, out = _v1_multitask_model(ecommerce, bias_block=MLPBlock([4]))
+    model.compile()
+    model.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    preds = model.predict(ecommerce, batch_size=64)
+    # force a large constant bias; all task outputs must shift
+    bias_dense = out.bias_logit
+    bias_dense.bias.value = bias_dense.bias.value + 5.0
+    preds2 = model.predict(ecommerce, batch_size=64)
+    for k in preds:
+        assert not np.allclose(np.asarray(preds[k]), np.asarray(preds2[k]))
+
+
+def test_prediction_tasks_task_pre_runs_after_tower(ecommerce):
+    """task_pre_dict blocks compose after the tower (reference pre_call order:
+    task_block -> pre -> task layer)."""
+    model, out = _v1_multitask_model(
+        ecommerce,
+        task_blocks={"click": MLPBlock([8])},
+        task_pre_dict={"click": MLPBlock([4])},
+    )
+    model.compile()
+    hist = model.fit(ecommerce, epochs=1, batch_size=32, verbose=0)
+    assert np.isfinite(hist.history["loss"][0])
+    from models_tpu.blocks.mlp import Dense
+    from models_tpu.core.block import iter_blocks
+
+    click_head = out.heads["click/BinaryOutput"]
+    widths = [b.units for b in iter_blocks(click_head.pre) if isinstance(b, Dense)]
+    assert widths == [8, 4]  # tower first, then pre

@@ -12,7 +12,7 @@ formats (MovieLens ``ratings.dat``/``u.data``) when present locally.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -586,10 +586,140 @@ def _load_aliccp_raw(path: str, max_rows: Optional[int]):
 
 def get_booking(path: Optional[str] = None, num_rows: int = 50_000) -> Tuple[Dataset, Dataset]:
     """Booking.com next-destination dataset (reference
-    ``merlin/datasets/ecommerce/booking``): per-trip city sequences. With no
-    ``path`` (no egress in this environment) a synthetic dataset with the real
-    schema layout is generated."""
+    ``merlin/datasets/ecommerce/booking``): per-trip city sequences. With
+    ``path`` pointing at the raw challenge layout (``train_set.csv``) the
+    reference-equivalent ETL runs locally (see :func:`_load_booking_raw`);
+    with no ``path`` (no egress in this environment) a synthetic dataset with
+    the real schema layout is generated."""
+    if path is not None:
+        raw = _load_booking_raw(path)
+        if raw is not None:
+            return raw
     return _from_path_or_synthetic(path, "booking", num_rows)
+
+
+def _categorify_freq(values: "np.ndarray") -> Tuple["np.ndarray", int]:
+    """Frequency-ordered integer encoding, id 0 reserved for OOV/NA — the
+    NVTabular ``Categorify`` convention the rest of the stack assumes.
+    Returns (codes, vocab_size_including_oov)."""
+    import pandas as pd
+
+    s = pd.Series(values)
+    order = s.value_counts(dropna=True).index
+    mapping = {v: i + 1 for i, v in enumerate(order)}
+    codes = s.map(mapping).fillna(0).astype("int64").to_numpy()
+    return codes, len(mapping) + 1
+
+
+def _load_booking_raw(path: str, max_trip_len: int = 20):
+    """Reference-equivalent local ETL for the raw Booking.com challenge file
+    (``train_set.csv``: user_id, checkin, checkout, city_id, device_class,
+    affiliate_id, booker_country, hotel_country, utrip_id). Mirrors
+    ``ecommerce/booking/dataset.py:114-296`` (``preprocess_booking`` +
+    ``default_booking_transformation``) without NVTabular:
+
+    - derived per-booking features: month/weekday of checkin, weekday of
+      checkout, is_weekend, season (month//3), stay length in days, cyclic
+      dayofweek sin/cos;
+    - frequency-ordered Categorify (0 = OOV) of every id/categorical column;
+    - trips grouped by ``utrip_id`` sorted by checkout timestamp: list
+      features for the sequence columns, ``first`` for trip-level ones;
+    - 80/20 split BY TRIP (seed 42) — the challenge's test set has no
+      held-out targets, so validation comes from train trips.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..schema import ColumnSchema, create_categorical_column, create_continuous_column
+
+    train_csv = os.path.join(path, "train_set.csv")
+    if not os.path.exists(train_csv):
+        return None
+    df = pd.read_csv(train_csv, parse_dates=["checkin", "checkout"])
+    df = df.dropna(subset=["utrip_id", "city_id", "checkin", "checkout"])
+
+    # --- derived features (reference default_booking_transformation) -------
+    df["timestamp"] = df["checkout"].astype("int64")
+    df["month"] = df["checkin"].dt.month.astype("int64")
+    df["weekday_checkin"] = df["checkin"].dt.weekday.astype("int64")
+    df["weekday_checkout"] = df["checkout"].dt.weekday.astype("int64")
+    df["is_weekend"] = df["weekday_checkin"].isin([5, 6]).astype("int64")
+    df["length"] = (df["checkout"] - df["checkin"]).dt.days.astype("float32")
+    df["season"] = ((df["month"] - 1) // 3).astype("int64")
+    scaled = (df["weekday_checkout"] + 1 + 1e-6) / 7.0
+    df["dayofweek_sin"] = np.sin(2 * np.pi * scaled).astype("float32")
+    df["dayofweek_cos"] = np.cos(2 * np.pi * scaled).astype("float32")
+
+    # --- Categorify -------------------------------------------------------
+    vocab: Dict[str, int] = {}
+    for c in ("city_id", "booker_country", "hotel_country", "device_class",
+              "affiliate_id", "user_id", "utrip_id"):
+        df[c], vocab[c] = _categorify_freq(df[c].to_numpy())
+    # small derived categoricals keep their natural ranges (+1 headroom)
+    vocab.update(month=13, weekday_checkin=7, weekday_checkout=7,
+                 is_weekend=2, season=4)
+
+    # --- group into trips ---------------------------------------------------
+    df = df.sort_values(["utrip_id", "timestamp"], kind="stable")
+    g = df.groupby("utrip_id", sort=False)
+    seq_cols = ["city_id", "booker_country", "hotel_country", "month",
+                "weekday_checkin", "weekday_checkout", "is_weekend",
+                "dayofweek_sin", "dayofweek_cos"]
+    first_cols = ["user_id", "device_class", "affiliate_id", "length"]
+    lists = {c: g[c].apply(lambda s: list(s)[:max_trip_len]) for c in seq_cols}
+    firsts = {c: g[c].first() for c in first_cols}
+    trips = pd.DataFrame({"utrip_id": lists["city_id"].index})
+    n = len(trips)
+
+    # --- 80/20 split by trip -------------------------------------------------
+    rng = np.random.RandomState(42)
+    perm = rng.permutation(n)
+    n_valid = max(int(n * 0.2), 1)
+    splits = {"train": perm[:-n_valid], "valid": perm[-n_valid:]}
+
+    max_len = min(int(lists["city_id"].str.len().max()), max_trip_len)
+    cols = [
+        create_categorical_column("utrip_id", vocab["utrip_id"],
+                                  tags=(Tags.SESSION_ID,)),
+        create_categorical_column("user_id", vocab["user_id"],
+                                  tags=(Tags.USER, Tags.USER_ID)),
+        create_categorical_column("device_class", vocab["device_class"], tags=(Tags.USER,)),
+        create_categorical_column("affiliate_id", vocab["affiliate_id"], tags=("context",)),
+        create_continuous_column("length"),
+        create_categorical_column("city_id", vocab["city_id"],
+                                  tags=(Tags.ITEM, Tags.ITEM_ID, Tags.SEQUENCE),
+                                  is_list=True, max_seq_length=max_len),
+    ]
+    for c in ("booker_country", "hotel_country", "month", "weekday_checkin",
+              "weekday_checkout", "is_weekend"):
+        cols.append(create_categorical_column(
+            c, vocab[c], tags=(Tags.SEQUENCE,), is_list=True, max_seq_length=max_len
+        ))
+    for c in ("dayofweek_sin", "dayofweek_cos"):
+        cols.append(create_continuous_column(
+            c, tags=(Tags.SEQUENCE,), is_list=True, max_seq_length=max_len
+        ))
+
+    def build(idx):
+        data = {
+            "utrip_id": pa.array(np.asarray(trips["utrip_id"])[idx].astype("int32")),
+            "user_id": pa.array(firsts["user_id"].to_numpy()[idx].astype("int32")),
+            "device_class": pa.array(firsts["device_class"].to_numpy()[idx].astype("int32")),
+            "affiliate_id": pa.array(firsts["affiliate_id"].to_numpy()[idx].astype("int32")),
+            "length": pa.array(firsts["length"].to_numpy()[idx].astype("float32")),
+        }
+        for c in seq_cols:
+            rows = lists[c].to_numpy()[idx]
+            if c in ("dayofweek_sin", "dayofweek_cos"):
+                data[c] = pa.array([list(map(float, r)) for r in rows],
+                                   pa.list_(pa.float32()))
+            else:
+                data[c] = pa.array([list(map(int, r)) for r in rows],
+                                   pa.list_(pa.int32()))
+        table = pa.table({c.name: data[c.name] for c in cols})
+        return Dataset(table, schema=Schema(cols))
+
+    return build(splits["train"]), build(splits["valid"])
 
 
 def get_dressipi2022(

@@ -640,3 +640,58 @@ def test_bucketed_dense_columns_requires_lists():
     ds = Dataset({"a": np.arange(8, dtype=np.int32) % 5}, schema=schema)
     with pytest.raises(ValueError, match="list features"):
         Loader(ds, batch_size=4, pad="max").bucketed_dense_columns()
+
+
+def test_booking_raw_etl(tmp_path):
+    """Raw Booking.com train_set.csv -> reference-equivalent trip ETL
+    (reference ecommerce/booking/dataset.py:114-296): derived calendar
+    features, frequency Categorify, trips grouped into list features sorted
+    by checkout, split by trip."""
+    import pandas as pd
+
+    from models_tpu.data.datasets import get_booking
+    from models_tpu.schema import Tags
+
+    rng = np.random.default_rng(0)
+    rows = []
+    base = pd.Timestamp("2016-01-01")
+    for t in range(40):
+        L = int(rng.integers(2, 7))
+        user = int(rng.integers(1, 12))
+        start = base + pd.Timedelta(days=int(rng.integers(0, 200)))
+        for i in range(L):
+            ci = start + pd.Timedelta(days=3 * i)
+            co = ci + pd.Timedelta(days=int(rng.integers(1, 4)))
+            rows.append(dict(
+                user_id=user, checkin=ci.date(), checkout=co.date(),
+                city_id=int(rng.integers(1, 50)),
+                device_class=["desktop", "mobile"][int(rng.integers(2))],
+                affiliate_id=int(rng.integers(0, 9)),
+                booker_country=["A", "B", "C"][int(rng.integers(3))],
+                hotel_country=["X", "Y"][int(rng.integers(2))],
+                utrip_id=f"{user}_{t}",
+            ))
+    pd.DataFrame(rows).to_csv(tmp_path / "train_set.csv", index=False)
+
+    train, valid = get_booking(path=str(tmp_path))
+    assert train.num_rows + valid.num_rows == 40  # one row per trip
+    sch = train.schema
+    item = sch.select_by_tag(Tags.ITEM_ID).first
+    assert item.name == "city_id" and item.is_list
+    assert sch["utrip_id"].has_tag(Tags.SESSION_ID)
+    assert sch["user_id"].has_tag(Tags.USER_ID)
+    for c in ("booker_country", "hotel_country", "month", "is_weekend",
+              "weekday_checkin", "weekday_checkout"):
+        assert sch[c].is_list and sch[c].has_tag(Tags.SEQUENCE), c
+    # cyclic features are float lists
+    assert sch["dayofweek_sin"].is_list and sch["dayofweek_sin"].dtype == "float32"
+    cols = train.to_numpy_dict()
+    # Categorify convention: 0 reserved for OOV, codes within declared domain
+    cities = cols["city_id__values"]
+    assert cities.min() >= 1
+    assert cities.max() <= item.cardinality
+    # every sequence feature rides the same per-trip offsets as city_id
+    np.testing.assert_array_equal(cols["city_id__offsets"], cols["month__offsets"])
+    np.testing.assert_array_equal(
+        cols["city_id__offsets"], cols["dayofweek_sin__offsets"]
+    )

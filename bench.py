@@ -872,8 +872,17 @@ V5E_MXU_BF16_FLOPS = 197e12
 def _train_flops_per_step(train_step, params, opt_state, n: int = None):
     """XLA-reported FLOPs for ONE training step, from ``cost_analysis()`` of
     the same scan executable the section timed (the axon remote compiler
-    serves cost analysis; 'flops' is reliable — 'bytes accessed' is pre-fusion
-    HLO accounting and must NOT be used as an HBM-traffic estimate).
+    serves cost analysis; 'bytes accessed' is pre-fusion HLO accounting and
+    must NOT be used as an HBM-traffic estimate).
+
+    Two measured semantics to respect (probed on this backend):
+    - the reported 'flops' counts the while-loop BODY ONCE regardless of trip
+      count (verified: identical for length=8 and length=32 scans of a known
+      matmul) — so the raw number already IS per-step; do not divide by n.
+    - custom calls are opaque: Pallas kernels contribute ZERO flops, so
+      sections whose math lives in Pallas (two-tower flash-CE) undercount and
+      must anchor their roofline on the HBM traffic model instead (the max()
+      in _roofline does this automatically).
 
     The jitted fn below is structurally identical to each section's ``run``
     closure, so lowering it is a persistent-compile-cache hit, not a fresh
@@ -890,7 +899,7 @@ def _train_flops_per_step(train_step, params, opt_state, n: int = None):
         if isinstance(d, (list, tuple)):
             d = d[0]
         f = float(d.get("flops", 0.0))
-        return f / n if f > 0 else None
+        return f if f > 0 else None
     except Exception:
         return None
 

@@ -33,22 +33,22 @@ class DotProductInteraction(Block):
         gram = jnp.einsum("bfd,bgd->bfg", inputs, inputs)  # batched MXU matmul
         f = inputs.shape[1]
         k = 0 if self.self_interaction else 1
-        iu = jnp.triu_indices(f, k=k)
         # Extract the upper triangle with a 0/1 one-hot selection MATMUL, not
         # fancy indexing: `gram[:, iu0, iu1]` lowers to an XLA gather whose VJP
         # is a scatter-add over the full (B, F, F) gram — a serialized extra
         # pass that showed up as one of the costliest kernels in the DLRM
-        # train step (24MB f32 scatter per step at F=27, B=8192). The one-hot
-        # is generated in-trace (never a baked constant) and fuses into the
-        # MXU matmul; selection by exact 1.0 weights is bit-exact in any
-        # dtype, and the backward is just the transposed matmul.
-        flat_idx = (iu[0] * f + iu[1]).astype(jnp.int32)  # (T,)
+        # train step (24MB f32 scatter per step at F=27, B=8192). F is static
+        # at trace time, so the index vector comes from numpy (a tiny (T,)
+        # constant — jnp.triu_indices would lower to an in-loop scatter); the
+        # one-hot itself is generated in-trace and fuses into the MXU matmul.
+        # Selection by exact 1.0 weights is bit-exact in any dtype, and the
+        # backward is just the transposed matmul.
+        iu = np.triu_indices(f, k=k)
+        flat_idx = jnp.asarray((iu[0] * f + iu[1]).astype(np.int32))  # (T,)
         onehot = (
             flat_idx[:, None] == jnp.arange(f * f, dtype=jnp.int32)[None, :]
         ).astype(gram.dtype)  # (T, F*F)
-        return jnp.einsum(
-            "bq,tq->bt", gram.reshape(gram.shape[0], f * f), onehot
-        )
+        return jnp.einsum("bq,tq->bt", gram.reshape(gram.shape[0], f * f), onehot)
 
 
 class FMPairwiseInteraction(Block):

@@ -291,8 +291,9 @@ def Embeddings(
 
     tables: Dict[str, EmbeddingTable] = {}
     if fused and isinstance(dim, int):
-        # fuse single-column scalar domains with default options into ONE table
-        # (TT-eligible domains are excluded — compression takes precedence)
+        # fuse single-column scalar domains with default options into shared
+        # uniform-stride tables (TT-eligible domains are excluded —
+        # compression takes precedence)
         fusable = [
             (domain, cols[0])
             for domain, cols in by_domain.items()
@@ -302,11 +303,19 @@ def Embeddings(
             and (trainable is True or (isinstance(trainable, dict) and trainable.get(domain, True)))
             and domain not in (table_kwargs or {})
         ]
-        if len(fusable) > 1:
-            tables["fused"] = FusedEmbeddingTables(
-                [c for _, c in fusable], dim, l2_reg=l2_reg, seed=seed
+        groups = (
+            _fused_groups([c for _, c in fusable], dim) if len(fusable) > 1 else []
+        )
+        domain_of = {c.name: d for d, c in fusable}
+        consumed = set()
+        for gi, chunk in enumerate(groups):
+            name = "fused" if len(groups) == 1 else f"fused_{gi}"
+            tables[name] = FusedEmbeddingTables(
+                chunk, dim, l2_reg=l2_reg, seed=seed + 101 * gi
             )
-            by_domain = {d: cs for d, cs in by_domain.items() if d not in {f[0] for f in fusable}}
+            consumed.update(domain_of[c.name] for c in chunk)
+        if consumed:
+            by_domain = {d: cs for d, cs in by_domain.items() if d not in consumed}
     for i, (domain, cols) in enumerate(by_domain.items()):
         combiners = {_combiner_for(c) for c in cols}
         combiner = next(iter(combiners)) if len(combiners) == 1 else None
@@ -456,6 +465,53 @@ _onehot_grad_lookup.defvjp(_ogl_fwd, _ogl_bwd)
 # uniform-stride fused tables are only worth the padding waste up to a point
 _FUSED_STRIDE_MAX = 8192
 _FUSED_BYTES_MAX = 256 << 20
+# measured on v5e (B=8192, D=64): an extra gather + one-hot-backward kernel
+# pair costs ~0.05 ms of fixed overhead; each (feature x stride-row) of
+# one-hot backward costs ~1.05e-5 ms of MXU time. A stride tier merges into
+# the next larger tier only when the extra MXU work is cheaper than the
+# kernel pair it saves.
+_FUSED_KERNEL_MS = 0.05
+_FUSED_ROW_MS = 1.05e-5
+
+
+def _fused_groups(cols, dim: int):
+    """Partition fusable columns into uniform-stride groups: pow2 stride tiers
+    with cost-based upward merging, each group capped at ``_FUSED_STRIDE_MAX``
+    stride and ``_FUSED_BYTES_MAX`` total size.
+
+    Never emits a group :class:`FusedEmbeddingTables` would tight-pack: the
+    tight-pack layout takes the standard gather backward, and XLA's
+    duplicate-id scatter-add over one big packed table is catastrophically
+    slow on TPU (measured 207 ms/step for 26x8192 ids into a 523k x 64 table
+    vs 3.6 ms for 26 separate tables). Columns whose padded cardinality
+    exceeds the stride cap are left out and get their own tables.
+    """
+    tiers: Dict[int, list] = {}
+    for c in cols:
+        p = -(-int(c.cardinality) // 8) * 8
+        if p > _FUSED_STRIDE_MAX:
+            continue
+        tiers.setdefault(1 << (p - 1).bit_length(), []).append(c)
+    strides = sorted(tiers)
+    groups = []
+    for i, s in enumerate(strides):
+        group = tiers[s]
+        if i + 1 < len(strides):
+            # a lone feature that stays behind costs a whole separate table
+            # (gather + scatter + its own optimizer update), so it accepts a
+            # pricier merge than a tier that would fuse on its own anyway
+            thresh = _FUSED_KERNEL_MS if len(group) > 1 else 2 * _FUSED_KERNEL_MS
+            if len(group) * (strides[i + 1] - s) * _FUSED_ROW_MS < thresh:
+                tiers[strides[i + 1]] = group + tiers[strides[i + 1]]
+                continue
+        if len(group) < 2:
+            continue
+        max_feats = max(2, _FUSED_BYTES_MAX // (s * dim * 4))
+        for j in range(0, len(group), max_feats):
+            chunk = group[j : j + max_feats]
+            if len(chunk) >= 2:
+                groups.append(chunk)
+    return groups
 
 
 class FusedEmbeddingTables(EmbeddingTable):
@@ -493,6 +549,17 @@ class FusedEmbeddingTables(EmbeddingTable):
         )
         if uniform:
             padded = [stride] * len(cols)
+        else:
+            import warnings
+
+            warnings.warn(
+                "FusedEmbeddingTables tight-packing (non-uniform strides): the "
+                "backward is an XLA duplicate-id scatter-add over the packed "
+                "table, which is extremely slow on TPU for large tables. "
+                "Prefer Embeddings(..., fused=True), which only fuses "
+                "uniform-stride groups.",
+                stacklevel=2,
+            )
         total = int(sum(padded))
         pseudo = create_categorical_column("fused_embeddings", total - 1)
         super().__init__(

@@ -220,11 +220,71 @@ def test_fused_embedding_tables_match_individual_lookup():
 def test_embeddings_factory_fuses_scalar_domains(ecommerce_data):
     from models_tpu.inputs.embedding import Embeddings, FusedEmbeddingTables
 
-    block = Embeddings(ecommerce_data.schema.categorical, dim=8, fused=True)
+    schema = ecommerce_data.schema.categorical
+    block = Embeddings(schema, dim=8, fused=True)
     fused = [b for _, b in block.items() if isinstance(b, FusedEmbeddingTables)]
-    assert len(fused) == 1
-    # all scalar single-column domains live in the fused table
-    assert len(fused[0].features) > 1
+    assert len(fused) >= 1
+    # every fused group is uniform-stride (never the tight-pack fallback)
+    assert all(f.stride is not None for f in fused)
+    # all scalar single-column domains live in SOME fused group
+    fused_names = {n for f in fused for n in f.features}
+    assert fused_names == {c.name for c in schema if not c.is_list}
+
+
+def test_embeddings_factory_never_tight_packs_large_domains():
+    """Regression (round 4): a schema mixing small and huge cardinalities
+    (ali-ccp layout) must NOT tight-pack everything into one table — the
+    packed table's gather backward is an XLA duplicate-id scatter-add that
+    measured ~60x slower than separate tables on TPU. Huge domains get their
+    own tables; small ones still fuse uniform-stride."""
+    from models_tpu.inputs.embedding import (
+        _FUSED_STRIDE_MAX,
+        Embeddings,
+        FusedEmbeddingTables,
+    )
+
+    schema = Schema(
+        [create_categorical_column("huge_a", 3_000_000),
+         create_categorical_column("huge_b", 294_000),
+         create_categorical_column("mid", 33_000)]
+        + [create_categorical_column(f"small_{i}", 1000 + i) for i in range(6)]
+    )
+    block = Embeddings(schema, dim=16, fused=True)
+    fused = [b for _, b in block.items() if isinstance(b, FusedEmbeddingTables)]
+    assert fused, "small domains should still fuse"
+    for f in fused:
+        assert f.stride is not None and f.stride <= _FUSED_STRIDE_MAX
+        assert not any(n.startswith(("huge", "mid")) for n in f.features)
+    # the huge domains each get their own plain table
+    for name in ("huge_a", "huge_b", "mid"):
+        tbl = block[name]
+        assert isinstance(tbl, EmbeddingTable)
+        assert not isinstance(tbl, FusedEmbeddingTables)
+    # forward still produces one embedding per feature
+    rng = np.random.default_rng(0)
+    batch = {c.name: jnp.asarray(rng.integers(0, int(c.cardinality), 4))
+             for c in schema}
+    out = block(batch)
+    assert set(out.keys()) == {c.name for c in schema}
+    assert all(v.shape == (4, 16) for v in out.values())
+
+
+def test_fused_groups_tiering_and_caps():
+    from models_tpu.inputs.embedding import _FUSED_BYTES_MAX, _fused_groups
+
+    # 26 criteo-like equal-cardinality features → exactly one group
+    cols = [create_categorical_column(f"C{i}", 1000) for i in range(26)]
+    groups = _fused_groups(cols, dim=64)
+    assert len(groups) == 1 and len(groups[0]) == 26
+
+    # a big tier splits at the bytes cap
+    n_max = _FUSED_BYTES_MAX // (8192 * 512 * 4)
+    cols = [create_categorical_column(f"X{i}", 8000) for i in range(n_max + 2)]
+    groups = _fused_groups(cols, dim=512)
+    assert len(groups) == 2
+    assert all(
+        sum(1 for _ in g) * 8192 * 512 * 4 <= _FUSED_BYTES_MAX for g in groups
+    )
 
 
 def test_embedding_table_incompatible_features_raise():

@@ -69,8 +69,12 @@ def stochastic_round(x: jnp.ndarray, key, dtype=jnp.bfloat16) -> jnp.ndarray:
     return jnp.where(jnp.isfinite(x), out, x.astype(jnp.bfloat16))
 
 
-def _scatter_write_block16(table, ids, rows, valid, block, n_buf, interpret=False):
-    """Row-scatter-write on a 16-bit table via aligned 8-row block RMW.
+def _scatter_write_block(table, ids, rows, valid, block, n_buf, interpret=False):
+    """Row-scatter-write via aligned 8-row block RMW — the route for every
+    table the single-row DMA kernel cannot address: 16-bit dtypes AND any
+    row width not lane-aligned to 128 (e.g. criteo's native D=64, whose
+    single-row slices fail Mosaic's tiling proof the same way 16-bit
+    sublanes do).
 
     Mosaic rejects dynamic single-row DMA slices of 16-bit arrays ("Slice
     shape along dimension 0 must be aligned to tiling (8)", v5e), and routing
@@ -243,10 +247,11 @@ def pallas_row_scatter_write(
 
     Unlike the add kernel, nothing here touches row data with the VPU: each
     valid row is ONE direct HBM->HBM async copy ``rows[j] -> table[ids[j]]``
-    with ``n_buf`` copies in flight. 32-bit dtypes DMA single rows; 16-bit
-    tables route through :func:`_scatter_write_block16` (Mosaic requires
-    8-row-aligned slices of 16-bit arrays — single-row descriptors fail the
-    tiling-alignment proof on the real chip)."""
+    with ``n_buf`` copies in flight. 32-bit 128-lane-aligned rows DMA singly;
+    16-bit tables and tables with ``D % 128 != 0`` (criteo-style D=64) route
+    through :func:`_scatter_write_block` (Mosaic requires 8-row-aligned,
+    lane-aligned slices — single-row descriptors fail the tiling-alignment
+    proof on the real chip)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -257,10 +262,10 @@ def pallas_row_scatter_write(
     rows = rows.astype(table.dtype)
     if force_xla or (not interpret and jax.default_backend() != "tpu"):
         return _xla_scatter_write(table, ids, rows, valid)
-    if jnp.dtype(table.dtype).itemsize == 2:
+    if jnp.dtype(table.dtype).itemsize == 2 or D % 128:
         if R % 8:
             return _xla_scatter_write(table, ids, rows, valid)
-        return _scatter_write_block16(
+        return _scatter_write_block(
             table, ids, rows, valid, block, n_buf, interpret=interpret
         )
 
@@ -372,13 +377,15 @@ def pallas_row_scatter_add(
         valid = jnp.ones((B,), bool)
     if force_xla or (not interpret and jax.default_backend() != "tpu"):
         return _xla_scatter_add(table, ids, updates, valid)
-    if table.dtype != jnp.float32:
+    if table.dtype != jnp.float32 or D % 128:
         # Mosaic rejects dynamic-row VPU loads/stores on sub-fp32 VMEM buffers
-        # (bf16 tiling is (16, 128)), so the RMW pipeline below is fp32-only.
-        # For low-precision tables, read the old rows with an XLA gather (fast)
-        # and REPLACE them via the pure-DMA write kernel — identical semantics
-        # since valid rows are unique. Round-to-nearest on the add; callers
-        # that need unbiased accumulation should use stochastic_round +
+        # (bf16 tiling is (16, 128)) and on rows narrower than one 128-lane
+        # tile (criteo-style D=64), so the RMW pipeline below is fp32-D128
+        # only. Everything else reads the old rows with an XLA gather (fast)
+        # and REPLACES them via the DMA write kernel — identical semantics
+        # since valid rows are unique; exact for fp32 (the add runs in fp32),
+        # round-to-nearest for low-precision tables; callers that need
+        # unbiased accumulation should use stochastic_round +
         # pallas_row_scatter_write directly (see blocks/optimizer._commit_rows).
         # invalid lanes may carry arbitrary ids: clip explicitly rather than
         # relying on jnp.take's implicit out-of-bounds behavior (ADVICE r3)

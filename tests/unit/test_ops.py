@@ -729,3 +729,51 @@ def test_pallas_gather_16bit_odd_shapes():
             np.asarray(got, np.float32),
             np.asarray(jnp.take(table, ids, axis=0), np.float32),
         )
+
+
+def test_scatter_write_fp32_narrow_rows_block_route():
+    """fp32 tables with D % 128 != 0 (criteo-native D=64) cannot take the
+    single-row DMA kernel (Mosaic lane-tiling proof) and must route through
+    the aligned 8-row block RMW — same path as 16-bit tables. Interpret-mode
+    parity on unsorted ids, same-block collisions, block edges, invalid and
+    garbage lanes."""
+    from models_tpu.ops.scatter import pallas_row_scatter_write
+
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.standard_normal((40, 24)), jnp.float32)
+    ids = jnp.asarray([9, 8, 31, 32, 5, 9, 123_456], jnp.int32)
+    valid = jnp.asarray([True, True, True, True, True, False, False])
+    rows = jnp.asarray(rng.standard_normal((7, 24)), jnp.float32)
+
+    want = np.array(table)
+    for j in range(5):
+        want[int(ids[j])] = np.asarray(rows[j])
+
+    got = pallas_row_scatter_write(
+        table, ids, rows, valid, block=4, n_buf=2, interpret=True
+    )
+    assert got.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_scatter_add_fp32_narrow_rows_exact():
+    """fp32 scatter-ADD with D % 128 != 0 delegates to gather + block write;
+    the add still runs in fp32 so the result is bit-exact vs numpy (unlike the
+    rounded 16-bit delegate)."""
+    from models_tpu.ops.scatter import dedup_rows, pallas_row_scatter_add
+
+    rng = np.random.default_rng(8)
+    table = jnp.asarray(rng.standard_normal((24, 40)), jnp.float32)
+    raw_ids = jnp.asarray([3, 17, 3, 8, 17, 17], jnp.int32)  # duplicates
+    raw_upd = jnp.asarray(rng.standard_normal((6, 40)), jnp.float32)
+    sids, summed, valid = dedup_rows(raw_ids, raw_upd)
+
+    want = np.array(table)
+    for j in range(6):
+        want[int(raw_ids[j])] += np.asarray(raw_upd[j])
+
+    got = pallas_row_scatter_add(
+        table, sids, summed, valid, block=4, n_buf=2, interpret=True
+    )
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)

@@ -100,18 +100,25 @@ class EmbeddingEncoder(Encoder):
         self.feature_name = feature_name or table.features[0]
 
     def __call__(self, inputs, **kwargs):
+        # context MUST flow through to the table: it carries the sparse-
+        # optimizer tap hook (and the mesh for sharded lookups). Dropping it
+        # silently froze the query table of MatrixFactorizationModel under
+        # embedding_optimizer= — the in-batch objective still "learned" via
+        # the candidate table, which is what hid the bug.
+        context = kwargs.get("context")
+        feature = self.feature_name
         if isinstance(inputs, dict):
-            val = inputs.get(self.feature_name)
+            val = inputs.get(feature)
             if val is None:
                 # allow any feature this table serves
                 for f in self.table.features:
                     if f in inputs:
-                        val = inputs[f]
+                        val, feature = inputs[f], f
                         break
             if val is None:
                 raise KeyError(f"{self.feature_name} not found in inputs")
-            return self.table._call_single(val)
-        return self.table._call_single(inputs)
+            return self.table._call_single(val, feature=feature, context=context)
+        return self.table._call_single(inputs, feature=feature, context=context)
 
     def to_dataset(self) -> Dataset:
         return self.table.to_dataset()

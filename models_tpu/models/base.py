@@ -251,6 +251,7 @@ class BaseModel(Block):
         learning_rate: Union[None, float, Callable] = None,
         train_metrics_steps: int = 1,
         embedding_optimizer=None,
+        sparse_threshold: Optional[int] = None,
         jit: bool = True,
         steps_per_execution: int = 1,
         class_weight: Optional[Dict] = None,
@@ -282,6 +283,12 @@ class BaseModel(Block):
                 kind, learning_rate=learning_rate if learning_rate is not None else 0.05
             )
         self._emb_opt = embedding_optimizer
+        # size-based sparse/dense routing (reference split_embeddings_on_size):
+        # tables at or below the threshold ride the dense optimizer — the
+        # row-sparse update's sort+scatter fixed costs only win above ~1M rows
+        # on this chip (CLAUDE.md crossover). Low-precision tables are always
+        # routed sparse (stochastic rounding needs the scatter-write path).
+        self._sparse_threshold = sparse_threshold
         self._loss_spec = loss
         self._metrics_spec = metrics
         self._loss_weights = loss_weights or {}
@@ -827,11 +834,52 @@ class BaseModel(Block):
             b for b in iter_blocks(self) if isinstance(b, EmbeddingTable) and b.trainable
         ]
 
+    def _sparse_routed_tables(self):
+        """(sparse, dense) table partition under ``compile(sparse_threshold=)``.
+
+        No threshold → everything sparse (the pre-round-4 behavior). With a
+        threshold, tables at or below it ride the dense optax transform —
+        except low-precision tables, whose stochastic-rounding updates only
+        exist on the scatter path."""
+        tables = self._embedding_tables()
+        thr = getattr(self, "_sparse_threshold", None)
+        if thr is None:
+            return tables, []
+        routed, dense = [], []
+        for t in tables:
+            lowp = t.table.value.dtype != jnp.float32
+            (routed if (lowp or t.input_dim > thr) else dense).append(t)
+        return routed, dense
+
+    def _apply_sparse_routing(self):
+        """Stamp the routing decision on the params (``sparse_route`` variable
+        metadata) so :meth:`_sparse_param_filter` can split routed tables away
+        from the dense optimizer. Idempotent; must run before any split that
+        uses the filter (fit does; ``arm_training_state`` on a built model)."""
+        routed, dense = self._sparse_routed_tables()
+        for t in routed:
+            t.table.set_metadata(sparse_route=True)
+        for t in dense:
+            t.table.set_metadata(sparse_route=False)
+            t._tap_key = None
+        return routed, dense
+
+    def _sparse_param_filter(self):
+        """nnx filter for the params the SPARSE embedding optimizer owns.
+        Without threshold routing this is the EmbeddingParam class itself;
+        with routing, the predicate honors the stamped metadata."""
+        emb_type = _embedding_param_type()
+        if getattr(self, "_sparse_threshold", None) is None:
+            return emb_type
+        return lambda path, x: isinstance(x, emb_type) and bool(
+            getattr(x, "sparse_route", True)
+        )
+
     def _setup_sparse_embeddings(self, loader, sparse):
         """Assign tap keys, create optimizer slots, and discover tap shapes by one
         eager training-mode forward."""
-        tables = self._embedding_tables()
-        for i, t in enumerate(tables):
+        routed, dense_routed = self._apply_sparse_routing()
+        for i, t in enumerate(routed):
             t._tap_key = f"t{i}"
             if t.sparse_slots is None or not len(t.sparse_slots):
                 sparse.init_slots(t)
@@ -843,10 +891,20 @@ class BaseModel(Block):
         context = ModelContext(features=x, targets=y, step=0)
         context["collect_tap_shapes"] = shapes
         call_block(self, x, targets=y, training=True, context=context)
-        if not shapes:
+        if not shapes and not dense_routed:
             raise ValueError(
                 "embedding_optimizer was set but no embedding lookups were traced; "
                 "check that the model has trainable EmbeddingTables"
+            )
+        if not shapes:
+            import warnings
+
+            warnings.warn(
+                f"sparse_threshold={self._sparse_threshold} routed every "
+                "embedding table to the dense optimizer — the sparse step "
+                "runs with no scatter work; drop embedding_optimizer or "
+                "lower the threshold",
+                stacklevel=2,
             )
         return shapes
 
@@ -854,7 +912,7 @@ class BaseModel(Block):
         self, loss_fns, task_metrics, tap_shapes, sparse, with_metrics, mesh=None
     ):
         graphdef = self._graphdef
-        emb_type = _embedding_param_type()
+        emb_type = self._sparse_param_filter()
         _, _, _, rest0 = nnx.split(self, emb_type, nnx.Param, ...)
         state_paths = self._state_update_paths(rest0)
 
@@ -888,6 +946,8 @@ class BaseModel(Block):
             # scatter-update the tables (and slots) at the looked-up rows
             model = nnx.merge(graphdef, emb_params, dense_params, new_rest)
             for table in model._embedding_tables():
+                if table._tap_key is None:  # dense-routed under sparse_threshold
+                    continue
                 prefix = table._tap_key + ":"
                 for key, ids in tap_ids.items():
                     if key.startswith(prefix):
@@ -1086,8 +1146,9 @@ class BaseModel(Block):
         embedding tables when a sparse embedding optimizer owns them (the same
         split fit() makes)."""
         if getattr(self, "_emb_opt", None) is not None:
+            self._apply_sparse_routing()
             _, _, params, _ = nnx.split(
-                self, _embedding_param_type(), nnx.Param, ...
+                self, self._sparse_param_filter(), nnx.Param, ...
             )
             return params
         _, params, _ = self._split()
@@ -1159,7 +1220,7 @@ class BaseModel(Block):
         if sparse is not None:
             tap_shapes = self._setup_sparse_embeddings(loader, sparse)
             graphdef, emb_params, params, rest = nnx.split(
-                self, _embedding_param_type(), nnx.Param, ...
+                self, self._sparse_param_filter(), nnx.Param, ...
             )
         else:
             emb_params = None

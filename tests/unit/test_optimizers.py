@@ -370,3 +370,101 @@ def test_bf16_tables_train_end_to_end():
     m2.compile(optimizer="adam", learning_rate=0.05)  # dense path
     with pytest.raises(ValueError, match="stochastic"):
         m2.fit(ds, epochs=1, batch_size=64, verbose=0)
+
+
+def test_sparse_threshold_routes_small_tables_dense():
+    """compile(sparse_threshold=N): tables at or below N ride the dense optax
+    transform (the row-sparse update's fixed sort+scatter costs lose below
+    ~1M rows — CLAUDE.md crossover), larger tables keep the scatter path.
+    Both kinds must train."""
+    import jax.numpy as jnp
+
+    from models_tpu.models import MatrixFactorizationModel
+
+    rng = np.random.default_rng(3)
+    n = 600
+    users = rng.integers(0, 5000, n).astype(np.int32)
+    items = (users % 40).astype(np.int32)
+    schema = Schema(
+        [
+            create_categorical_column("user_id", 4999, tags=(Tags.USER, Tags.USER_ID)),
+            create_categorical_column("item_id", 39, tags=(Tags.ITEM, Tags.ITEM_ID)),
+        ]
+    )
+    ds = Dataset({"user_id": users, "item_id": items}, schema=schema)
+    m = MatrixFactorizationModel(schema, dim=16)
+    m.compile(
+        optimizer="adagrad",
+        learning_rate=0.2,
+        embedding_optimizer="adagrad",
+        sparse_threshold=1000,
+    )
+    tables = {t.input_dim: t for t in m._embedding_tables()}
+    user_t = tables[max(tables)]   # 5000-row table
+    item_t = tables[min(tables)]   # 40-row table
+    u_before = user_t.to_array().copy()
+    i_before = item_t.to_array().copy()
+    h = m.fit(ds, epochs=3, batch_size=100, verbose=0)
+
+    # routing: user table sparse (tap key + slots), item table dense (neither)
+    assert user_t._tap_key is not None
+    assert item_t._tap_key is None
+    assert user_t.sparse_slots is not None and len(user_t.sparse_slots)
+    assert not (item_t.sparse_slots is not None and len(item_t.sparse_slots))
+    # both tables actually moved
+    assert np.abs(user_t.to_array() - u_before).sum() > 0
+    assert np.abs(item_t.to_array() - i_before).sum() > 0
+    # sparse semantics: never-looked-up user rows untouched
+    unseen = np.setdiff1d(np.arange(5000), users)[:32]
+    np.testing.assert_allclose(user_t.to_array()[unseen], u_before[unseen])
+    # dense param split excludes only the routed table
+    dp = m._dense_params()
+    flat = {"/".join(map(str, k)): v for k, v in dp.flat_state()}
+    dense_rows = {v.value.shape[0] for k, v in flat.items() if "table" in k}
+    assert user_t.padded_rows not in dense_rows
+    assert item_t.padded_rows in dense_rows
+
+
+def test_sparse_threshold_all_dense_warns_and_trains():
+    ds, schema = identity_dataset()
+    m = MatrixFactorizationModel(schema, dim=8)
+    m.compile(
+        optimizer="adagrad",
+        learning_rate=0.2,
+        embedding_optimizer="adagrad",
+        sparse_threshold=10_000_000,
+    )
+    with pytest.warns(UserWarning, match="routed every"):
+        h = m.fit(ds, epochs=2, batch_size=64, verbose=0)
+    assert np.isfinite(h.history["loss"]).all()
+
+
+def test_low_precision_table_always_routed_sparse():
+    """bf16 tables cannot train dense (round-to-nearest drops small updates);
+    sparse_threshold must not demote them."""
+    import jax.numpy as jnp
+
+    ds, schema = identity_dataset()
+    m = MatrixFactorizationModel(schema, dim=8, table_dtype=jnp.bfloat16)
+    m.compile(
+        optimizer="adagrad",
+        learning_rate=0.2,
+        embedding_optimizer="adagrad",
+        sparse_threshold=10_000_000,
+    )
+    m.fit(ds, epochs=1, batch_size=64, verbose=0)
+    assert all(t._tap_key is not None for t in m._embedding_tables())
+
+
+def test_sparse_optimizer_trains_embedding_encoder_query_table():
+    """Regression: EmbeddingEncoder dropped the call context, so the QUERY
+    table of MatrixFactorizationModel never received a tap — it stayed frozen
+    under embedding_optimizer= while the candidate table trained (the in-batch
+    objective still reduced loss, hiding the freeze)."""
+    ds, schema = identity_dataset()
+    m = MatrixFactorizationModel(schema, dim=8)
+    m.compile(optimizer="adagrad", learning_rate=0.2, embedding_optimizer="adagrad")
+    q_table = m.query_encoder.table
+    before = q_table.to_array().copy()
+    m.fit(ds, epochs=1, batch_size=64, verbose=0)
+    assert np.abs(q_table.to_array() - before).sum() > 0

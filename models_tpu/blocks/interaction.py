@@ -41,14 +41,23 @@ class DotProductInteraction(Block):
         # at trace time, so the index vector comes from numpy (a tiny (T,)
         # constant — jnp.triu_indices would lower to an in-loop scatter); the
         # one-hot itself is generated in-trace and fuses into the MXU matmul.
-        # Selection by exact 1.0 weights is bit-exact in any dtype, and the
-        # backward is just the transposed matmul.
+        # The selection einsum runs at HIGHEST precision: with 0/1 weights and
+        # finite gram entries it then selects exactly (TPU DEFAULT would
+        # bf16-round the fp32 gram operand — ADVICE r4); it is tiny, (B, F*F)
+        # x (T, F*F). Caveat: a non-finite NON-selected gram entry (inf/NaN)
+        # still poisons its output row via 0*inf=NaN — upstream inputs must be
+        # finite, as the reference's gather-based extraction also assumed.
+        import jax
+
         iu = np.triu_indices(f, k=k)
         flat_idx = jnp.asarray((iu[0] * f + iu[1]).astype(np.int32))  # (T,)
         onehot = (
             flat_idx[:, None] == jnp.arange(f * f, dtype=jnp.int32)[None, :]
         ).astype(gram.dtype)  # (T, F*F)
-        return jnp.einsum("bq,tq->bt", gram.reshape(gram.shape[0], f * f), onehot)
+        return jnp.einsum(
+            "bq,tq->bt", gram.reshape(gram.shape[0], f * f), onehot,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
 
 class FMPairwiseInteraction(Block):

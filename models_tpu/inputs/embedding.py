@@ -506,7 +506,13 @@ def _fused_groups(cols, dim: int):
                 continue
         if len(group) < 2:
             continue
-        max_feats = max(2, _FUSED_BYTES_MAX // (s * dim * 4))
+        max_feats = _FUSED_BYTES_MAX // (s * dim * 4)
+        if max_feats < 2:
+            # even a 2-column group would blow the bytes cap (huge stride*dim)
+            # — emitting it anyway would trip FusedEmbeddingTables' uniform
+            # check into the tight-pack layout the docstring forbids (ADVICE
+            # r4). Leave these columns to per-domain tables instead.
+            continue
         for j in range(0, len(group), max_feats):
             chunk = group[j : j + max_feats]
             if len(chunk) >= 2:

@@ -70,11 +70,13 @@ def stochastic_round(x: jnp.ndarray, key, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def _scatter_write_block(table, ids, rows, valid, block, n_buf, interpret=False):
-    """Row-scatter-write via aligned 8-row block RMW — the route for every
-    table the single-row DMA kernel cannot address: 16-bit dtypes AND any
-    row width not lane-aligned to 128 (e.g. criteo's native D=64, whose
-    single-row slices fail Mosaic's tiling proof the same way 16-bit
-    sublanes do).
+    """Row-scatter-write via aligned 8-row block RMW — the route for 16-bit
+    tables with lane-aligned rows (D % 128 == 0), which the single-row DMA
+    kernel cannot address. Narrow rows (D % 128 != 0, e.g. criteo's native
+    D=64) CANNOT come here: Mosaic's lane tiling rejects (8, 64) slices too
+    ("Slice shape along dimension 1 must be aligned to tiling (128)",
+    chip-verified on v5e) — they route through XLA scatter with
+    unique_indices instead (see pallas_row_scatter_write).
 
     Mosaic rejects dynamic single-row DMA slices of 16-bit arrays ("Slice
     shape along dimension 0 must be aligned to tiling (8)", v5e), and routing
@@ -124,7 +126,10 @@ def _scatter_write_block(table, ids, rows, valid, block, n_buf, interpret=False)
     new = jnp.einsum(
         "bkr,bkd->brd", match.astype(table.dtype), wrow,
         preferred_element_type=table.dtype,
-    )  # exact: 0/1 weights select at most one row per output slot
+        precision=jax.lax.Precision.HIGHEST,
+    )  # exact: 0/1 weights select at most one row per output slot; HIGHEST
+    # keeps fp32 operands fp32 on TPU (DEFAULT would bf16-round every row
+    # written through this path — ADVICE r4). Cost negligible: (B,8,8,D).
     old = jnp.take(table, targets.reshape(-1), axis=0, mode="clip").reshape(B, 8, D)
     merged = jnp.where(present[:, :, None], new, old).astype(table.dtype)
     return _block_write_kernel(
@@ -221,10 +226,18 @@ def _block_write_kernel(table, q, blocks8, lead, block, n_buf, interpret):
 
 def _xla_scatter_write(table, ids, rows, valid):
     R = table.shape[0]
-    # invalid positions write out-of-bounds and get dropped — duplicate ids
-    # among padding can never race a valid write
-    safe = jnp.where(valid, ids, R)
-    return table.at[safe].set(rows.astype(table.dtype), mode="drop")
+    B = ids.shape[0]
+    # invalid positions write out-of-bounds and get dropped. Distinct OOB
+    # slots (R+j) keep the index vector globally unique, so unique_indices
+    # is honest and XLA parallelizes the scatter instead of serializing it
+    # (measured on v5e: 0.57 ms for 8192 rows into 523k x 64 — the route for
+    # every D % 128 != 0 table, where Mosaic rejects ALL dynamic DMA slices:
+    # lane-dim tiling requires multiples of 128, so even aligned (8, 64)
+    # blocks fail "Slice shape along dimension 1 must be aligned to tiling").
+    safe = jnp.where(valid, ids, R + jnp.arange(B, dtype=ids.dtype))
+    return table.at[safe].set(
+        rows.astype(table.dtype), mode="drop", unique_indices=True
+    )
 
 
 def pallas_row_scatter_write(
@@ -262,7 +275,16 @@ def pallas_row_scatter_write(
     rows = rows.astype(table.dtype)
     if force_xla or (not interpret and jax.default_backend() != "tpu"):
         return _xla_scatter_write(table, ids, rows, valid)
-    if jnp.dtype(table.dtype).itemsize == 2 or D % 128:
+    if D % 128:
+        # No Pallas route exists for narrow rows: Mosaic's lane tiling
+        # rejects every dynamic slice whose last dim isn't a multiple of 128
+        # (chip-verified: aligned (8, 64) blocks fail compile on v5e), and a
+        # pair-packed (R/2, 128) view of the table through the block kernel
+        # measured 1.58 ms vs 0.57 ms for XLA scatter with unique_indices
+        # (8192 rows, 523k x 64). XLA with a globally-unique index vector is
+        # the fastest correct route.
+        return _xla_scatter_write(table, ids, rows, valid)
+    if jnp.dtype(table.dtype).itemsize == 2:
         if R % 8:
             return _xla_scatter_write(table, ids, rows, valid)
         return _scatter_write_block(
@@ -377,16 +399,23 @@ def pallas_row_scatter_add(
         valid = jnp.ones((B,), bool)
     if force_xla or (not interpret and jax.default_backend() != "tpu"):
         return _xla_scatter_add(table, ids, updates, valid)
-    if table.dtype != jnp.float32 or D % 128:
+    if table.dtype == jnp.float32 and D % 128:
+        # Narrow fp32 rows (criteo-style D=64): no Pallas route compiles
+        # (Mosaic lane tiling — see pallas_row_scatter_write), and a direct
+        # XLA scatter-add with a unique index vector is fast (0.62-0.79 ms
+        # for 8192 rows into 523k x 64 on v5e) and exact in fp32. Invalid
+        # positions carry duplicate run-ids after dedup — remap them to
+        # distinct OOB slots so unique_indices stays honest.
+        safe = jnp.where(valid, ids, R + jnp.arange(B, dtype=ids.dtype))
+        return table.at[safe].add(updates, mode="drop", unique_indices=True)
+    if table.dtype != jnp.float32:
         # Mosaic rejects dynamic-row VPU loads/stores on sub-fp32 VMEM buffers
-        # (bf16 tiling is (16, 128)) and on rows narrower than one 128-lane
-        # tile (criteo-style D=64), so the RMW pipeline below is fp32-D128
-        # only. Everything else reads the old rows with an XLA gather (fast)
-        # and REPLACES them via the DMA write kernel — identical semantics
-        # since valid rows are unique; exact for fp32 (the add runs in fp32),
-        # round-to-nearest for low-precision tables; callers that need
-        # unbiased accumulation should use stochastic_round +
-        # pallas_row_scatter_write directly (see blocks/optimizer._commit_rows).
+        # (bf16 tiling is (16, 128)), so the RMW pipeline below is fp32-D128
+        # only. Low-precision tables read the old rows with an XLA gather
+        # (fast) and REPLACE them via the write route — identical semantics
+        # since valid rows are unique; round-to-nearest at the final cast;
+        # callers that need unbiased accumulation should use stochastic_round
+        # + pallas_row_scatter_write directly (see blocks/optimizer._commit_rows).
         # invalid lanes may carry arbitrary ids: clip explicitly rather than
         # relying on jnp.take's implicit out-of-bounds behavior (ADVICE r3)
         old = jnp.take(table, ids, axis=0, mode="clip").astype(jnp.float32)

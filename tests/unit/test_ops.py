@@ -731,12 +731,13 @@ def test_pallas_gather_16bit_odd_shapes():
         )
 
 
-def test_scatter_write_fp32_narrow_rows_block_route():
-    """fp32 tables with D % 128 != 0 (criteo-native D=64) cannot take the
-    single-row DMA kernel (Mosaic lane-tiling proof) and must route through
-    the aligned 8-row block RMW — same path as 16-bit tables. Interpret-mode
-    parity on unsorted ids, same-block collisions, block edges, invalid and
-    garbage lanes."""
+def test_scatter_write_fp32_narrow_rows_xla_route():
+    """Tables with D % 128 != 0 (criteo-native D=64) cannot take ANY Pallas
+    route — Mosaic's lane tiling rejects dynamic slices whose last dim isn't
+    a multiple of 128, including aligned (8, 64) blocks (chip-verified, r5).
+    They route through XLA scatter with a globally-unique index vector
+    (invalid lanes remapped to distinct OOB slots). Unsorted ids, duplicates
+    among invalid lanes, garbage ids."""
     from models_tpu.ops.scatter import pallas_row_scatter_write
 
     rng = np.random.default_rng(7)
@@ -757,9 +758,10 @@ def test_scatter_write_fp32_narrow_rows_block_route():
 
 
 def test_scatter_add_fp32_narrow_rows_exact():
-    """fp32 scatter-ADD with D % 128 != 0 delegates to gather + block write;
-    the add still runs in fp32 so the result is bit-exact vs numpy (unlike the
-    rounded 16-bit delegate)."""
+    """fp32 scatter-ADD with D % 128 != 0 goes straight to XLA scatter-add
+    with unique indices (no Pallas route compiles for narrow rows — Mosaic
+    lane tiling); the add runs in fp32 so the result is bit-exact vs numpy
+    applying the same dedup-then-add order."""
     from models_tpu.ops.scatter import dedup_rows, pallas_row_scatter_add
 
     rng = np.random.default_rng(8)

@@ -228,6 +228,29 @@ def _run_sections(specs):
             )
         else:
             results[name], contention[name] = r, c
+    # Second end-of-run pass over CONTENDED sections (VERDICT r4 #2): a
+    # >1.5x-contended attempt must never be the naked number of record while
+    # wall-clock remains. Fresh-subprocess re-runs land in a different
+    # tunnel timeslice (the co-tenant bursts are minutes-scale); keep
+    # whichever attempt saw the cleaner window. factor 0.0 = poisoned-fast
+    # sentinel — also worth one more window.
+    order = sorted(
+        (n for n, c in contention.items()
+         if c is not None and (c == 0.0 or c > 1.5)),
+        key=lambda n: -(contention[n] or float("inf")),
+    )
+    for name in order:
+        deadline = _CAL_STATE.get("deadline")
+        if deadline is not None and time.monotonic() > deadline:
+            break
+        r, c, err = _retry_in_subprocess(name, cli_args.get(name, ()))
+        if err or r is None or c is None:
+            continue
+        old_c = contention[name]
+        old_rank = float("inf") if old_c == 0.0 else old_c
+        new_rank = float("inf") if c == 0.0 else c
+        if new_rank < old_rank:
+            results[name], contention[name] = r, c
     return results, contention
 
 
@@ -517,13 +540,17 @@ def bench_session_bucket_pipeline():
     B = 1024
     per_group = 16 * B  # 16 full batches per bucket group
     rng = np.random.default_rng(11)
-    # buckets 8/16/32: in-batch sampled softmax flattens B*L positions, and
-    # the 64-bucket's 65k-position batch exhausts HBM (the positive-pair
-    # machinery scales O((B*L)^2) through the streamed CE)
+    # all four pow2 groups incl. 64 (VERDICT r4 #4): the flash-CE path streams
+    # the (B*L, B*L) in-batch logits so HBM stays O(B*L*D); the old 64-bucket
+    # OOM was the EAGER build pass materializing the full matrix, fixed in r5
+    # by building on a thin row slice (models/base._slice_build_batch).
+    # Bucket 64's step is quadratic-compute (65k x 65k logit tiles ~ 1.1
+    # TFLOP/pass) — real work, not a pathology.
     lengths = np.concatenate([
         rng.integers(5, 9, per_group),      # bucket 8
         rng.integers(9, 17, per_group),     # bucket 16
         rng.integers(17, 33, per_group),    # bucket 32
+        rng.integers(33, 65, per_group),    # bucket 64
     ])
     rng.shuffle(lengths)
     n = len(lengths)
@@ -534,7 +561,7 @@ def bench_session_bucket_pipeline():
     schema = Schema([
         create_categorical_column(
             "item_id_seq", 10_000, tags=(Tags.ITEM, Tags.ITEM_ID, Tags.SEQUENCE),
-            is_list=True, max_seq_length=32,
+            is_list=True, max_seq_length=64,
         ),
     ])
     ds = Dataset(pa.table({"item_id_seq": sessions}), schema=schema)
@@ -1002,11 +1029,13 @@ def _main_specs():
         ("two_tower_bf16_state",
          lambda: bench_two_tower_compute("mixed_bfloat16", opt_state_dtype="bfloat16"),
          None, dict(retries=2, fom=lambda r: r[1], clean_fom=1.6)),
-        # clean anchor 1.6: a verified clean-window measurement (2026-08-18
-        # ablation run: 1.507 ms/step) — the old 2.4 anchor let 2x-contended
-        # windows pass as credible and become the number of record
+        # clean anchor 1.0: chip-validated 2026-08-19 same-window A/B — fused
+        # tiered embeddings (the DLRMBlock default) measured 0.944 ms/step vs
+        # 3.163 unfused in ONE 718 GB/s window (3.35x; other paired windows
+        # 2.4-4.2x). The old 1.6 anchor was the pre-fusion step time and
+        # would let 1.7x-contended fused windows pass as credible.
         ("dlrm", bench_dlrm_compute, None,
-         dict(retries=2, fom=lambda r: r[1], clean_fom=1.6)),
+         dict(retries=2, fom=lambda r: r[1], clean_fom=1.0)),
         ("session", bench_session_transformer, None,
          dict(fom=lambda r: r[1], clean_fom=2.0, retries=2)),
         ("session_bucket", bench_session_bucket_pipeline, None,
@@ -1083,6 +1112,17 @@ def main():
         round-3's zeros were mistaken for measurements)."""
         return None if x is None else round(x, nd)
 
+    def _clean_ms(ms, section):
+        """Best-credible estimate of the clean-window value for a measured ms
+        (VERDICT r4 #2): measured / contention when the kept attempt ran
+        contended (factor > 1.5). factor 0.0 (poisoned-fast sentinel) and
+        None (errored) give no credible estimate. Slightly-contended
+        (1 < c <= 1.5) measurements stand as recorded."""
+        c = contention.get(section)
+        if ms is None or c is None or c == 0.0:
+            return ms if (c is not None and c != 0.0) else None
+        return ms / c if c > 1.5 else ms
+
     # headline = the fastest production config (all three trajectory-tested);
     # every variant recorded in extras
     best_eps, (best_policy, best_state) = max(candidates_early, key=lambda t: t[0])
@@ -1154,17 +1194,49 @@ def main():
         "float32": tt_flops, "mixed_bfloat16": tt_flops_bf16,
         "mixed_bfloat16+bf16_state": tt_flops_bf16s,
     }.get(best_policy)
+    # roofline ratios are computed on the BEST-CREDIBLE (clean-estimated)
+    # step times, not the kept contended attempt (VERDICT r4 #2: a ratio on a
+    # 3x-poisoned denominator tells the reader the kernel is 10x off when it
+    # is 1.4x off). clean_estimate_ms below records the same estimates.
+    headline_section = {
+        "float32": "two_tower_fp32", "mixed_bfloat16": "two_tower_bf16",
+        "mixed_bfloat16+bf16_state": "two_tower_bf16_state",
+    }[best_policy]
     roofline_pct = {
         "two_tower_headline": _roofline(
-            best_step_s * 1e3, traffic_bytes=est_traffic, flops=best_flops
+            _clean_ms(best_step_s * 1e3, headline_section),
+            traffic_bytes=est_traffic, flops=best_flops,
         ),
         "dlrm": _roofline(
-            dlrm_ms, traffic_bytes=6.0 * (dlrm_param_bytes or 0), flops=dlrm_flops
+            _clean_ms(dlrm_ms, "dlrm"),
+            traffic_bytes=6.0 * (dlrm_param_bytes or 0), flops=dlrm_flops,
         ),
-        "topk_fp32": _topk_roofline(topk_ms, 1.0, 4),
-        "topk_bf16_index": _topk_roofline(topk_ms_bf16, 1.0, 2),
-        "sparse_adagrad_4Mx128": _hbm_roofline(sparse_row_bytes, sparse_4m),
-        "session_transformer": _roofline(sess_ms, flops=sess_flops),
+        "topk_fp32": _topk_roofline(_clean_ms(topk_ms, "topk"), 1.0, 4),
+        "topk_bf16_index": _topk_roofline(_clean_ms(topk_ms_bf16, "topk"), 1.0, 2),
+        "sparse_adagrad_4Mx128": _hbm_roofline(
+            sparse_row_bytes, _clean_ms(sparse_4m, "sparse_opt")
+        ),
+        "session_transformer": _roofline(
+            _clean_ms(sess_ms, "session"), flops=sess_flops
+        ),
+    }
+    clean_window = {
+        name: (c is not None and 0.0 < c <= 1.5)
+        for name, c in contention.items()
+    }
+    clean_estimate_ms = {
+        k: _r(v)
+        for k, v in {
+            "two_tower_headline": _clean_ms(best_step_s * 1e3, headline_section),
+            "dlrm": _clean_ms(dlrm_ms, "dlrm"),
+            "session": _clean_ms(sess_ms, "session"),
+            "session_bucket": _clean_ms(sb_ms, "session_bucket"),
+            "topk_fp32": _clean_ms(topk_ms, "topk"),
+            "topk_bf16_index": _clean_ms(topk_ms_bf16, "topk"),
+            "sparse_adagrad_4Mx128": _clean_ms(sparse_4m, "sparse_opt"),
+            "bf16_sr_16Mx128": _clean_ms(bf16_16m, "sparse_opt"),
+        }.items()
+        if v is not None
     }
     flops_per_step = {
         "two_tower_headline": _r(best_flops, 0),
@@ -1228,6 +1300,15 @@ def main():
             # section's KEPT attempt ran in; contended sections were retried;
             # null = section errored (re-queued once, still failed)
             "contention": contention,
+            # True iff the section's KEPT attempt ran at contention <= 1.5
+            # (and wasn't the 0.0 poisoned-fast sentinel or an error)
+            "clean_window": clean_window,
+            # measured/contention ESTIMATES of the clean-window step times for
+            # sections whose kept attempt exceeded contention 1.5 — explicit
+            # estimates, never the naked number of record (VERDICT r4 #2);
+            # clean sections repeat their recorded value here for one-stop
+            # reading
+            "clean_estimate_ms": clean_estimate_ms,
             "section_errors": _SECTION_ERRORS or None,
             # absolute machine state: best achieved HBM streaming bandwidth
             # of the session's calibration probe (clean v5e window ~600-800)

@@ -52,12 +52,14 @@ from .inputs import (
     Continuous,
     ContinuousEmbedding,
     ContinuousProjection,
+    DynamicEmbeddingTable,
     Embeddings,
     EmbeddingTable,
     InputBlock,
     InputBlockV2,
     PretrainedEmbeddings,
     TTEmbeddingTable,
+    string_id_hash,
 )
 
 # blocks

@@ -8,4 +8,5 @@ from .embedding import (
     PretrainedEmbeddings,
     SequenceEmbeddingFeatures,
 )
+from .dynamic import DynamicEmbeddingTable, string_id_hash
 from .tt_embedding import TTEmbeddingTable

@@ -236,6 +236,8 @@ def Embeddings(
     fused: bool = False,
     tt_compression_threshold: Optional[int] = None,
     tt_ranks: Union[int, tuple] = 32,
+    dynamic: Union[bool, Dict[str, bool]] = False,
+    dynamic_capacity: Optional[Dict[str, int]] = None,
 ) -> ParallelBlock:
     """One :class:`EmbeddingTable` per categorical domain (reference ``:585``).
 
@@ -252,7 +254,12 @@ def Embeddings(
       HBM and half the gather/update traffic; doubles the max catalog size).
       Requires a sparse ``embedding_optimizer`` — updates are written back
       with stochastic rounding so training quality holds (lookups cast up to
-      the policy compute dtype).
+      the policy compute dtype);
+    - ``dynamic``: route domains through :class:`DynamicEmbeddingTable`
+      (device-resident id→slot hash map; unseen ids allocate rows mid-fit —
+      the ``sok.DynamicVariable`` analog). ``True`` for all domains or a
+      per-domain dict; ``dynamic_capacity`` overrides the per-domain row
+      budget (default: cardinality / 0.8).
     """
     cat = schema.categorical
     if not len(cat):
@@ -346,6 +353,21 @@ def Embeddings(
         if param_dtype is not None:
             kw = dict(kw)
             kw.setdefault("dtype", param_dtype)
+        dyn = dynamic if isinstance(dynamic, bool) else dynamic.get(domain, False)
+        if dyn:
+            from .dynamic import DynamicEmbeddingTable
+
+            tables[domain] = DynamicEmbeddingTable(
+                dim=_dim_for(domain, cols),
+                col_schema=cols,
+                capacity=(dynamic_capacity or {}).get(domain),
+                sequence_combiner=combiner,
+                trainable=tr,
+                l2_reg=l2_reg,
+                seed=seed + i,
+                **kw,
+            )
+            continue
         tables[domain] = EmbeddingTable(
             dim=_dim_for(domain, cols),
             col_schema=cols,

@@ -106,6 +106,29 @@ def _unwrap_targets(pred):
     return t, sw
 
 
+def _slice_build_batch(x, y, cap: int = 32):
+    """Thin the leading (batch) axis of a build batch to at most ``cap`` rows.
+
+    Build runs eagerly: contrastive heads materialize the full (Q, N) in-batch
+    logits matrix there, which at flattened-sequence scale (B*L ~ 65k) is
+    tens of GB. Every other axis (sequence length, feature dims) is kept, so
+    lazily-built param shapes are unaffected."""
+
+    def cut(a):
+        if a is None:
+            return a
+        if isinstance(a, SequenceFeature):
+            return SequenceFeature(cut(a.values), cut(a.mask))
+        if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] > cap:
+            return a[:cap]
+        return a
+
+    sl = lambda t: jax.tree_util.tree_map(
+        cut, t, is_leaf=lambda v: v is None or isinstance(v, SequenceFeature)
+    )
+    return sl(x), sl(y)
+
+
 def _merge_row_valid(sw, row_valid, lead_dim):
     """Combine head sample-weights with the loader's row-validity mask, handling
     flattened-sequence leading dims ((B*L,) outputs vs (B,) validity)."""
@@ -213,10 +236,25 @@ class BaseModel(Block):
         if isinstance(data, (Dataset, Loader)):
             from ..data.loader import sample_batch
 
-            x, y = sample_batch(data, batch_size=2 if isinstance(data, Dataset) else data.batch_size)
+            x, y = sample_batch(
+                data,
+                batch_size=2 if isinstance(data, Dataset) else data.batch_size,
+                to_device=False,
+            )
         else:
             x, y = data if isinstance(data, tuple) else (data, None)
+        # The build pass runs EAGERLY — paths that stream under jit (the fused
+        # contrastive loss) materialize here. At bucket-64 sessions the eager
+        # in-batch logits matrix is (B*L, B*L) = 17 GB and OOMs the chip
+        # (observed r5), so build on a thin row slice: param shapes never
+        # depend on the batch dim, and sequence length / padding layout are
+        # preserved because the slice keeps every other axis.
+        x, y = _slice_build_batch(x, y, cap=32)
         x = to_device_batch(x)
+        if isinstance(y, dict):
+            y = {k: jnp.asarray(v) for k, v in y.items()}
+        elif y is not None:
+            y = jnp.asarray(y)
         from ..utils.io import spec_of
 
         self._build_spec = spec_of((x, y))  # replayed by declarative load

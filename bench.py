@@ -1038,8 +1038,12 @@ def _main_specs():
          dict(retries=2, fom=lambda r: r[1], clean_fom=1.0)),
         ("session", bench_session_transformer, None,
          dict(fom=lambda r: r[1], clean_fom=2.0, retries=2)),
+        # anchor 16: the r5 4-group config (buckets 8/16/32/64) measured 23.3
+        # ms avg step in an uncharacterized window; the 64-group's in-batch CE
+        # is quadratic (65k x 65k logit tiles ~ 3.3 TFLOP/step incl. backward
+        # = 17 ms at MXU peak), so the average step is dominated by real work
         ("session_bucket", bench_session_bucket_pipeline, None,
-         dict(fom=lambda r: r[1], clean_fom=4.0)),
+         dict(fom=lambda r: r[1], clean_fom=16.0)),
         # fom folds in BOTH sweeps (bf16 normalized to the fp32 anchor scale:
         # clean bf16 ~0.9ms vs fp32 ~2.4ms) — round-4 lesson: a window can
         # read clean on the fp32 sweep yet poison the later bf16 sweep 12x

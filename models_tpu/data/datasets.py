@@ -827,3 +827,151 @@ def get_sigir(
     if name is None:
         raise ValueError(f"table must be 'browsing' or 'sku', got {table!r}")
     return _from_path_or_synthetic(path, name, num_rows)
+
+
+def get_tenrec(
+    path: Optional[str] = None, num_rows: int = 50_000, table: str = "QK-video"
+) -> Tuple[Dataset, Dataset]:
+    """Tenrec multi-task feedback dataset (reference stores the schema under
+    ``merlin/datasets/social/schema.json`` + ``entertainment/tenrec_video``;
+    like sigir, the reference ships NO downloader or ETL — the data requires
+    registration). With ``path`` holding the published raw layout
+    (``QK-video.csv``: user_id, item_id, click, follow, like, share,
+    video_category, watching_times, gender, age) the reference-equivalent
+    local ETL runs (:func:`_load_tenrec_raw`); with prepared parquet it loads
+    directly; otherwise data is synthesized from the stored schema."""
+    if path is not None:
+        raw = _load_tenrec_raw(path, table)
+        if raw is not None:
+            return raw
+    return _from_path_or_synthetic(path, "tenrec-video", num_rows)
+
+
+def _load_tenrec_raw(path: str, table: str = "QK-video", seed: int = 42):
+    """Local ETL for the raw Tenrec CSV: frequency-ordered Categorify of every
+    id/categorical column (0 = OOV, the NVTabular convention), watching_times
+    clipped to [0, 5] as the regression target, binary feedback columns kept
+    as int32 targets, 80/20 random row split."""
+    import pandas as pd
+
+    from ..schema import ColumnSchema, Domain, create_categorical_column
+
+    csv = os.path.join(path, f"{table}.csv")
+    if not os.path.exists(csv):
+        return None
+    df = pd.read_csv(csv)
+    needed = {"user_id", "item_id", "click"}
+    if not needed.issubset(df.columns):
+        raise ValueError(
+            f"{csv} is missing required Tenrec columns {sorted(needed - set(df.columns))}"
+        )
+
+    vocab: Dict[str, int] = {}
+    cat_cols = [c for c in ("user_id", "item_id", "video_category", "gender", "age")
+                if c in df.columns]
+    for c in cat_cols:
+        df[c], vocab[c] = _categorify_freq(df[c].to_numpy())
+
+    tag_map = {
+        "user_id": (Tags.USER, Tags.USER_ID),
+        "item_id": (Tags.ITEM, Tags.ITEM_ID),
+        "video_category": (Tags.ITEM,),
+        "gender": (Tags.USER,),
+        "age": (Tags.USER,),
+    }
+    cols = [
+        create_categorical_column(c, vocab[c], tags=tag_map[c]) for c in cat_cols
+    ]
+    target_cols = [c for c in ("click", "follow", "like", "share") if c in df.columns]
+    for c in target_cols:
+        cols.append(ColumnSchema(
+            c, tags=(Tags.BINARY_CLASSIFICATION, Tags.TARGET), dtype="int32"
+        ))
+    has_watch = "watching_times" in df.columns
+    if has_watch:
+        df["watching_times"] = df["watching_times"].clip(0, 5)
+        cols.append(ColumnSchema(
+            "watching_times", tags=(Tags.REGRESSION, Tags.TARGET), dtype="int32",
+            int_domain=Domain(0, 5, is_categorical=False),
+        ))
+    schema = Schema(cols)
+
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(len(df))
+    n_valid = max(int(len(df) * 0.2), 1)
+
+    def build(idx):
+        data = {}
+        for c in cat_cols:
+            data[c] = df[c].to_numpy()[idx].astype("int32")
+        for c in target_cols:
+            data[c] = df[c].to_numpy()[idx].astype("int32")
+        if has_watch:
+            data["watching_times"] = df["watching_times"].to_numpy()[idx].astype("int32")
+        return Dataset(data, schema=schema)
+
+    return build(perm[:-n_valid]), build(perm[-n_valid:])
+
+
+def get_ecommerce_transactions(
+    path: Optional[str] = None, num_rows: int = 50_000
+) -> Tuple[Dataset, Dataset]:
+    """H&M-style purchase transactions (reference stores only
+    ``ecommerce/transactions/schema.pbtxt``: customer_id, article_id, price,
+    sales_channel_id — no downloader or ETL). With ``path`` holding the raw
+    Kaggle layout (``transactions_train.csv``: t_dat, customer_id,
+    article_id, price, sales_channel_id) the local ETL frequency-categorifies
+    the ids, standardizes price, and splits the LAST 20%% of days into
+    validation (temporal split — purchases are a time series); otherwise
+    synthesizes from the stored schema."""
+    if path is not None:
+        raw = _load_transactions_raw(path)
+        if raw is not None:
+            return raw
+    return _from_path_or_synthetic(path, "transactions", num_rows)
+
+
+def _load_transactions_raw(path: str):
+    import pandas as pd
+
+    from ..schema import create_categorical_column, create_continuous_column
+
+    csv = os.path.join(path, "transactions_train.csv")
+    if not os.path.exists(csv):
+        return None
+    df = pd.read_csv(csv, parse_dates=["t_dat"])
+    vocab: Dict[str, int] = {}
+    for c in ("customer_id", "article_id", "sales_channel_id"):
+        df[c], vocab[c] = _categorify_freq(df[c].to_numpy())
+    price = df["price"].astype("float64")
+    df["price"] = ((price - price.mean()) / max(price.std(), 1e-12)).astype("float32")
+
+    cols = [
+        create_categorical_column("customer_id", vocab["customer_id"],
+                                  tags=(Tags.USER, Tags.USER_ID)),
+        create_categorical_column("article_id", vocab["article_id"],
+                                  tags=(Tags.ITEM, Tags.ITEM_ID)),
+        create_categorical_column("sales_channel_id", vocab["sales_channel_id"],
+                                  tags=("context",)),
+        create_continuous_column("price"),
+    ]
+    schema = Schema(cols)
+
+    df = df.sort_values("t_dat", kind="stable")
+    cut = df["t_dat"].quantile(0.8)
+    tr, va = df[df["t_dat"] <= cut], df[df["t_dat"] > cut]
+    if len(va) == 0:
+        tr, va = df.iloc[: int(len(df) * 0.8)], df.iloc[int(len(df) * 0.8):]
+
+    def build(d):
+        return Dataset(
+            {
+                "customer_id": d["customer_id"].to_numpy().astype("int32"),
+                "article_id": d["article_id"].to_numpy().astype("int32"),
+                "sales_channel_id": d["sales_channel_id"].to_numpy().astype("int32"),
+                "price": d["price"].to_numpy().astype("float32"),
+            },
+            schema=schema,
+        )
+
+    return build(tr), build(va)

@@ -297,6 +297,21 @@ def _movielens_1m_schema() -> Schema:
     )
 
 
+def _transactions_schema() -> Schema:
+    """H&M-style purchase log (reference
+    ``merlin/datasets/ecommerce/transactions/schema.pbtxt`` — sidecar-parity
+    tested against it): customer_id (1,362,282 ids), article_id (104,548),
+    sales_channel_id (3), standardized price."""
+    return Schema(
+        [
+            cat("customer_id", 1_362_281, tags=(Tags.USER, Tags.USER_ID, "id")),
+            cat("article_id", 104_547, tags=(Tags.ITEM, Tags.ITEM_ID, "id")),
+            cat("sales_channel_id", 2),
+            cont("price"),
+        ]
+    )
+
+
 def _tenrec_video_schema() -> Schema:
     return Schema(
         [
@@ -415,6 +430,7 @@ KNOWN_DATASETS: Dict[str, Callable[[], Schema]] = {
     "booking": _booking_schema,
     "sigir-browsing": _sigir_browsing_schema,
     "sigir-sku": _sigir_sku_schema,
+    "transactions": _transactions_schema,
     "dressipi2022-preprocessed": _dressipi_schema,
 }
 

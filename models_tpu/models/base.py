@@ -1294,10 +1294,17 @@ class BaseModel(Block):
         self._graphdef = graphdef
         loss_fns = self._resolve_task_losses()
         task_metrics = self._resolve_task_metrics()
+        # with NO compiled metrics, metric steps are indistinguishable from
+        # fast steps — and tracing with_metrics=True anyway forces heads to
+        # materialize logits nothing consumes (need_logits=True), which for
+        # flattened-sequence contrastive training is the full (B*L, B*L)
+        # matrix: 17 GB at bucket-64, an OOM for a no-op (r5)
+        has_metrics = any(task_metrics.values())
         self._mesh = mesh
         if sparse is not None:
             train_step = self._make_sparse_train_step(
-                loss_fns, task_metrics, tap_shapes, sparse, with_metrics=True, mesh=mesh
+                loss_fns, task_metrics, tap_shapes, sparse,
+                with_metrics=has_metrics, mesh=mesh,
             )
             train_step_fast = (
                 train_step
@@ -1308,7 +1315,7 @@ class BaseModel(Block):
             )
         else:
             train_step = self._make_train_step(
-                loss_fns, task_metrics, with_metrics=True, mesh=mesh
+                loss_fns, task_metrics, with_metrics=has_metrics, mesh=mesh
             )
             train_step_fast = (
                 train_step
@@ -1612,7 +1619,7 @@ class BaseModel(Block):
                 local = 0
                 while local < n_batches:
                     k = min(spe, n_batches - local)
-                    hits_metrics = any(
+                    hits_metrics = has_metrics and any(
                         (global_step + i) % self.train_metrics_steps == 0 for i in range(k)
                     )
                     fn = device_chunk_fn(k, hits_metrics)
@@ -1648,7 +1655,7 @@ class BaseModel(Block):
                     local = 0
                     while local < n_batches:
                         k = min(spe, n_batches - local)
-                        hits_metrics = any(
+                        hits_metrics = has_metrics and any(
                             (global_step + i) % self.train_metrics_steps == 0
                             for i in range(k)
                         )

@@ -351,6 +351,7 @@ _REF_SCHEMA_DIRS = {
     "movielens-1m": "entertainment/movielens/1m",
     "tenrec-video": "entertainment/tenrec_video",
     "e-commerce-large": "ecommerce/large",
+    "transactions": "ecommerce/transactions",
 }
 
 
@@ -695,3 +696,81 @@ def test_booking_raw_etl(tmp_path):
     np.testing.assert_array_equal(
         cols["city_id__offsets"], cols["dayofweek_sin__offsets"]
     )
+
+
+def test_tenrec_raw_etl(tmp_path):
+    """get_tenrec(path=) runs the local ETL on the published QK-video.csv
+    layout (VERDICT r5 #8): frequency Categorify (0=OOV), clipped
+    watching_times regression target, 80/20 split, schema tags in place."""
+    import pandas as pd
+
+    from models_tpu.data import get_tenrec
+    from models_tpu.schema import Tags
+
+    rng = np.random.default_rng(4)
+    n = 200
+    df = pd.DataFrame({
+        "user_id": rng.integers(1000, 1040, n),
+        "item_id": rng.integers(5000, 5100, n),
+        "click": rng.integers(0, 2, n),
+        "follow": rng.integers(0, 2, n),
+        "like": rng.integers(0, 2, n),
+        "share": rng.integers(0, 2, n),
+        "video_category": rng.integers(0, 4, n),
+        "watching_times": rng.integers(0, 12, n),
+        "gender": rng.integers(0, 3, n),
+        "age": rng.integers(0, 8, n),
+    })
+    df.to_csv(tmp_path / "QK-video.csv", index=False)
+
+    train, valid = get_tenrec(str(tmp_path))
+    assert train.num_rows + valid.num_rows == n
+    s = train.schema
+    assert s["user_id"].has_tag(Tags.USER_ID)
+    assert s["item_id"].has_tag(Tags.ITEM_ID)
+    for t in ("click", "follow", "like", "share", "watching_times"):
+        assert s[t].has_tag(Tags.TARGET), t
+    cols = train.to_numpy_dict()
+    # frequency Categorify: codes are dense, 0 reserved for OOV
+    assert cols["user_id"].min() >= 1
+    assert cols["user_id"].max() < s["user_id"].cardinality
+    assert cols["watching_times"].max() <= 5  # clipped regression target
+    # the fixture fallback still works without a path
+    synth_train, synth_valid = get_tenrec(None, num_rows=64)
+    assert set(synth_train.schema.column_names) >= {"user_id", "item_id", "click"}
+
+
+def test_transactions_raw_etl(tmp_path):
+    """get_ecommerce_transactions(path=) parses the Kaggle H&M layout with a
+    TEMPORAL 80/20 split and standardized price; schema matches the
+    reference's stored transactions schema shape."""
+    import pandas as pd
+
+    from models_tpu.data import get_ecommerce_transactions
+    from models_tpu.schema import Tags
+
+    rng = np.random.default_rng(5)
+    n = 300
+    df = pd.DataFrame({
+        "t_dat": pd.to_datetime("2020-01-01") + pd.to_timedelta(rng.integers(0, 100, n), unit="D"),
+        "customer_id": [f"c{int(i):03d}" for i in rng.integers(0, 50, n)],
+        "article_id": rng.integers(100000, 100200, n),
+        "price": rng.uniform(0.01, 0.5, n),
+        "sales_channel_id": rng.integers(1, 3, n),
+    })
+    df.to_csv(tmp_path / "transactions_train.csv", index=False)
+
+    train, valid = get_ecommerce_transactions(str(tmp_path))
+    assert train.num_rows + valid.num_rows == n
+    s = train.schema
+    assert s["customer_id"].has_tag(Tags.USER_ID)
+    assert s["article_id"].has_tag(Tags.ITEM_ID)
+    tr = train.to_numpy_dict()
+    va = valid.to_numpy_dict()
+    assert abs(float(np.concatenate([tr["price"], va["price"]]).mean())) < 1e-3
+    # temporal split: every valid row is later than (or equal to) train's cut
+    assert train.num_rows >= valid.num_rows
+    synth_train, _ = get_ecommerce_transactions(None, num_rows=64)
+    assert set(synth_train.schema.column_names) == {
+        "customer_id", "article_id", "sales_channel_id", "price"
+    }

@@ -734,6 +734,11 @@ def bench_topk():
 
     C, D, B, K = 1_000_000, 128, 256, 10
     cand = jax.random.normal(jax.random.key(0), (C, D), jnp.float32)
+    # production path (BruteForce.index): pad to a bin multiple ONCE at build
+    # time so the serving trace consumes the matrix exactly once (any in-trace
+    # tail handling forces a full-matrix copy, +1.4 ms — r5)
+    pad = (-C) % 128
+    cand = jnp.pad(cand, ((0, pad), (0, 0)))
     item_feats = jax.random.normal(jax.random.key(1), (C, 64), jnp.float32)
     w1 = jax.random.normal(jax.random.key(2), (64, 128), jnp.float32) * 0.1
     w2 = jax.random.normal(jax.random.key(3), (128, D), jnp.float32) * 0.1
@@ -747,7 +752,7 @@ def bench_topk():
                     q = jax.random.normal(
                         jax.random.fold_in(jax.random.key(7), t), (B, D)
                     ) + carry * 0
-                    s, i = topk_scores(q, cand, K, tile=4096)
+                    s, i = topk_scores(q, cand, K, tile=4096, n_valid=C)
                     return carry + jnp.sum(s[:, 0].astype(jnp.float32)) * 1e-12, i
 
                 c, ids = jax.lax.scan(body, salt, jnp.arange(n))
@@ -1044,14 +1049,16 @@ def _main_specs():
         # = 17 ms at MXU peak), so the average step is dominated by real work
         ("session_bucket", bench_session_bucket_pipeline, None,
          dict(fom=lambda r: r[1], clean_fom=16.0)),
-        # fom folds in BOTH sweeps (bf16 normalized to the fp32 anchor scale:
-        # clean bf16 ~0.9ms vs fp32 ~2.4ms) — round-4 lesson: a window can
-        # read clean on the fp32 sweep yet poison the later bf16 sweep 12x
-        # (observed 0.85ms standalone vs 10.9ms in-run); checking only r[1]
-        # recorded the poisoned number without retry
+        # fom folds in BOTH sweeps (bf16 normalized to the fp32 anchor scale)
+        # — round-4 lesson: a window can read clean on the fp32 sweep yet
+        # poison the later bf16 sweep 12x; checking only r[1] recorded the
+        # poisoned number without retry. r5 anchors: padded single-consumer
+        # index + lax.top_k selection measured fp32 1.93 / bf16 1.02 ms
+        # (2x the r4 kernel; window contention unknown, anchors set at the
+        # measured values)
         ("topk", bench_topk, None,
-         dict(retries=2, fom=lambda r: max(r[1], r[3] * (2.4 / 0.9)),
-              clean_fom=2.4)),
+         dict(retries=2, fom=lambda r: max(r[1], r[3] * (1.9 / 1.0)),
+              clean_fom=1.9)),
         ("sparse_opt", bench_sparse_optimizer, None,
          # r[0] (sparse 4M ms) anchors the window check; a failed sub-bench
          # yields None -> inf marks the attempt non-credible without crashing

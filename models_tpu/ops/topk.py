@@ -186,6 +186,82 @@ _BINNED_BIN_SIZE = 128
 _BINNED_MARGIN = 2
 
 
+def _binned_rescore(queries, candidates, bin_idx, bin_size, interpret=False):
+    """Phase-B rescore as a Pallas kernel: (B, D) queries, (Cp, D) candidates
+    in HBM, (B, kb) selected bin indices → (B, kb*bin_size) f32 pool scores.
+
+    The XLA route (``jnp.take`` + einsum) materializes the (B, kb, bs, D)
+    gather — a ~400 MB HBM round-trip at serving scale (B=256, kb=12, fp32),
+    measured ~1.09 ms of the old 3.8 ms total. This kernel streams each
+    selected bin HBM→VMEM exactly once (double-buffered DMA) and dots it with
+    the query row in place: traffic = B·kb·bs·D·itemsize READ only (~200 MB
+    fp32, ~100 MB bf16).
+
+    Requires ``bin_size`` rows 8-aligned (bin_size % 8 == 0) and lane-aligned
+    width (D % 128 == 0) for the dynamic DMA slices (Mosaic tiling proofs).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, D = queries.shape
+    kb = bin_idx.shape[1]
+    n_buf = 2
+    RB = 8  # query rows per program: every in-kernel store gets STATIC
+    # indices into the (RB, kb*bs) output block — Mosaic rejects single-row
+    # stores at dynamic row offsets ("dynamic store with unaligned indices")
+    # and (1, D) row BlockSpecs (sublane divisibility), both hit before this
+    pad_b = (-B) % RB
+    qp = jnp.pad(queries.astype(jnp.float32), ((0, pad_b), (0, 0)))
+    idxp = jnp.pad(bin_idx.astype(jnp.int32), ((0, pad_b), (0, 0)))
+    Bp = qp.shape[0]
+
+    def kernel(idx_ref, q_ref, cand_ref, out_ref, bufs, sems):
+        i = pl.program_id(0)
+
+        def dma(t):  # t enumerates (row-in-block, bin) pairs
+            rr, j = divmod(t, kb)
+            slot = t % n_buf
+            return pltpu.make_async_copy(
+                cand_ref.at[pl.ds(idx_ref[i * RB + rr, j] * bin_size, bin_size)],
+                bufs.at[slot],
+                sems.at[slot],
+            )
+
+        dma(0).start()
+        for t in range(RB * kb):  # static unroll (~96 tiny iterations)
+            rr, j = divmod(t, kb)
+            if t + 1 < RB * kb:
+                dma(t + 1).start()
+            dma(t).wait()
+            scores = jnp.dot(
+                bufs[t % n_buf].astype(jnp.float32),
+                q_ref[rr, :],
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[rr, j * bin_size:(j + 1) * bin_size] = scores
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # bin_idx
+        grid=(Bp // RB,),
+        in_specs=[
+            pl.BlockSpec((RB, D), lambda i, *_: (i, 0)),     # query block
+            pl.BlockSpec(memory_space=pltpu.ANY),            # candidates in HBM
+        ],
+        out_specs=pl.BlockSpec((RB, kb * bin_size), lambda i, *_: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, bin_size, D), candidates.dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, kb * bin_size), jnp.float32),
+        interpret=interpret,
+    )(idxp, qp, candidates)
+    return out[:B]
+
+
 def binned_topk(
     queries: jnp.ndarray,
     candidates: jnp.ndarray,
@@ -194,25 +270,30 @@ def binned_topk(
     bin_size: int = _BINNED_BIN_SIZE,
     bin_margin: int = _BINNED_MARGIN,
     phase_a_precision=None,
+    n_valid: Optional[int] = None,
+    pallas_rescore: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Provably-exact two-phase top-k at near-matmul speed (pure XLA, no
-    Pallas, no data-dependent control flow).
+    """Provably-exact two-phase top-k at near-matmul speed (phase A pure XLA;
+    phase B's rescore optionally a Pallas gather-dot kernel on TPU).
 
     Phase A: score all candidates, reduce each ``bin_size``-column bin to its
-    max. XLA-fusion-critical details (each mistake costs a full (B, C) score
-    matrix round-trip through HBM, ~1 GB at B=256 x C=1M — the naive path's
-    problem, reference ``tf/outputs/topk.py:221``):
-    - reshape the CANDIDATES to (L, bs, D) and emit (B, L, bs) directly;
-      reshaping the (B, C) score output breaks the matmul+reduce fusion;
-    - never pad/concat the candidate matrix inside the traced function (a
-      512 MB copy per call); the non-multiple-of-bin tail is scored by a tiny
-      separate matmul and unconditionally appended to the rescore pool.
+    max. THE fusion-critical rule, measured on v5e (r5): the traced function
+    must consume the candidate matrix EXACTLY ONCE — the (L, bs, D) reshape is
+    a free bitcast with a single consumer, but any second consumer (even a
+    64-row tail slice, a gather, or an in-trace pad) forces XLA to materialize
+    the reshape as a full copy: +1.4 ms at 1M x 128 fp32, regardless of how
+    small the second use is. Hence ``n_valid``: pad the candidate matrix to a
+    bin multiple ONCE at index-build time (outside the trace) and pass the
+    real row count here — padding columns are masked in the tiny (B, kb*bs)
+    pool, never in the stream.
 
-    Phase B: pick the top-(k+margin) *bins* per row — itself two-level
-    (group maxima first; k rounds over (B, L/16) are ~free while rounds over
-    the full (B, L) cost ~6 HBM passes each) — then gather just those bins'
-    candidate rows and rescore them (k·bin_size columns ≈ 0.1-1%% of the
-    catalog).
+    Phase B: pick the top-(k+margin) *bins* per row with ``lax.top_k``
+    (measured 0.06 ms over (256, 7812) on v5e — 10x cheaper than the r2
+    two-level max-extract rounds, whose ~24 small kernels were kernel-count
+    bound at ~25 us each), then gather just those bins' rows and rescore
+    (k*bin_size columns ~ 0.1-1%% of the catalog); final rank is one more
+    ``lax.top_k`` (same lowest-index tie semantics as the reference's
+    ``tf.math.top_k``).
 
     Exactness: every element strictly greater than the true k-th score θ lives
     in a bin whose max exceeds θ, and at most k-1 bins do — so all such bins
@@ -221,16 +302,21 @@ def binned_topk(
     identically; on TPU both run at DEFAULT matmul precision (bf16 multiply,
     f32 accumulate) but through differently-shaped einsums, so accumulation
     order can differ by ~1 ulp — ``bin_margin`` extra bins absorb that (the
-    margin is a measured buffer, not part of the proof; an element whose
-    phase-A bin max rounds below the (k+margin)-th bin threshold could in
-    principle be dropped — never observed across the bf16 sweep in
-    ``tests/unit/test_ops.py::test_binned_topk_bf16_sweep_matches_naive``).
+    margin is a measured buffer, not part of the proof). When ``n_valid``
+    masks padding, one extra margin bin absorbs the (single) pad-inflated bin.
     ``phase_a_precision``: pass ``jax.lax.Precision.HIGHEST`` to run phase A's
     scoring in full f32 (≈2-3x phase-A cost) when bitwise-robust selection
-    against adversarial near-tie catalogs matters more than speed.
-    Measured on TPU v5e (1M×128 catalog, B=256, k=10): ~1.3 ms vs 7.7 ms for
-    the Pallas streaming kernel (whose k-round merge over every tile is
-    VPU-bound) and ~620 ms naive.
+    against adversarial near-tie catalogs matters more than speed. Note the
+    RETURNED scores are the rescore einsum's values: on TPU at DEFAULT matmul
+    precision any two differently-shaped scorings round differently (~0.03
+    absolute at D=128 unit-normal data), so candidates whose true scores sit
+    within that noise of the k-th threshold can swap with a naive
+    ``q @ C.T`` ranking (chip-measured: 5%% of ids at k=10, every mismatch
+    within 0.035 of the boundary) — inherent to bf16-multiply scoring, same
+    for the reference's fp32-on-GPU vs any TPU DEFAULT implementation.
+
+    A non-multiple-of-bin candidate matrix WITHOUT ``n_valid`` still works
+    (legacy tail path) but pays the second-consumer copy — pad at build time.
     """
     B, D = queries.shape
     C = candidates.shape[0]
@@ -240,12 +326,18 @@ def binned_topk(
     r = C - L * bin_size  # tail columns (0 <= r < bin_size)
     if L <= k:
         scores = jnp.matmul(queries, candidates.T, preferred_element_type=jnp.float32)
-        s, pos = _kround_topk(scores, min(k, C))
+        if n_valid is not None and n_valid < C:
+            scores = jnp.where(
+                jnp.arange(C, dtype=jnp.int32)[None, :] < n_valid, scores, NEG_INF
+            )
+        s, pos = jax.lax.top_k(scores, min(k, C))
+        pos = pos.astype(jnp.int32)
         if ids is None:
             return s, pos
         return s, jnp.take(ids, pos)
 
-    # Phase A: fused matmul -> per-bin max over the full bins
+    # Phase A: fused matmul -> per-bin max over the full bins. c3 must be the
+    # ONLY consumer of `candidates` in this trace (see docstring).
     c3 = candidates[: L * bin_size].reshape(L, bin_size, D)
     bin_max = jnp.max(
         jnp.einsum(
@@ -255,50 +347,51 @@ def binned_topk(
         axis=2,
     )  # (B, L)
 
-    # Phase B: exact top-(k+margin) bins (two-level selection)
-    kb = min(k + bin_margin, L)
-    GROUP = 16
-    if L // GROUP > kb:
-        Lp = -(-L // GROUP) * GROUP
-        bin_max_p = (
-            jnp.pad(bin_max, ((0, 0), (0, Lp - L)), constant_values=NEG_INF)
-            if Lp != L
-            else bin_max
-        )
-        Lg = Lp // GROUP
-        group_max = jnp.max(bin_max_p.reshape(B, Lg, GROUP), axis=2)  # (B, Lg)
-        _, grp_idx = _kround_topk(group_max, kb)  # (B, kb) group indices
-        bin_cols = (
-            grp_idx[:, :, None] * GROUP
-            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, GROUP), 2)
-        ).reshape(B, kb * GROUP)
-        in_range = bin_cols < L
-        bin_pool = jnp.take_along_axis(bin_max, jnp.minimum(bin_cols, L - 1), axis=1)
-        bin_pool = jnp.where(in_range, bin_pool, NEG_INF)
-        _, pool_pos = _kround_topk(bin_pool, kb)
-        bin_idx = jnp.take_along_axis(bin_cols, pool_pos, axis=1)
-    else:
-        _, bin_idx = _kround_topk(bin_max, kb)  # (B, kb) bin indices
+    # one extra margin bin when padding may inflate the final bin's max
+    mask_pad = n_valid is not None and n_valid < L * bin_size
+    kb = min(k + bin_margin + (1 if mask_pad else 0), L)
+    _, bin_idx = jax.lax.top_k(bin_max, kb)  # (B, kb)
+    bin_idx = bin_idx.astype(jnp.int32)
 
-    # gather the selected bins and rescore; the tail joins unconditionally
-    gathered = jnp.take(c3, bin_idx, axis=0)  # (B, kb, bs, D)
-    pool_s = jnp.einsum(
-        "bd,bksd->bks", queries, gathered, preferred_element_type=jnp.float32
-    ).reshape(B, kb * bin_size)
+    # gather the selected bins and rescore. The Pallas kernel is available
+    # but OFF by default: chip-measured (r5, 1M x 128, B=256) it ties XLA at
+    # fp32 (1.90 vs 1.93 ms total) and LOSES at bf16 (1.64 vs 1.02) — the
+    # per-(row, bin) DMA chains don't beat XLA's batched gather even though
+    # the gather round-trips 2x the bytes.
+    use_pallas_b = bool(pallas_rescore) and D % 128 == 0 and bin_size % 8 == 0
+    if use_pallas_b:
+        # streams each selected bin HBM->VMEM once; the XLA gather below
+        # round-trips the whole (B, kb, bs, D) gather through HBM
+        pool_s = _binned_rescore(
+            queries, candidates[: L * bin_size], bin_idx, bin_size
+        )
+    else:
+        gathered = jnp.take(c3, bin_idx, axis=0)  # (B, kb, bs, D)
+        pool_s = jnp.einsum(
+            "bd,bksd->bks", queries, gathered, preferred_element_type=jnp.float32
+        ).reshape(B, kb * bin_size)
     cols = (
         bin_idx[:, :, None] * bin_size
         + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
     ).reshape(B, kb * bin_size)
+    if mask_pad:
+        pool_s = jnp.where(cols < n_valid, pool_s, NEG_INF)
     if r:
+        # legacy tail: exact but pays the second-consumer copy (docstring)
         tail = candidates[L * bin_size :]  # (r, D) static slice
         s_tail = jnp.matmul(queries, tail.T, preferred_element_type=jnp.float32)
+        if n_valid is not None and n_valid < C:
+            s_tail = jnp.where(
+                (L * bin_size + jnp.arange(r, dtype=jnp.int32))[None, :] < n_valid,
+                s_tail, NEG_INF,
+            )
         pool_s = jnp.concatenate([pool_s, s_tail], axis=1)
         tail_cols = jnp.broadcast_to(
             L * bin_size + jnp.arange(r, dtype=jnp.int32)[None, :], (B, r)
         )
         cols = jnp.concatenate([cols, tail_cols], axis=1)
-    top_s, top_p = _kround_topk(pool_s, k)
-    top_cols = jnp.take_along_axis(cols, top_p, axis=1)
+    top_s, top_p = jax.lax.top_k(pool_s, k)
+    top_cols = jnp.take_along_axis(cols, top_p.astype(jnp.int32), axis=1)
     if ids is None:
         return top_s, top_cols
     return top_s, jnp.take(ids, top_cols)
@@ -312,6 +405,7 @@ def topk_scores(
     tile: int = 4096,
     prefer_pallas: Optional[bool] = None,
     method: str = "auto",
+    n_valid: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatch: binned two-phase (fastest, exact, pure XLA) when the bin pool
     fits comfortably; Pallas streaming kernel or blockwise scan for very large
@@ -319,10 +413,17 @@ def topk_scores(
     (≤ one tile) use the direct matmul+top_k (XLA fuses it fine at that size).
 
     ``method``: 'auto' | 'binned' | 'pallas' | 'blockwise'.
+    ``n_valid``: real row count when ``candidates`` was padded at index-build
+    time (see :func:`binned_topk`); non-binned methods slice the padding off.
     """
     C = candidates.shape[0]
+    padded = n_valid is not None and n_valid < C
     if method == "auto" and C <= tile:
         scores = jnp.matmul(queries, candidates.T, preferred_element_type=jnp.float32)
+        if padded:
+            scores = jnp.where(
+                jnp.arange(C, dtype=jnp.int32)[None, :] < n_valid, scores, NEG_INF
+            )
         s, idx = jax.lax.top_k(scores, k)
         if ids is None:
             return s, idx.astype(jnp.int32)
@@ -337,7 +438,12 @@ def topk_scores(
     # binned phase-B buffer: (B, k+margin bins, bin_size, D) candidate gather
     gather_bytes = B * (k + _BINNED_MARGIN) * _BINNED_BIN_SIZE * D * 4
     if method == "binned" or (method == "auto" and gather_bytes <= 512 * 2**20):
-        return binned_topk(queries, candidates, k, ids=ids)
+        return binned_topk(queries, candidates, k, ids=ids, n_valid=n_valid)
+    if padded:
+        # streaming kernels score every row: drop the padding instead
+        candidates = candidates[:n_valid]
+        if ids is not None:
+            ids = ids[:n_valid]
     if method == "pallas" or (method == "auto" and on_tpu):
         try:
             return pallas_topk(queries, candidates, k, ids=ids, tile=min(tile, 4096))

@@ -77,6 +77,7 @@ class BruteForce(TopKLayer):
         self.candidates = nnx.data(None)
         self.ids = nnx.data(None)
         self.mesh = None
+        self.n_valid = None  # real (unpadded) candidate count
 
     def index(
         self, candidates: jnp.ndarray, ids: Optional[jnp.ndarray] = None, mesh=None,
@@ -86,20 +87,33 @@ class BruteForce(TopKLayer):
         serving top-k is HBM-bound on streaming the catalog (phase A of the
         binned kernel reads every row every query batch), so this halves the
         dominant cost. Scoring stays exact w.r.t. the quantized index (both
-        phases read the same rows — the standard vector-DB trade)."""
+        phases read the same rows — the standard vector-DB trade).
+
+        The stored matrix is zero-padded here, ONCE, to a bin multiple so the
+        serving trace consumes it exactly once (any in-trace tail handling
+        forces XLA to copy the whole matrix — +1.4 ms at 1M x 128 on v5e, r5);
+        ``n_valid`` masks the padding in the binned kernel's tiny pool."""
+        from ..ops.topk import _BINNED_BIN_SIZE
         from ..parallel.mesh import MODEL_AXIS
 
         candidates = jnp.asarray(candidates, dtype=dtype)
+        n = candidates.shape[0]
         if ids is None:
-            ids = jnp.arange(candidates.shape[0], dtype=jnp.int32)
+            ids = jnp.arange(n, dtype=jnp.int32)
         ids = jnp.asarray(ids)
         mesh = mesh if mesh is not None else self.mesh
+        self.n_valid = int(n)
         if mesh is not None and self._mesh_fits(mesh, candidates.shape[0]):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self.mesh = mesh
             candidates = jax.device_put(candidates, NamedSharding(mesh, P(MODEL_AXIS, None)))
             ids = jax.device_put(ids, NamedSharding(mesh, P(MODEL_AXIS)))
+        else:
+            pad = (-n) % _BINNED_BIN_SIZE
+            if pad:
+                candidates = jnp.pad(candidates, ((0, pad), (0, 0)))
+                ids = jnp.pad(ids, (0, pad), constant_values=-1)
         self.candidates = nnx.Variable(candidates)
         self.ids = nnx.Variable(jnp.asarray(ids))
         return self
@@ -113,6 +127,8 @@ class BruteForce(TopKLayer):
 
     @property
     def num_candidates(self) -> int:
+        if self.n_valid is not None:
+            return self.n_valid
         return self.candidates.value.shape[0]
 
     def __call__(self, queries, *, k: Optional[int] = None, context=None, **kwargs) -> TopKPrediction:
@@ -122,7 +138,7 @@ class BruteForce(TopKLayer):
         mesh = self.mesh
         if mesh is None and context is not None:
             mesh = context.get("mesh")
-        if mesh is not None and self._mesh_fits(mesh, self.num_candidates):
+        if mesh is not None and self._mesh_fits(mesh, self.candidates.value.shape[0]):
             from ..ops.topk import sharded_topk
             from ..parallel.mesh import MODEL_AXIS
 
@@ -136,16 +152,19 @@ class BruteForce(TopKLayer):
         # tiled kernel for big catalogs (never materializes (B, C) in HBM);
         # direct fused matmul+top_k for small ones
         top_scores, top_ids = topk_scores(
-            queries, self.candidates.value, k, ids=self.ids.value
+            queries, self.candidates.value, k, ids=self.ids.value,
+            n_valid=self.n_valid,
         )
         return TopKPrediction(top_scores, top_ids)
 
     def score_all(self, queries) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Full (B, C) score matrix + ids — used by corpus evaluation."""
-        scores = jnp.matmul(
-            queries, self.candidates.value.T, preferred_element_type=jnp.float32
-        )
-        return scores, self.ids.value
+        """Full (B, C) score matrix + ids — used by corpus evaluation
+        (padding rows sliced off; this path materializes (B, C) anyway)."""
+        cand, ids = self.candidates.value, self.ids.value
+        if self.n_valid is not None and self.n_valid < cand.shape[0]:
+            cand, ids = cand[: self.n_valid], ids[: self.n_valid]
+        scores = jnp.matmul(queries, cand.T, preferred_element_type=jnp.float32)
+        return scores, ids
 
 
 from ..outputs.base import ModelOutput

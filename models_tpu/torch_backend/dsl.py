@@ -703,6 +703,90 @@ class EncoderBlock(Model):
     def fit(self, *a, **k):  # noqa: D102
         raise RuntimeError("EncoderBlock is inference-only (reference EncoderBlock)")
 
+    def encode(self, data, selection=None, batch_size: int = 256,
+               index=None, unique: bool = True):
+        """Batch-encode a dataset into embeddings, returned as a
+        :class:`~models_tpu.data.Dataset` with a schema — the reference's
+        ``DaskEncoder.encode_dataset`` (``torch/predict.py:221``) without Dask:
+        partition-wise forward of the PRE-head body output.
+
+        - ``selection``: restrict forward inputs to these columns (a Schema,
+          Tags value, or list of names) — the reference's schema-selection;
+        - ``index``: column(s) to carry alongside the embeddings (e.g.
+          ``Tags.ITEM_ID``); with ``unique=True`` duplicate index rows keep
+          their first occurrence (the reference's ``unique`` flag);
+        - embedding dims become float columns named ``"0".."D-1"`` tagged
+          ``Tags.EMBEDDING``, matching the reference's encoded dataframe.
+        """
+        import numpy as np
+
+        from ..data.dataset import Dataset
+        from ..data.loader import Loader, ROW_VALID_KEY
+        from ..schema import ColumnSchema, Schema, Tags
+
+        loader = data if isinstance(data, Loader) else Loader(data, batch_size)
+        schema = self.schema
+
+        def _select_names(sel):
+            if sel is None:
+                return None
+            if isinstance(sel, Schema):
+                return list(sel.column_names)
+            if isinstance(sel, (list, tuple, set)):
+                return list(sel)
+            # a Tags value
+            return list(schema.select_by_tag(sel).column_names)
+
+        keep = _select_names(selection)
+        idx_names = _select_names(index) or []
+
+        emb_chunks: List[np.ndarray] = []
+        idx_chunks: Dict[str, List[np.ndarray]] = {n: [] for n in idx_names}
+        with torch.no_grad():
+            for x, _ in loader:
+                valid = np.asarray(x[ROW_VALID_KEY]) if ROW_VALID_KEY in x else None
+                feats = x if keep is None else {
+                    k: v for k, v in x.items()
+                    if k in keep or k == ROW_VALID_KEY
+                }
+                batch = Batch.from_loader_batch(feats)
+                out = self.forward(batch.features, batch=batch)
+                if isinstance(out, dict):
+                    if len(out) != 1:
+                        raise ValueError(
+                            "encode() needs a single embedding output; got "
+                            f"{sorted(out)} — select a branch or wrap it"
+                        )
+                    out = next(iter(out.values()))
+                arr = out.detach().numpy()
+                if arr.ndim != 2:
+                    arr = arr.reshape(arr.shape[0], -1)
+                if valid is not None:
+                    arr = arr[valid]
+                emb_chunks.append(arr)
+                for n in idx_names:
+                    col = np.asarray(x[n])
+                    idx_chunks[n].append(col[valid] if valid is not None else col)
+
+        emb = np.concatenate(emb_chunks)
+        data_out: Dict[str, np.ndarray] = {}
+        cols: List[ColumnSchema] = []
+        for n in idx_names:
+            data_out[n] = np.concatenate(idx_chunks[n])
+            if schema is not None and n in schema:
+                cols.append(schema[n])
+        if unique and idx_names:
+            _, first = np.unique(data_out[idx_names[0]], return_index=True)
+            first = np.sort(first)
+            emb = emb[first]
+            for n in idx_names:
+                data_out[n] = data_out[n][first]
+        for d in range(emb.shape[1]):
+            data_out[str(d)] = emb[:, d]
+            cols.append(ColumnSchema(str(d), tags=(Tags.EMBEDDING.value,),
+                                     dtype="float32"))
+        return Dataset(data_out, schema=Schema(cols))
+
 
 # ---------------------------------------------------------------------------
 # model zoo over the DSL (reference torch/models/ranking.py)

@@ -973,3 +973,43 @@ def test_movielens_25m_raw_workflow(tmp_path):
         assert want in sch.column_names, want
     assert sch["genres"].is_list
     assert len(train.to_table()) + len(valid.to_table()) == n
+
+
+def test_torch_encoder_encode_dataset(ecommerce_data):
+    """EncoderBlock.encode batch-predicts embeddings into a Dataset with a
+    schema (reference DaskEncoder.encode_dataset, torch/predict.py:221):
+    index column carried, unique dedup, embedding dims as EMBEDDING-tagged
+    float columns (VERDICT r5 #9)."""
+    dsl = _torch_dsl()
+    from models_tpu.schema import Tags
+
+    # the synthetic fixture draws item FEATURES independently per row, so the
+    # deterministic-embedding check must key on the id column alone
+    item_schema = ecommerce_data.schema.select_by_tag(Tags.ITEM_ID)
+    enc = dsl.EncoderBlock(
+        dsl.TabularInputBlock(item_schema, dim=8), schema=ecommerce_data.schema
+    )
+    out = enc.encode(
+        ecommerce_data, selection=Tags.ITEM_ID, index=Tags.ITEM_ID, unique=True,
+        batch_size=32,
+    )
+    cols = out.to_numpy_dict()
+    assert "item_id" in cols
+    ids = cols["item_id"]
+    assert len(ids) == len(np.unique(ids))  # unique=True dedups the index
+    dim_cols = [c for c in out.schema.column_names if c.isdigit()]
+    assert len(dim_cols) >= 8
+    for c in dim_cols:
+        assert out.schema[c].has_tag(Tags.EMBEDDING)
+        assert cols[c].dtype == np.float32
+    # same id -> same embedding: re-encode without unique and compare
+    out2 = enc.encode(
+        ecommerce_data, selection=Tags.ITEM_ID, index=Tags.ITEM_ID, unique=False,
+        batch_size=32,
+    )
+    cols2 = out2.to_numpy_dict()
+    lookup = {int(i): cols["0"][j] for j, i in enumerate(ids)}
+    for j in range(min(50, len(cols2["item_id"]))):
+        np.testing.assert_allclose(
+            cols2["0"][j], lookup[int(cols2["item_id"][j])], rtol=1e-6
+        )

@@ -779,3 +779,45 @@ def test_scatter_add_fp32_narrow_rows_exact():
     )
     assert got.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
+def test_binned_topk_padded_index_exact():
+    """The padded-at-build-time path (n_valid masking, r5): results must match
+    the unpadded kernel exactly — padding rows can never be emitted, even when
+    their zero-dot score would rank (negative-score catalogs)."""
+    from models_tpu.ops.topk import binned_topk
+
+    rng = np.random.default_rng(11)
+    C, D, B, k = 1000, 16, 8, 5
+    # all-negative scores: zero padding rows would WIN without masking
+    cand = jnp.asarray(-np.abs(rng.standard_normal((C, D))).astype(np.float32))
+    q = jnp.asarray(np.abs(rng.standard_normal((B, D))).astype(np.float32))
+    ids = jnp.arange(C, dtype=jnp.int32) * 3 + 1
+
+    s_ref, i_ref = binned_topk(q, cand, k, ids=ids, bin_size=64)
+    pad = (-C) % 64
+    cand_p = jnp.pad(cand, ((0, pad), (0, 0)))
+    ids_p = jnp.pad(ids, (0, pad), constant_values=-1)
+    s_pad, i_pad = binned_topk(q, cand_p, k, ids=ids_p, bin_size=64, n_valid=C)
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_pad), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_pad))
+    assert (np.asarray(i_pad) >= 0).all()
+
+
+def test_brute_force_index_pads_and_masks():
+    """BruteForce.index pads the stored matrix to a bin multiple; queries and
+    score_all still behave as if only the real candidates exist."""
+    from models_tpu.outputs.topk import BruteForce
+
+    rng = np.random.default_rng(12)
+    C, D = 300, 8
+    cand = -np.abs(rng.standard_normal((C, D))).astype(np.float32)
+    bf = BruteForce(k=4).index(jnp.asarray(cand))
+    assert bf.num_candidates == C
+    assert bf.candidates.value.shape[0] % 128 == 0
+    q = jnp.asarray(np.abs(rng.standard_normal((6, D))).astype(np.float32))
+    pred = bf(q)
+    assert (np.asarray(pred.identifiers) < C).all()
+    assert (np.asarray(pred.identifiers) >= 0).all()
+    scores, ids = bf.score_all(q)
+    assert scores.shape == (6, C) and ids.shape == (C,)

@@ -640,3 +640,37 @@ def test_sequence_pre_traced_into_fused_paths():
 
     for pad in ("bucket", "max"):
         np.testing.assert_allclose(run(4, pad), run(1, pad), rtol=2e-4)
+
+
+def test_no_metrics_never_traces_need_logits():
+    """With metrics=[] every compiled train variant must trace
+    need_logits=False: the old first-chunk metric-step (step 0 hits any
+    train_metrics_steps) traced with_metrics=True and materialized the full
+    (B*L, B*L) in-batch logits matrix — a 17 GB OOM at bucket-64 sessions
+    for metrics nothing consumed (r5)."""
+    import numpy as np
+
+    import models_tpu as mm
+    import models_tpu.outputs.contrastive as co
+
+    seen = []
+    orig = co.ContrastiveOutput.__call__
+
+    def spy(self, inputs, *, training=False, context=None, targets=None, **kw):
+        if context is not None and training:
+            seen.append(bool(context.get("need_logits", True)))
+        return orig(self, inputs, training=training, context=context,
+                    targets=targets, **kw)
+
+    co.ContrastiveOutput.__call__ = spy
+    try:
+        ds = mm.generate_data("e-commerce", num_rows=128, seed=3)
+        model = mm.TwoTowerModel(ds.schema, query_tower=(16, 8))
+        model.compile(optimizer="adagrad", learning_rate=0.05, metrics=[],
+                      steps_per_execution=2)
+        model.fit(ds, batch_size=32, epochs=1, verbose=0)
+    finally:
+        co.ContrastiveOutput.__call__ = orig
+    train_traces = [s for s in seen]
+    assert train_traces, "no training trace observed"
+    assert not any(train_traces), f"need_logits=True traced with no metrics: {seen}"

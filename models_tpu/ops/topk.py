@@ -182,7 +182,11 @@ def _kround_topk(values: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]
     return jnp.stack(out_v, axis=1), jnp.stack(out_p, axis=1)
 
 
-_BINNED_BIN_SIZE = 128
+# chip-swept r5 (1M x 128, B=256, k=10, lax.top_k selection): bin 64 gives
+# fp32 1.23 / bf16 0.93 ms vs 1.96/1.00 at 128 and 2.87/1.68 at 256 — smaller
+# bins halve the phase-B gather bytes now that selection is one cheap top_k;
+# below 64 the curve flattens (32 ~ ties 64)
+_BINNED_BIN_SIZE = 64
 _BINNED_MARGIN = 2
 
 

@@ -812,9 +812,12 @@ def test_brute_force_index_pads_and_masks():
     rng = np.random.default_rng(12)
     C, D = 300, 8
     cand = -np.abs(rng.standard_normal((C, D))).astype(np.float32)
+    from models_tpu.ops.topk import _BINNED_BIN_SIZE
+
     bf = BruteForce(k=4).index(jnp.asarray(cand))
     assert bf.num_candidates == C
-    assert bf.candidates.value.shape[0] % 128 == 0
+    assert bf.candidates.value.shape[0] % _BINNED_BIN_SIZE == 0
+    assert bf.candidates.value.shape[0] >= C
     q = jnp.asarray(np.abs(rng.standard_normal((6, D))).astype(np.float32))
     pred = bf(q)
     assert (np.asarray(pred.identifiers) < C).all()

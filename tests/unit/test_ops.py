@@ -824,3 +824,22 @@ def test_brute_force_index_pads_and_masks():
     assert (np.asarray(pred.identifiers) >= 0).all()
     scores, ids = bf.score_all(q)
     assert scores.shape == (6, C) and ids.shape == (C,)
+
+
+def test_binned_rescore_kernel_interpret_parity():
+    """The opt-in Pallas gather-dot rescore must match the XLA gather+einsum
+    pool exactly (interpret mode; covers non-multiple-of-8 batches)."""
+    from models_tpu.ops.topk import _binned_rescore
+
+    rng = np.random.default_rng(0)
+    for B in (8, 13):
+        D, kb, bs, L = 128, 5, 128, 40
+        cand = jnp.asarray(rng.standard_normal((L * bs, D)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, L, size=(B, kb)).astype(np.int32))
+        pool = _binned_rescore(q, cand, idx, bs, interpret=True)
+        ref = np.einsum(
+            "bd,bksd->bks", np.asarray(q),
+            np.asarray(cand).reshape(L, bs, D)[np.asarray(idx)],
+        ).reshape(B, kb * bs)
+        np.testing.assert_allclose(np.asarray(pool), ref, rtol=1e-5, atol=1e-5)

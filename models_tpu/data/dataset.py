@@ -212,6 +212,18 @@ def _first(col):
     return col[0]
 
 
+def _hash_if_strings(arr: np.ndarray) -> np.ndarray:
+    """String/bytes columns hash to deterministic non-negative int32 ids —
+    raw-string id spaces feed embedding tables (DynamicEmbeddingTable) without
+    a vocabulary pass, the reference's ``safe_embedding_lookup_sparse`` use
+    case (``tf/inputs/embedding.py:439``). Non-string columns pass through."""
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        from ..inputs.dynamic import string_id_hash
+
+        return string_id_hash(arr)
+    return arr
+
+
 def table_to_numpy(table: pa.Table) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     for name in table.column_names:
@@ -222,10 +234,10 @@ def table_to_numpy(table: pa.Table) -> Dict[str, np.ndarray]:
                 combined = combined.chunk(0)
             values = combined.values.to_numpy(zero_copy_only=False)
             offsets = combined.offsets.to_numpy(zero_copy_only=False)
-            out[name + "__values"] = values
+            out[name + "__values"] = _hash_if_strings(values)
             out[name + "__offsets"] = offsets.astype(np.int64)
         else:
-            out[name] = col.to_numpy(zero_copy_only=False)
+            out[name] = _hash_if_strings(col.to_numpy(zero_copy_only=False))
     return out
 
 

@@ -66,20 +66,33 @@ def _mix(ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def string_id_hash(values: np.ndarray) -> np.ndarray:
-    """Vectorized FNV-1a over raw string/bytes ids → non-negative int32.
+    """Hash raw string/bytes ids → non-negative int32, deterministically
+    across runs and hosts (unlike Python's salted ``hash``).
 
-    The loader applies this to string-typed categorical columns so raw-string
-    id spaces (the reference's ``safe_embedding_lookup_sparse`` use case) feed
-    :class:`DynamicEmbeddingTable` without a host-side vocabulary pass.
-    Deterministic across runs/hosts (unlike Python's salted ``hash``)."""
-    out = np.empty(len(values), np.uint64)
-    for i, v in enumerate(values):
-        h = np.uint64(0xCBF29CE484222325)
-        data = v.encode() if isinstance(v, str) else bytes(v)
-        for b in data:
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return (out % np.uint64(2**31 - 1)).astype(np.int32)
+    The loader applies this to string-typed columns (``table_to_numpy``) so
+    raw-string id spaces (the reference's ``safe_embedding_lookup_sparse``
+    use case) feed :class:`DynamicEmbeddingTable` without a host-side
+    vocabulary pass. Vectorized via pandas' siphash (fixed key) when
+    available; FNV-1a loop otherwise — ONE convention per process, chosen at
+    import time, so loader-hashed and user-hashed ids always agree."""
+    arr = np.asarray(values, dtype=object)
+    if _PD_HASH is not None:
+        h = _PD_HASH(arr, categorize=False)
+    else:  # pragma: no cover - pandas is baked into this environment
+        h = np.empty(len(arr), np.uint64)
+        for i, v in enumerate(arr):
+            acc = 0xCBF29CE484222325
+            data = v.encode() if isinstance(v, str) else bytes(v)
+            for b in data:
+                acc = (acc ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF
+            h[i] = acc
+    return (h % np.uint64(2**31 - 1)).astype(np.int32)
+
+
+try:  # resolved once: the convention must not change mid-process
+    from pandas.util import hash_array as _PD_HASH
+except Exception:  # pragma: no cover
+    _PD_HASH = None
 
 
 class DynamicEmbeddingTable(EmbeddingTable):

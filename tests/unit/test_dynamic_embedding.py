@@ -158,3 +158,21 @@ def test_embeddings_factory_dynamic_flag():
     kinds = {name: type(t).__name__ for name, t in block.branches.items()}
     assert kinds["a"] == "DynamicEmbeddingTable"
     assert kinds["b"] == "EmbeddingTable"
+
+
+def test_loader_auto_hashes_string_columns():
+    """Raw-string id columns hash to deterministic int32 at the data plane
+    (table_to_numpy) — the reference's safe_embedding_lookup_sparse use case;
+    equal strings must map to equal ids across batches, loaders and runs."""
+    users = np.array(["alice", "bob", "alice", "carol"] * 16)
+    schema = Schema([
+        create_categorical_column("user", 2**31 - 1, tags=(Tags.USER_ID,)),
+        create_categorical_column("click", 1, tags=(Tags.TARGET, Tags.BINARY_CLASSIFICATION)),
+    ])
+    ds = mm.Dataset({"user": users, "click": np.ones(64, np.float32)}, schema=schema)
+    x1, _ = mm.Loader(ds, batch_size=32, shuffle=False).peek()
+    x2, _ = mm.Loader(ds, batch_size=64, shuffle=False).peek()
+    assert x1["user"].dtype == np.int32
+    assert x1["user"][0] == x1["user"][2] != x1["user"][1]
+    np.testing.assert_array_equal(x1["user"], x2["user"][:32])
+    np.testing.assert_array_equal(x1["user"], string_id_hash(users[:32]))

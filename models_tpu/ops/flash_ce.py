@@ -27,8 +27,12 @@ import jax.numpy as jnp
 
 from ..core.constants import MIN_FLOAT
 
-TQ = 512
-TN = 1024
+# chip-swept r5 (Q=N=8192, D=128, full value+grad): (1024, 2048) = 0.357 ms
+# vs (512, 1024) = 0.444, (512, 2048) = 0.401, (512, 4096) = 0.625;
+# (2048, 2048) exceeds the 16 MB scoped-VMEM limit (18.4 MB logit tiles).
+# Q pads to TQ, so sub-1024 batches pay padding — still sub-ms at those sizes.
+TQ = 1024
+TN = 2048
 
 
 def _pad_rows(a, tile, value=0.0):

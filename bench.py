@@ -1043,8 +1043,11 @@ def _main_specs():
         # would let 1.7x-contended fused windows pass as credible.
         ("dlrm", bench_dlrm_compute, None,
          dict(retries=2, fom=lambda r: r[1], clean_fom=1.0)),
+        # anchor 1.5: verified clean-window measurement (2026-08-19, campaign
+        # run at contention 1.02: 1.502 ms = 682k sessions/s); the old 2.0
+        # anchor was itself a contended-era estimate
         ("session", bench_session_transformer, None,
-         dict(fom=lambda r: r[1], clean_fom=2.0, retries=2)),
+         dict(fom=lambda r: r[1], clean_fom=1.5, retries=2)),
         # anchor 16: the r5 4-group config (buckets 8/16/32/64) measured 23.3
         # ms avg step in an uncharacterized window; the 64-group's in-batch CE
         # is quadratic (65k x 65k logit tiles ~ 3.3 TFLOP/step incl. backward

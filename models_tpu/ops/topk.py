@@ -45,10 +45,15 @@ def blockwise_topk(
     k: int,
     ids: Optional[jnp.ndarray] = None,
     tile: int = 4096,
+    col_scale: Optional[jnp.ndarray] = None,
     _pvary_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k without materializing (B, C): scan candidate tiles, merge a
     running (B, k) best-list. Returns (scores (B,k), ids (B,k)).
+
+    ``col_scale``: optional per-candidate dequantization scale (C,) f32 — used
+    by the int8 index (score = (q · c_int8) * scale_c, fused into the matmul
+    epilogue).
 
     ``_pvary_axis``: set by sharded_topk when running under shard_map so the scan
     carry init is marked varying over the mesh axis (shard_map type system)."""
@@ -60,6 +65,11 @@ def blockwise_topk(
         ids = jnp.arange(candidates.shape[0], dtype=jnp.int32)
     id_tiles = ids.reshape(n_tiles, tile)
     valid_tiles = (jnp.arange(n_tiles * tile).reshape(n_tiles, tile) < c_real)
+    if col_scale is not None:
+        pad = n_tiles * tile - col_scale.shape[0]
+        scale_tiles = jnp.pad(
+            col_scale.astype(jnp.float32), (0, pad), constant_values=1.0
+        ).reshape(n_tiles, tile)
 
     init_scores = jnp.full((B, k), NEG_INF, dtype=jnp.float32)
     init_ids = jnp.full((B, k), -1, dtype=ids.dtype)
@@ -69,8 +79,12 @@ def blockwise_topk(
 
     def body(carry, tile_data):
         best_s, best_i = carry
-        cand, tids, valid = tile_data
+        cand, tids, valid = tile_data[:3]
+        if jnp.issubdtype(cand.dtype, jnp.integer):
+            cand = cand.astype(queries.dtype)  # int8 index: convert fuses into the dot
         scores = jnp.matmul(queries, cand.T, preferred_element_type=jnp.float32)
+        if col_scale is not None:
+            scores = scores * tile_data[3][None, :]
         scores = jnp.where(valid[None, :], scores, NEG_INF)
         all_s = jnp.concatenate([best_s, scores], axis=1)
         all_i = jnp.concatenate([best_i, jnp.broadcast_to(tids[None, :], scores.shape)], axis=1)
@@ -78,9 +92,10 @@ def blockwise_topk(
         new_i = jnp.take_along_axis(all_i, idx, axis=1)
         return (new_s, new_i), None
 
-    (best_s, best_i), _ = jax.lax.scan(
-        body, (init_scores, init_ids), (cand_tiles, id_tiles, valid_tiles)
-    )
+    xs = (cand_tiles, id_tiles, valid_tiles)
+    if col_scale is not None:
+        xs = xs + (scale_tiles,)
+    (best_s, best_i), _ = jax.lax.scan(body, (init_scores, init_ids), xs)
     return best_s, best_i
 
 
@@ -276,6 +291,7 @@ def binned_topk(
     phase_a_precision=None,
     n_valid: Optional[int] = None,
     pallas_rescore: Optional[bool] = None,
+    col_scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Provably-exact two-phase top-k at near-matmul speed (phase A pure XLA;
     phase B's rescore optionally a Pallas gather-dot kernel on TPU).
@@ -321,15 +337,52 @@ def binned_topk(
 
     A non-multiple-of-bin candidate matrix WITHOUT ``n_valid`` still works
     (legacy tail path) but pays the second-consumer copy — pad at build time.
+
+    ``col_scale``: per-candidate dequantization scale (C,) f32 for an int8
+    index. The queries are themselves row-quantized to int8 on the fly (a tiny
+    (B, D) op), so both phases run int8×int8 dots on the MXU (≈2× bf16 MXU
+    throughput on v5e) over a 1-byte/element catalog stream (4× less HBM than
+    fp32), then dequantize in the epilogue: ``score = (qi · ci) * qscale_b *
+    cscale_c``. Integer dots are EXACT, so phase A and phase B agree bitwise
+    and the bin-max proof holds w.r.t. the quantized scoring function with no
+    ulp caveat. Accuracy vs the fp32 index is the two symmetric
+    round-to-127-levels errors (recall measured in tests).
     """
     B, D = queries.shape
     C = candidates.shape[0]
     if ids is not None:
         ids = ids.astype(jnp.int32)
+    if col_scale is not None:
+        col_scale = col_scale.astype(jnp.float32)
+    is_int = jnp.issubdtype(candidates.dtype, jnp.integer)
+    q_scale = None
+    if is_int:
+        # quantize the queries the same way the index was built: the dots
+        # become int8 x int8 -> int32 (MXU-native), dequantized in the epilogue
+        q_amax = jnp.max(jnp.abs(queries.astype(jnp.float32)), axis=1)
+        q_scale = jnp.where(q_amax > 0, q_amax, 1.0) / 127.0  # (B,)
+        queries = jnp.clip(
+            jnp.round(queries.astype(jnp.float32) / q_scale[:, None]), -127, 127
+        ).astype(candidates.dtype)
+    if is_int and col_scale is None:
+        col_scale = jnp.ones((C,), jnp.float32)
+    acc_dt = jnp.int32 if is_int else jnp.float32
+
+    def _dequant(int_or_f32_scores, cand_scales):
+        s = int_or_f32_scores.astype(jnp.float32)
+        if cand_scales is not None:
+            s = s * cand_scales
+        if q_scale is not None:
+            s = s * q_scale.reshape((B,) + (1,) * (s.ndim - 1))
+        return s
+
     L = C // bin_size  # number of full bins
     r = C - L * bin_size  # tail columns (0 <= r < bin_size)
     if L <= k:
-        scores = jnp.matmul(queries, candidates.T, preferred_element_type=jnp.float32)
+        scores = _dequant(
+            jnp.matmul(queries, candidates.T, preferred_element_type=acc_dt),
+            None if col_scale is None else col_scale[None, :],
+        )
         if n_valid is not None and n_valid < C:
             scores = jnp.where(
                 jnp.arange(C, dtype=jnp.int32)[None, :] < n_valid, scores, NEG_INF
@@ -341,15 +394,19 @@ def binned_topk(
         return s, jnp.take(ids, pos)
 
     # Phase A: fused matmul -> per-bin max over the full bins. c3 must be the
-    # ONLY consumer of `candidates` in this trace (see docstring).
+    # ONLY consumer of `candidates` in this trace (see docstring). For an int8
+    # index the dot is int8 x int8 -> int32 on the MXU; the dequant multiplies
+    # fuse into the epilogue before the bin max.
     c3 = candidates[: L * bin_size].reshape(L, bin_size, D)
-    bin_max = jnp.max(
+    s_bls = _dequant(
         jnp.einsum(
             "bd,lsd->bls", queries, c3,
-            preferred_element_type=jnp.float32, precision=phase_a_precision,
+            preferred_element_type=acc_dt, precision=phase_a_precision,
         ),
-        axis=2,
-    )  # (B, L)
+        None if col_scale is None
+        else col_scale[: L * bin_size].reshape(1, L, bin_size),
+    )
+    bin_max = jnp.max(s_bls, axis=2)  # (B, L)
 
     # one extra margin bin when padding may inflate the final bin's max
     mask_pad = n_valid is not None and n_valid < L * bin_size
@@ -362,7 +419,9 @@ def binned_topk(
     # fp32 (1.90 vs 1.93 ms total) and LOSES at bf16 (1.64 vs 1.02) — the
     # per-(row, bin) DMA chains don't beat XLA's batched gather even though
     # the gather round-trips 2x the bytes.
-    use_pallas_b = bool(pallas_rescore) and D % 128 == 0 and bin_size % 8 == 0
+    use_pallas_b = (
+        bool(pallas_rescore) and D % 128 == 0 and bin_size % 8 == 0 and not is_int
+    )
     if use_pallas_b:
         # streams each selected bin HBM->VMEM once; the XLA gather below
         # round-trips the whole (B, kb, bs, D) gather through HBM
@@ -370,10 +429,16 @@ def binned_topk(
             queries, candidates[: L * bin_size], bin_idx, bin_size
         )
     else:
-        gathered = jnp.take(c3, bin_idx, axis=0)  # (B, kb, bs, D)
+        gathered = jnp.take(c3, bin_idx, axis=0)  # (B, kb, bs, D) — int8 stays int8
         pool_s = jnp.einsum(
-            "bd,bksd->bks", queries, gathered, preferred_element_type=jnp.float32
+            "bd,bksd->bks", queries, gathered, preferred_element_type=acc_dt,
         ).reshape(B, kb * bin_size)
+    if col_scale is not None or q_scale is not None:
+        csel = None
+        if col_scale is not None:
+            sc3 = col_scale[: L * bin_size].reshape(L, bin_size)
+            csel = jnp.take(sc3, bin_idx, axis=0).reshape(B, kb * bin_size)
+        pool_s = _dequant(pool_s, csel)
     cols = (
         bin_idx[:, :, None] * bin_size
         + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
@@ -383,7 +448,10 @@ def binned_topk(
     if r:
         # legacy tail: exact but pays the second-consumer copy (docstring)
         tail = candidates[L * bin_size :]  # (r, D) static slice
-        s_tail = jnp.matmul(queries, tail.T, preferred_element_type=jnp.float32)
+        s_tail = _dequant(
+            jnp.matmul(queries, tail.T, preferred_element_type=acc_dt),
+            None if col_scale is None else col_scale[None, L * bin_size :],
+        )
         if n_valid is not None and n_valid < C:
             s_tail = jnp.where(
                 (L * bin_size + jnp.arange(r, dtype=jnp.int32))[None, :] < n_valid,
@@ -410,6 +478,7 @@ def topk_scores(
     prefer_pallas: Optional[bool] = None,
     method: str = "auto",
     n_valid: Optional[int] = None,
+    col_scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatch: binned two-phase (fastest, exact, pure XLA) when the bin pool
     fits comfortably; Pallas streaming kernel or blockwise scan for very large
@@ -419,11 +488,17 @@ def topk_scores(
     ``method``: 'auto' | 'binned' | 'pallas' | 'blockwise'.
     ``n_valid``: real row count when ``candidates`` was padded at index-build
     time (see :func:`binned_topk`); non-binned methods slice the padding off.
+    ``col_scale``: per-candidate f32 dequantization scales (int8 index).
     """
     C = candidates.shape[0]
     padded = n_valid is not None and n_valid < C
     if method == "auto" and C <= tile:
-        scores = jnp.matmul(queries, candidates.T, preferred_element_type=jnp.float32)
+        cand = candidates
+        if jnp.issubdtype(cand.dtype, jnp.integer):
+            cand = cand.astype(queries.dtype)
+        scores = jnp.matmul(queries, cand.T, preferred_element_type=jnp.float32)
+        if col_scale is not None:
+            scores = scores * col_scale.astype(jnp.float32)[None, :]
         if padded:
             scores = jnp.where(
                 jnp.arange(C, dtype=jnp.int32)[None, :] < n_valid, scores, NEG_INF
@@ -442,19 +517,23 @@ def topk_scores(
     # binned phase-B buffer: (B, k+margin bins, bin_size, D) candidate gather
     gather_bytes = B * (k + _BINNED_MARGIN) * _BINNED_BIN_SIZE * D * 4
     if method == "binned" or (method == "auto" and gather_bytes <= 512 * 2**20):
-        return binned_topk(queries, candidates, k, ids=ids, n_valid=n_valid)
+        return binned_topk(
+            queries, candidates, k, ids=ids, n_valid=n_valid, col_scale=col_scale
+        )
     if padded:
         # streaming kernels score every row: drop the padding instead
         candidates = candidates[:n_valid]
         if ids is not None:
             ids = ids[:n_valid]
-    if method == "pallas" or (method == "auto" and on_tpu):
+        if col_scale is not None:
+            col_scale = col_scale[:n_valid]
+    if (method == "pallas" or (method == "auto" and on_tpu)) and col_scale is None:
         try:
             return pallas_topk(queries, candidates, k, ids=ids, tile=min(tile, 4096))
         except Exception:  # Mosaic lowering gap → fall back
             if explicit and method == "pallas":
                 raise
-    return blockwise_topk(queries, candidates, k, ids=ids, tile=tile)
+    return blockwise_topk(queries, candidates, k, ids=ids, tile=tile, col_scale=col_scale)
 
 
 def sharded_topk(
@@ -465,13 +544,15 @@ def sharded_topk(
     axis: str = "model",
     ids: Optional[jnp.ndarray] = None,
     tile: int = 4096,
+    col_scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k over a row-sharded candidate matrix.
 
     Each device scans its candidate rows (queries replicated), then the per-shard
     (B, k) partial lists are all-gathered over ``axis`` and merged — the k-list
     (tiny) rides ICI instead of the full score matrix. This is the multi-chip
-    BASELINE.json north-star query path.
+    BASELINE.json north-star query path. ``col_scale``: per-candidate f32
+    dequantization scales (int8 index), row-sharded like the candidates.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -482,14 +563,15 @@ def sharded_topk(
     if ids is None:
         ids = jnp.arange(C, dtype=jnp.int32)
 
-    def local_topk(q, cand_shard, id_shard):
+    def local_topk(q, cand_shard, id_shard, *rest):
+        scale_shard = rest[0] if rest else None
         if cand_shard.shape[0] // 128 > k:
             # binned two-phase kernel (pure XLA — composes with shard_map)
-            s, i = binned_topk(q, cand_shard, k, ids=id_shard)
+            s, i = binned_topk(q, cand_shard, k, ids=id_shard, col_scale=scale_shard)
         else:
             s, i = blockwise_topk(
                 q, cand_shard, k, ids=id_shard, tile=min(tile, cand_shard.shape[0]),
-                _pvary_axis=axis,
+                col_scale=scale_shard, _pvary_axis=axis,
             )
         # gather partial lists from every shard and merge
         all_s = jax.lax.all_gather(s, axis)  # (n_shards, B, k)
@@ -500,13 +582,18 @@ def sharded_topk(
         best_i = jnp.take_along_axis(all_i, idx, axis=1)
         return best_s, best_i
 
+    in_specs = (P(), P(axis, None), P(axis))
+    args = (queries, candidates, ids)
+    if col_scale is not None:
+        in_specs = in_specs + (P(axis),)
+        args = args + (col_scale,)
     fn = shard_map(
         local_topk,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         # the all_gather+merge makes outputs bitwise-identical on every shard,
         # but the varying-axis checker can't infer that
         check_vma=False,
     )
-    return fn(queries, candidates, ids)
+    return fn(*args)

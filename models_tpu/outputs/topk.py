@@ -76,6 +76,7 @@ class BruteForce(TopKLayer):
         super().__init__(k=k)
         self.candidates = nnx.data(None)
         self.ids = nnx.data(None)
+        self.scales = nnx.data(None)  # per-row dequant scales (int8 index only)
         self.mesh = None
         self.n_valid = None  # real (unpadded) candidate count
 
@@ -89,6 +90,14 @@ class BruteForce(TopKLayer):
         dominant cost. Scoring stays exact w.r.t. the quantized index (both
         phases read the same rows — the standard vector-DB trade).
 
+        ``dtype=jnp.int8`` quantizes each row symmetrically to 127 levels
+        (``row = q_int8 * scale_row``) and stores a per-row f32 scale — the
+        catalog stream drops to 1 byte/element (4× less HBM than fp32) and the
+        dequant multiply fuses into the scoring matmul's epilogue. Ranking is
+        exact w.r.t. the quantized scores; vs the fp32 index the per-row
+        rounding perturbs scores by ~||q||·scale/(2·sqrt(3))·sqrt(D) (measured
+        recall in ``tests/unit/test_ops.py``).
+
         The stored matrix is zero-padded here, ONCE, to a bin multiple so the
         serving trace consumes it exactly once (any in-trace tail handling
         forces XLA to copy the whole matrix — +1.4 ms at 1M x 128 on v5e, r5);
@@ -96,7 +105,16 @@ class BruteForce(TopKLayer):
         from ..ops.topk import _BINNED_BIN_SIZE
         from ..parallel.mesh import MODEL_AXIS
 
-        candidates = jnp.asarray(candidates, dtype=dtype)
+        scales = None
+        if dtype == jnp.int8:
+            cand_f = jnp.asarray(candidates, dtype=jnp.float32)
+            amax = jnp.max(jnp.abs(cand_f), axis=1)
+            scales = jnp.where(amax > 0, amax, 1.0) / 127.0  # (C,) f32
+            candidates = jnp.clip(
+                jnp.round(cand_f / scales[:, None]), -127, 127
+            ).astype(jnp.int8)
+        else:
+            candidates = jnp.asarray(candidates, dtype=dtype)
         n = candidates.shape[0]
         if ids is None:
             ids = jnp.arange(n, dtype=jnp.int32)
@@ -109,13 +127,18 @@ class BruteForce(TopKLayer):
             self.mesh = mesh
             candidates = jax.device_put(candidates, NamedSharding(mesh, P(MODEL_AXIS, None)))
             ids = jax.device_put(ids, NamedSharding(mesh, P(MODEL_AXIS)))
+            if scales is not None:
+                scales = jax.device_put(scales, NamedSharding(mesh, P(MODEL_AXIS)))
         else:
             pad = (-n) % _BINNED_BIN_SIZE
             if pad:
                 candidates = jnp.pad(candidates, ((0, pad), (0, 0)))
                 ids = jnp.pad(ids, (0, pad), constant_values=-1)
+                if scales is not None:
+                    scales = jnp.pad(scales, (0, pad), constant_values=1.0)
         self.candidates = nnx.Variable(candidates)
         self.ids = nnx.Variable(jnp.asarray(ids))
+        self.scales = nnx.Variable(scales) if scales is not None else nnx.data(None)
         return self
 
     @staticmethod
@@ -138,13 +161,15 @@ class BruteForce(TopKLayer):
         mesh = self.mesh
         if mesh is None and context is not None:
             mesh = context.get("mesh")
+        scales_var = getattr(self, "scales", None)  # legacy pickles lack the attr
+        scales = scales_var.value if scales_var is not None else None
         if mesh is not None and self._mesh_fits(mesh, self.candidates.value.shape[0]):
             from ..ops.topk import sharded_topk
             from ..parallel.mesh import MODEL_AXIS
 
             top_scores, top_ids = sharded_topk(
                 queries, self.candidates.value, k, mesh, axis=MODEL_AXIS,
-                ids=self.ids.value,
+                ids=self.ids.value, col_scale=scales,
             )
             return TopKPrediction(top_scores, top_ids)
         from ..ops.topk import topk_scores
@@ -153,7 +178,7 @@ class BruteForce(TopKLayer):
         # direct fused matmul+top_k for small ones
         top_scores, top_ids = topk_scores(
             queries, self.candidates.value, k, ids=self.ids.value,
-            n_valid=self.n_valid,
+            n_valid=self.n_valid, col_scale=scales,
         )
         return TopKPrediction(top_scores, top_ids)
 
@@ -161,9 +186,17 @@ class BruteForce(TopKLayer):
         """Full (B, C) score matrix + ids — used by corpus evaluation
         (padding rows sliced off; this path materializes (B, C) anyway)."""
         cand, ids = self.candidates.value, self.ids.value
+        scales_var = getattr(self, "scales", None)  # legacy pickles lack the attr
+        scales = scales_var.value if scales_var is not None else None
         if self.n_valid is not None and self.n_valid < cand.shape[0]:
             cand, ids = cand[: self.n_valid], ids[: self.n_valid]
+            if scales is not None:
+                scales = scales[: self.n_valid]
+        if jnp.issubdtype(cand.dtype, jnp.integer):
+            cand = cand.astype(queries.dtype)
         scores = jnp.matmul(queries, cand.T, preferred_element_type=jnp.float32)
+        if scales is not None:
+            scores = scores * scales[None, :]
         return scores, ids
 
 

@@ -34,9 +34,13 @@ def __getattr__(name):
         "Sequence", "repeat", "repeat_parallel", "repeat_parallel_like",
         "BatchBlock", "RouterBlock", "SelectFeatures", "CategoricalTarget",
         "EmbeddingTablePrediction", "TabularPadding", "BroadcastToSequence",
-        "stack_context", "input_schema", "output_schema", "feature_schema",
-        "target_schema", "walk", "map", "MultiLoader", "DaskEncoder",
-        "DaskPredictor", "schema",
+        "stack_context", "walk", "map", "MultiLoader", "DaskEncoder",
+        "DaskPredictor",
+    }
+    tracing_names = {
+        "trace", "select", "extract", "select_schema", "select_union",
+        "selection_name", "Selectable", "input_schema", "output_schema",
+        "feature_schema", "target_schema",
     }
     retrieval_names = {
         "ContrastiveOutput", "InBatchNegativeSampler", "PopularityBasedSampler",
@@ -56,9 +60,14 @@ def __getattr__(name):
         return importlib.import_module(".sequences", __name__)
     if name in sequence_names:
         return getattr(importlib.import_module(".sequences", __name__), name)
-    if name == "compat" or name == "schema":
-        mod = importlib.import_module(".compat", __name__)
-        return mod if name == "compat" else mod
+    if name == "compat":
+        return importlib.import_module(".compat", __name__)
+    if name == "schema" or name == "tracing":
+        # the reference exposes its trace/select machinery as the ``schema``
+        # submodule (merlin/models/torch/schema.py) — ours lives in tracing.py
+        return importlib.import_module(".tracing", __name__)
+    if name in tracing_names:
+        return getattr(importlib.import_module(".tracing", __name__), name)
     if name in dsl_names:
         return getattr(importlib.import_module(".dsl", __name__), name)
     if name in retrieval_names:

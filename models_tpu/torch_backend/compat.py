@@ -222,31 +222,8 @@ def stack_context(model_dim: int, seq_selection=Tags.SEQUENCE):
     return init
 
 
-# ---------------------------------------------------------------------------
-# schema helpers (reference torch/schema.py input/output/feature/target)
-# ---------------------------------------------------------------------------
-
-def _module_schema(module) -> Schema:
-    s = getattr(module, "schema", None)
-    if s is None:
-        raise ValueError(f"{type(module).__name__} carries no schema")
-    return s
-
-
-def input_schema(module) -> Schema:
-    return _module_schema(module)
-
-
-def feature_schema(module) -> Schema:
-    return _module_schema(module).excluding_by_tag(Tags.TARGET)
-
-
-def target_schema(module) -> Schema:
-    return _module_schema(module).targets
-
-
-def output_schema(module) -> Schema:
-    return target_schema(module)
+# schema helpers (input/output/feature/target + trace/select/extract) live in
+# tracing.py — the reference's torch/schema.py analog.
 
 
 # ---------------------------------------------------------------------------
@@ -293,16 +270,30 @@ class MultiLoader:
 class DaskEncoder:
     """Batch-encode a dataset through a module (reference ``predict.py:138``
     runs Dask partitions; here the shared Loader streams batches — same
-    contract, no Dask)."""
+    contract, no Dask).
 
-    def __init__(self, module: nn.Module, batch_size: int = 1024):
+    With ``index=`` the result is a schema-carrying Dataset (the reference's
+    encoded-dataframe shape, deduped by ``unique=``); without it, a plain
+    ndarray of the concatenated outputs. ``selection`` narrows the forward
+    inputs via :func:`~models_tpu.torch_backend.tracing.select_schema`."""
+
+    def __init__(self, module: nn.Module, selection=None, batch_size: int = 1024):
         self.module = module
+        self.selection = selection
         self.batch_size = batch_size
 
-    def __call__(self, data):
+    def __call__(self, data, batch_size=None, index=None, unique: bool = True):
         from ..data.loader import Loader, ROW_VALID_KEY
+        from .dsl import EncoderBlock
 
-        loader = data if isinstance(data, Loader) else Loader(data, self.batch_size)
+        batch_size = batch_size or self.batch_size
+        if index is not None or self.selection is not None:
+            enc = self.module if isinstance(self.module, EncoderBlock) else (
+                EncoderBlock(self.module, schema=getattr(self.module, "schema", None))
+            )
+            return enc.encode(data, selection=self.selection,
+                              batch_size=batch_size, index=index, unique=unique)
+        loader = data if isinstance(data, Loader) else Loader(data, batch_size)
         chunks: List[np.ndarray] = []
         with torch.no_grad():
             for x, y in loader:
@@ -320,12 +311,27 @@ class DaskEncoder:
 
 
 class DaskPredictor(DaskEncoder):
-    """Like :class:`DaskEncoder` but routes through a full model's heads
-    (reference ``predict.py:439``)."""
+    """Like :class:`DaskEncoder` but routes through a full model's heads and
+    KEEPS the input features beside suffixed prediction columns (reference
+    ``predict.py:439``)."""
 
-    def __call__(self, data):
-        from .dsl import Model
+    def __init__(self, module: nn.Module, prediction_suffix: str = "_prediction",
+                 selection=None, batch_size: int = 1024):
+        super().__init__(module, selection=selection, batch_size=batch_size)
+        self.prediction_suffix = prediction_suffix
 
+    def __call__(self, data, batch_size=None, index=None, unique: bool = True):
+        from .dsl import EncoderBlock, Model
+
+        batch_size = batch_size or self.batch_size
+        if index is not None or self.selection is not None:
+            enc = self.module if isinstance(self.module, EncoderBlock) else (
+                EncoderBlock(self.module, schema=getattr(self.module, "schema", None))
+            )
+            return enc.predict(data, selection=self.selection,
+                               batch_size=batch_size, index=index,
+                               prediction_suffix=self.prediction_suffix,
+                               unique=unique)
         if isinstance(self.module, Model):
-            return self.module.predict(data, batch_size=self.batch_size)
-        return super().__call__(data)
+            return self.module.predict(data, batch_size=batch_size)
+        return DaskEncoder.__call__(self, data, batch_size=batch_size)

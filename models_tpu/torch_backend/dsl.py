@@ -787,6 +787,96 @@ class EncoderBlock(Model):
                                      dtype="float32"))
         return Dataset(data_out, schema=Schema(cols))
 
+    def predict(self, data, selection=None, batch_size: int = 256,
+                index=None, prediction_suffix: str = "_prediction",
+                unique: bool = True):
+        """Batch-predict keeping ALL scalar input features in the output plus
+        suffixed prediction columns — the reference's ``EncoderBlock.predict``
+        / ``DaskPredictor`` contract (``torch/predict.py:98-136,439``):
+
+        - every scalar input column rides through to the output Dataset with
+          its original schema (list/sequence columns are inference inputs
+          only — the reference's TensorTable likewise carries flat columns);
+        - dict outputs append one column per key named ``{key}{suffix}``
+          (multi-dim values expand to ``{key}{suffix}_{d}``); a lone tensor
+          output becomes ``output{suffix}[_{d}]``;
+        - ``selection`` narrows the FORWARD inputs (schema selection), not the
+          carried columns; ``index``+``unique`` dedups rows by the index
+          column, keeping first occurrences, exactly like :meth:`encode`.
+        """
+        import numpy as np
+
+        from ..core.types import SequenceFeature
+        from ..data.dataset import Dataset
+        from ..data.loader import Loader, ROW_VALID_KEY
+        from ..schema import ColumnSchema, Schema, Tags
+
+        loader = data if isinstance(data, Loader) else Loader(data, batch_size)
+        schema = self.schema
+
+        def _select_names(sel):
+            if sel is None:
+                return None
+            from .tracing import select_schema
+
+            return list(select_schema(schema, sel).column_names)
+
+        keep = _select_names(selection)
+        idx_names = _select_names(index) or []
+
+        feat_chunks: Dict[str, List[np.ndarray]] = {}
+        pred_chunks: Dict[str, List[np.ndarray]] = {}
+        with torch.no_grad():
+            for x, _ in loader:
+                valid = np.asarray(x[ROW_VALID_KEY]) if ROW_VALID_KEY in x else None
+                feats = x if keep is None else {
+                    k: v for k, v in x.items()
+                    if k in keep or k == ROW_VALID_KEY
+                }
+                batch = Batch.from_loader_batch(feats)
+                out = self.forward(batch.features, batch=batch)
+                if not isinstance(out, dict):
+                    out = {"output": out}
+                for k, v in out.items():
+                    arr = v.detach().numpy()
+                    if valid is not None:
+                        arr = arr[valid]
+                    pred_chunks.setdefault(k, []).append(arr)
+                for k, v in x.items():
+                    if k == ROW_VALID_KEY or isinstance(v, SequenceFeature):
+                        continue
+                    col = np.asarray(v)
+                    if col.ndim != 1:
+                        continue
+                    if valid is not None:
+                        col = col[valid]
+                    feat_chunks.setdefault(k, []).append(col)
+
+        data_out: Dict[str, np.ndarray] = {}
+        cols: List[ColumnSchema] = []
+        for n, chunks in feat_chunks.items():
+            data_out[n] = np.concatenate(chunks)
+            cols.append(schema[n] if schema is not None and n in schema
+                        else ColumnSchema(n, dtype=str(data_out[n].dtype)))
+        for k, chunks in pred_chunks.items():
+            arr = np.concatenate(chunks)
+            base = f"{k}{prediction_suffix}"
+            if arr.ndim == 1 or (arr.ndim == 2 and arr.shape[1] == 1):
+                data_out[base] = arr.reshape(-1).astype(np.float32)
+                cols.append(ColumnSchema(base, dtype="float32"))
+            else:
+                arr = arr.reshape(arr.shape[0], -1)
+                for d in range(arr.shape[1]):
+                    name = f"{base}_{d}"
+                    data_out[name] = arr[:, d].astype(np.float32)
+                    cols.append(ColumnSchema(name, dtype="float32"))
+        if unique and idx_names:
+            key = data_out[idx_names[0]]
+            _, first = np.unique(key, return_index=True)
+            first = np.sort(first)
+            data_out = {k: v[first] for k, v in data_out.items()}
+        return Dataset(data_out, schema=Schema(cols))
+
 
 # ---------------------------------------------------------------------------
 # model zoo over the DSL (reference torch/models/ranking.py)

@@ -1013,3 +1013,140 @@ def test_torch_encoder_encode_dataset(ecommerce_data):
         np.testing.assert_allclose(
             cols2["0"][j], lookup[int(cols2["item_id"][j])], rtol=1e-6
         )
+
+
+def test_torch_tracing_trace_and_schemas(ecommerce_data):
+    """trace() hooks one forward pass and records per-module input/output
+    schemas inferred from live tensors (reference torch/schema.py:228);
+    input_schema/output_schema then answer for arbitrary submodules."""
+    dsl = _torch_dsl()
+    from models_tpu.data.loader import Loader
+    from models_tpu.torch_backend import tracing
+
+    inputs = dsl.TabularInputBlock(ecommerce_data.schema, dim=8)
+    mlp = dsl.MLPBlock((16,), inputs.out_dim)
+    model = dsl.Block(inputs, mlp)
+    x, _ = Loader(ecommerce_data, 16).peek()
+    batch = dsl.Batch.from_loader_batch(x)
+    out = tracing.trace(model, batch.features, batch=batch)
+    assert out.shape == (16, 16)
+    # root input schema: one column per raw feature
+    in_s = tracing.input_schema(model)
+    for name in ecommerce_data.schema.excluding_by_tag(Tags.TARGET).column_names:
+        assert name in in_s, name
+    # the MLP's traced output schema is a single 'output' continuous column
+    out_s = tracing.output_schema(mlp)
+    assert out_s.column_names == ["output"]
+    assert out_s["output"].has_tag(Tags.CONTINUOUS)
+    # feature_schema strips targets
+    assert len(tracing.feature_schema(model).select_by_tag(Tags.TARGET)) == 0
+
+
+def test_torch_tracing_select_shares_weights(ecommerce_data):
+    """select(model, Tags.USER) pulls the user route out of a routed model,
+    SHARING parameters (reference schema.select:194): the canonical
+    two-tower serving extraction."""
+    dsl = _torch_dsl()
+    import torch
+    from models_tpu.data.loader import Loader
+    from models_tpu.torch_backend import tracing
+    from models_tpu.torch_backend.compat import RouterBlock
+
+    schema = ecommerce_data.schema.excluding_by_tag(Tags.TARGET)
+    router = RouterBlock(schema)
+    user_sel = schema.select_by_tag(Tags.USER)
+    item_sel = schema.select_by_tag(Tags.ITEM)
+    router.add_route(user_sel, dsl.TabularInputBlock(user_sel, dim=8), name="user")
+    router.add_route(item_sel, dsl.TabularInputBlock(item_sel, dim=8), name="item")
+
+    user_route = tracing.select(router, Tags.USER)
+    assert isinstance(user_route, dsl.ParallelBlock)
+    assert set(user_route.branches) == {"user"}
+    # weights are SHARED, not copied
+    orig = dict(router.named_parameters())
+    for name, p in user_route.named_parameters():
+        matches = [q for q in orig.values() if q is p]
+        assert matches, f"parameter {name} was copied, not shared"
+
+    # the selected route runs on user features alone
+    x, _ = Loader(ecommerce_data, 8).peek()
+    batch = dsl.Batch.from_loader_batch(x)
+    user_feats = {k: v for k, v in batch.features.items()
+                  if k in user_sel.column_names}
+    out = user_route(user_feats, batch=batch)
+    assert isinstance(out, dict) and len(out) == 1
+    # selecting something no branch consumes raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tracing.select(router, "definitely_not_a_column")
+
+
+def test_torch_tracing_extract_splits_route(ecommerce_data):
+    """extract() returns (remainder, route) partitioning the module by the
+    selection (reference schema.extract:207)."""
+    dsl = _torch_dsl()
+    from models_tpu.torch_backend import tracing
+    from models_tpu.torch_backend.compat import RouterBlock
+
+    schema = ecommerce_data.schema.excluding_by_tag(Tags.TARGET)
+    router = RouterBlock(schema)
+    user_sel = schema.select_by_tag(Tags.USER)
+    item_sel = schema.select_by_tag(Tags.ITEM)
+    router.add_route(user_sel, dsl.TabularInputBlock(user_sel, dim=8), name="user")
+    router.add_route(item_sel, dsl.TabularInputBlock(item_sel, dim=8), name="item")
+
+    remainder, route = tracing.extract(router, Tags.USER)
+    assert set(route.branches) == {"user"}
+    assert set(remainder.branches) == {"item"}
+
+
+def test_torch_tracing_select_schema_forms():
+    """select_schema supports Schema/ColumnSchema/Tags/name/list/callable
+    selections (reference select_schema:391) + select_union/selection_name."""
+    from models_tpu.schema import ColumnSchema, Schema, Tags
+    from models_tpu.torch_backend import tracing
+
+    schema = Schema([
+        ColumnSchema("user_id", tags=(Tags.USER_ID.value, Tags.CATEGORICAL.value)),
+        ColumnSchema("item_id", tags=(Tags.ITEM_ID.value, Tags.CATEGORICAL.value)),
+        ColumnSchema("price", tags=(Tags.CONTINUOUS.value,)),
+    ])
+    assert tracing.select_schema(schema, Tags.USER_ID).column_names == ["user_id"]
+    assert tracing.select_schema(schema, "price").column_names == ["price"]
+    assert tracing.select_schema(schema, schema["item_id"]).column_names == ["item_id"]
+    assert tracing.select_schema(
+        schema, [Tags.USER_ID, "price"]).column_names == ["user_id", "price"]
+    union = tracing.select_union(Tags.USER_ID, Tags.ITEM_ID)
+    assert tracing.select_schema(schema, union).column_names == ["user_id", "item_id"]
+    assert tracing.selection_name(Tags.USER_ID) == "user_id"
+    assert tracing.selection_name(schema["price"]) == "price"
+
+
+def test_torch_encoder_predict_dataset(music_streaming_data):
+    """EncoderBlock.predict keeps ALL scalar input features beside suffixed
+    prediction columns in a schema-carrying Dataset (reference
+    DaskPredictor, torch/predict.py:98-136,439)."""
+    dsl = _torch_dsl()
+    from models_tpu.torch_backend.compat import DaskPredictor
+
+    schema = music_streaming_data.schema
+    model = dsl.MLPModel(schema, units=(16, 8))
+    enc = dsl.EncoderBlock(*list(model.blocks), schema=schema)
+    out = enc.predict(music_streaming_data, batch_size=32)
+    cols = out.to_numpy_dict()
+    n = music_streaming_data.num_rows
+    pred_cols = [c for c in out.schema.column_names if "_prediction" in c]
+    assert pred_cols, sorted(cols)
+    for c in pred_cols:
+        assert cols[c].dtype == np.float32 and len(cols[c]) == n
+    # every scalar input column rides through with its original schema
+    feat_schema = schema.excluding_by_tag(Tags.TARGET)
+    for name, col in music_streaming_data.to_numpy_dict().items():
+        if col.ndim == 1 and name in feat_schema:
+            assert name in cols, name
+            assert len(cols[name]) == n
+    # DaskPredictor with index= routes through the same path
+    pred = DaskPredictor(model, selection=None)
+    ds2 = pred(music_streaming_data, batch_size=32,
+               index=schema.select_by_tag(Tags.ITEM_ID))
+    assert any("_prediction" in c for c in ds2.schema.column_names)

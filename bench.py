@@ -768,6 +768,32 @@ def bench_topk():
     # bf16 index: the exact same dispatch over a half-width candidate matrix
     # (phase A streams the catalog, so ideal speedup approaches 2x)
     q_time_bf16 = _marginal(make_query_sweep(cand.astype(jnp.bfloat16)), 2, 22)
+    # int8 index (BruteForce.index(dtype=int8)): 1-byte catalog stream,
+    # int8 x int8 MXU dots, dequant fused into the epilogue
+    amax = jnp.max(jnp.abs(cand), axis=1)
+    scales = jnp.where(amax > 0, amax, 1.0) / 127.0
+    ci8 = jnp.clip(jnp.round(cand / scales[:, None]), -127, 127).astype(jnp.int8)
+
+    def make_int8_sweep():
+        def run_queries(n, salt):
+            @jax.jit
+            def go(cand_i8, sc, salt):
+                def body(carry, t):
+                    q = jax.random.normal(
+                        jax.random.fold_in(jax.random.key(7), t), (B, D)
+                    ) + carry * 0
+                    s, i = topk_scores(q, cand_i8, K, tile=4096, n_valid=C,
+                                       col_scale=sc)
+                    return carry + jnp.sum(s[:, 0].astype(jnp.float32)) * 1e-12, i
+
+                c, ids = jax.lax.scan(body, salt, jnp.arange(n))
+                return ids[-1, 0, 0] + c
+
+            return float(go(ci8, scales, jnp.float32(salt)))
+
+        return run_queries
+
+    q_time_int8 = _marginal(make_int8_sweep(), 2, 22)
 
     def run_build(n, salt):
         @jax.jit
@@ -782,7 +808,8 @@ def bench_topk():
         return float(go(item_feats, jnp.float32(salt)))
 
     build_time = _marginal(run_build, 1, 4)
-    return B / q_time, q_time * 1000, build_time * 1000, q_time_bf16 * 1000
+    return (B / q_time, q_time * 1000, build_time * 1000,
+            q_time_bf16 * 1000, q_time_int8 * 1000)
 
 
 # ---------------------------------------------------------------------------
@@ -1062,7 +1089,9 @@ def _main_specs():
         # bf16 0.93 ms (3.1x/2.2x the r4 kernel; consistent across two
         # windows)
         ("topk", bench_topk, None,
-         dict(retries=2, fom=lambda r: max(r[1], r[3] * (1.25 / 0.95)),
+         dict(retries=2,
+              fom=lambda r: max(r[1], r[3] * (1.25 / 0.95),
+                                r[4] * (1.25 / 0.65)),
               clean_fom=1.25)),
         ("sparse_opt", bench_sparse_optimizer, None,
          # r[0] (sparse 4M ms) anchors the window check; a failed sub-bench

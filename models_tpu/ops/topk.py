@@ -369,12 +369,19 @@ def binned_topk(
     acc_dt = jnp.int32 if is_int else jnp.float32
 
     def _dequant(int_or_f32_scores, cand_scales):
+        # candidate-scale dequant ONLY: q_scale is a POSITIVE per-row scalar,
+        # so it commutes with every per-row max/top_k in both phases — it is
+        # applied ONCE to the final (B, k) scores instead of to the huge
+        # (B, L, bs) phase-A tensor (saves a full-size elementwise pass)
         s = int_or_f32_scores.astype(jnp.float32)
         if cand_scales is not None:
             s = s * cand_scales
-        if q_scale is not None:
-            s = s * q_scale.reshape((B,) + (1,) * (s.ndim - 1))
         return s
+
+    def _apply_q(final_scores):
+        if q_scale is None:
+            return final_scores
+        return final_scores * q_scale[:, None]
 
     L = C // bin_size  # number of full bins
     r = C - L * bin_size  # tail columns (0 <= r < bin_size)
@@ -388,6 +395,7 @@ def binned_topk(
                 jnp.arange(C, dtype=jnp.int32)[None, :] < n_valid, scores, NEG_INF
             )
         s, pos = jax.lax.top_k(scores, min(k, C))
+        s = _apply_q(s)
         pos = pos.astype(jnp.int32)
         if ids is None:
             return s, pos
@@ -433,12 +441,12 @@ def binned_topk(
         pool_s = jnp.einsum(
             "bd,bksd->bks", queries, gathered, preferred_element_type=acc_dt,
         ).reshape(B, kb * bin_size)
-    if col_scale is not None or q_scale is not None:
-        csel = None
-        if col_scale is not None:
-            sc3 = col_scale[: L * bin_size].reshape(L, bin_size)
-            csel = jnp.take(sc3, bin_idx, axis=0).reshape(B, kb * bin_size)
+    if col_scale is not None:
+        sc3 = col_scale[: L * bin_size].reshape(L, bin_size)
+        csel = jnp.take(sc3, bin_idx, axis=0).reshape(B, kb * bin_size)
         pool_s = _dequant(pool_s, csel)
+    elif is_int:
+        pool_s = pool_s.astype(jnp.float32)
     cols = (
         bin_idx[:, :, None] * bin_size
         + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bin_size), 2)
@@ -463,6 +471,7 @@ def binned_topk(
         )
         cols = jnp.concatenate([cols, tail_cols], axis=1)
     top_s, top_p = jax.lax.top_k(pool_s, k)
+    top_s = _apply_q(top_s)
     top_cols = jnp.take_along_axis(cols, top_p.astype(jnp.int32), axis=1)
     if ids is None:
         return top_s, top_cols

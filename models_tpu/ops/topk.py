@@ -292,6 +292,7 @@ def binned_topk(
     n_valid: Optional[int] = None,
     pallas_rescore: Optional[bool] = None,
     col_scale: Optional[jnp.ndarray] = None,
+    col_scale_per_bin: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Provably-exact two-phase top-k at near-matmul speed (phase A pure XLA;
     phase B's rescore optionally a Pallas gather-dot kernel on TPU).
@@ -347,6 +348,16 @@ def binned_topk(
     and the bin-max proof holds w.r.t. the quantized scoring function with no
     ulp caveat. Accuracy vs the fp32 index is the two symmetric
     round-to-127-levels errors (recall measured in tests).
+
+    ``col_scale_per_bin=True`` asserts col_scale is CONSTANT within each
+    ``bin_size`` block (the bin-quantized index ``BruteForce.index(dtype=int8)``
+    builds: rows norm-sorted so each bin shares one scale). This is the fast
+    int8 form: a positive per-bin constant commutes with the per-bin max, so
+    phase A stays int32 END-TO-END inside the conv+reduce output fusion and
+    the dequant touches only the tiny (B, L) bin-max matrix. HLO-verified on
+    v5e: the per-COLUMN dequant form forces XLA to materialize the full
+    (B, L, bin_size) f32 tensor (1 GB at 1M x 128, B=256 — slower than bf16);
+    the per-bin form has the exact fusion structure of the fp32 kernel.
     """
     B, D = queries.shape
     C = candidates.shape[0]
@@ -406,15 +417,24 @@ def binned_topk(
     # index the dot is int8 x int8 -> int32 on the MXU; the dequant multiplies
     # fuse into the epilogue before the bin max.
     c3 = candidates[: L * bin_size].reshape(L, bin_size, D)
-    s_bls = _dequant(
-        jnp.einsum(
-            "bd,lsd->bls", queries, c3,
-            preferred_element_type=acc_dt, precision=phase_a_precision,
-        ),
-        None if col_scale is None
-        else col_scale[: L * bin_size].reshape(1, L, bin_size),
+    sc_bin = None
+    if col_scale is not None and col_scale_per_bin:
+        sc_bin = col_scale[: L * bin_size].reshape(L, bin_size)[:, 0]  # (L,)
+    s_bls_raw = jnp.einsum(
+        "bd,lsd->bls", queries, c3,
+        preferred_element_type=acc_dt, precision=phase_a_precision,
     )
-    bin_max = jnp.max(s_bls, axis=2)  # (B, L)
+    if sc_bin is not None:
+        # per-bin scale commutes with the bin max: reduce in int32 INSIDE the
+        # conv fusion, dequantize the tiny (B, L) result
+        bin_max = jnp.max(s_bls_raw, axis=2).astype(jnp.float32) * sc_bin[None, :]
+    else:
+        s_bls = _dequant(
+            s_bls_raw,
+            None if col_scale is None
+            else col_scale[: L * bin_size].reshape(1, L, bin_size),
+        )
+        bin_max = jnp.max(s_bls, axis=2)  # (B, L)
 
     # one extra margin bin when padding may inflate the final bin's max
     mask_pad = n_valid is not None and n_valid < L * bin_size
@@ -442,8 +462,13 @@ def binned_topk(
             "bd,bksd->bks", queries, gathered, preferred_element_type=acc_dt,
         ).reshape(B, kb * bin_size)
     if col_scale is not None:
-        sc3 = col_scale[: L * bin_size].reshape(L, bin_size)
-        csel = jnp.take(sc3, bin_idx, axis=0).reshape(B, kb * bin_size)
+        if sc_bin is not None:
+            csel = jnp.broadcast_to(
+                jnp.take(sc_bin, bin_idx, axis=0)[:, :, None], (B, kb, bin_size)
+            ).reshape(B, kb * bin_size)
+        else:
+            sc3 = col_scale[: L * bin_size].reshape(L, bin_size)
+            csel = jnp.take(sc3, bin_idx, axis=0).reshape(B, kb * bin_size)
         pool_s = _dequant(pool_s, csel)
     elif is_int:
         pool_s = pool_s.astype(jnp.float32)
@@ -488,6 +513,7 @@ def topk_scores(
     method: str = "auto",
     n_valid: Optional[int] = None,
     col_scale: Optional[jnp.ndarray] = None,
+    col_scale_per_bin: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatch: binned two-phase (fastest, exact, pure XLA) when the bin pool
     fits comfortably; Pallas streaming kernel or blockwise scan for very large
@@ -527,7 +553,8 @@ def topk_scores(
     gather_bytes = B * (k + _BINNED_MARGIN) * _BINNED_BIN_SIZE * D * 4
     if method == "binned" or (method == "auto" and gather_bytes <= 512 * 2**20):
         return binned_topk(
-            queries, candidates, k, ids=ids, n_valid=n_valid, col_scale=col_scale
+            queries, candidates, k, ids=ids, n_valid=n_valid, col_scale=col_scale,
+            col_scale_per_bin=col_scale_per_bin,
         )
     if padded:
         # streaming kernels score every row: drop the padding instead
@@ -554,6 +581,7 @@ def sharded_topk(
     ids: Optional[jnp.ndarray] = None,
     tile: int = 4096,
     col_scale: Optional[jnp.ndarray] = None,
+    col_scale_per_bin: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k over a row-sharded candidate matrix.
 
@@ -575,8 +603,12 @@ def sharded_topk(
     def local_topk(q, cand_shard, id_shard, *rest):
         scale_shard = rest[0] if rest else None
         if cand_shard.shape[0] // 128 > k:
-            # binned two-phase kernel (pure XLA — composes with shard_map)
-            s, i = binned_topk(q, cand_shard, k, ids=id_shard, col_scale=scale_shard)
+            # binned two-phase kernel (pure XLA — composes with shard_map);
+            # per-bin scales stay valid per shard only when the shard length
+            # is a bin multiple — the caller guarantees that or passes False
+            s, i = binned_topk(q, cand_shard, k, ids=id_shard,
+                               col_scale=scale_shard,
+                               col_scale_per_bin=col_scale_per_bin)
         else:
             s, i = blockwise_topk(
                 q, cand_shard, k, ids=id_shard, tile=min(tile, cand_shard.shape[0]),

@@ -90,13 +90,18 @@ class BruteForce(TopKLayer):
         dominant cost. Scoring stays exact w.r.t. the quantized index (both
         phases read the same rows — the standard vector-DB trade).
 
-        ``dtype=jnp.int8`` quantizes each row symmetrically to 127 levels
-        (``row = q_int8 * scale_row``) and stores a per-row f32 scale — the
-        catalog stream drops to 1 byte/element (4× less HBM than fp32) and the
-        dequant multiply fuses into the scoring matmul's epilogue. Ranking is
-        exact w.r.t. the quantized scores; vs the fp32 index the per-row
-        rounding perturbs scores by ~||q||·scale/(2·sqrt(3))·sqrt(D) (measured
-        recall in ``tests/unit/test_ops.py``).
+        ``dtype=jnp.int8`` stores a BIN-QUANTIZED index: rows are sorted by
+        max-magnitude so each ``bin_size`` block holds similar-norm rows, and
+        every block shares ONE symmetric 127-level scale (``row = q_int8 *
+        scale_bin``). The catalog stream drops to 1 byte/element (4× less HBM
+        than fp32) and — because a positive per-bin constant commutes with the
+        per-bin max — the binned kernel's phase A stays int32 end-to-end
+        inside the conv+reduce fusion (HLO-verified; a per-ROW scale would
+        force a 1 GB dequant intermediate at 1M×128). Ranking is exact w.r.t.
+        the quantized scores; the norm-sorting keeps per-bin scales within a
+        few percent of per-row ones (recall vs the fp32 index measured in
+        ``tests/unit/test_ops.py``). On a mesh the index falls back to
+        per-ROW scales (shard boundaries need not be bin-aligned).
 
         The stored matrix is zero-padded here, ONCE, to a bin multiple so the
         serving trace consumes it exactly once (any in-trace tail handling
@@ -105,23 +110,42 @@ class BruteForce(TopKLayer):
         from ..ops.topk import _BINNED_BIN_SIZE
         from ..parallel.mesh import MODEL_AXIS
 
+        n = jnp.asarray(candidates).shape[0]
+        if ids is None:
+            ids = jnp.arange(n, dtype=jnp.int32)
+        ids = jnp.asarray(ids)
+        mesh = mesh if mesh is not None else self.mesh
+        use_mesh = mesh is not None and self._mesh_fits(mesh, n)
         scales = None
+        self.scales_per_bin = False
         if dtype == jnp.int8:
             cand_f = jnp.asarray(candidates, dtype=jnp.float32)
             amax = jnp.max(jnp.abs(cand_f), axis=1)
-            scales = jnp.where(amax > 0, amax, 1.0) / 127.0  # (C,) f32
+            if use_mesh:
+                # per-row scales (shard boundaries need not be bin-aligned)
+                scales = jnp.where(amax > 0, amax, 1.0) / 127.0  # (C,) f32
+            else:
+                # bin quantization: norm-sort rows, pad, one scale per bin
+                order = jnp.argsort(amax)
+                cand_f = jnp.take(cand_f, order, axis=0)
+                ids = jnp.take(ids, order)
+                amax = jnp.take(amax, order)
+                pad = (-n) % _BINNED_BIN_SIZE
+                if pad:
+                    cand_f = jnp.pad(cand_f, ((0, pad), (0, 0)))
+                    ids = jnp.pad(ids, (0, pad), constant_values=-1)
+                    amax = jnp.pad(amax, (0, pad))
+                bin_amax = amax.reshape(-1, _BINNED_BIN_SIZE).max(axis=1)
+                bin_scale = jnp.where(bin_amax > 0, bin_amax, 1.0) / 127.0
+                scales = jnp.repeat(bin_scale, _BINNED_BIN_SIZE)  # bin-constant
+                self.scales_per_bin = True
             candidates = jnp.clip(
                 jnp.round(cand_f / scales[:, None]), -127, 127
             ).astype(jnp.int8)
         else:
             candidates = jnp.asarray(candidates, dtype=dtype)
-        n = candidates.shape[0]
-        if ids is None:
-            ids = jnp.arange(n, dtype=jnp.int32)
-        ids = jnp.asarray(ids)
-        mesh = mesh if mesh is not None else self.mesh
         self.n_valid = int(n)
-        if mesh is not None and self._mesh_fits(mesh, candidates.shape[0]):
+        if use_mesh:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self.mesh = mesh
@@ -129,13 +153,11 @@ class BruteForce(TopKLayer):
             ids = jax.device_put(ids, NamedSharding(mesh, P(MODEL_AXIS)))
             if scales is not None:
                 scales = jax.device_put(scales, NamedSharding(mesh, P(MODEL_AXIS)))
-        else:
+        elif candidates.shape[0] == n:  # int8 path already padded above
             pad = (-n) % _BINNED_BIN_SIZE
             if pad:
                 candidates = jnp.pad(candidates, ((0, pad), (0, 0)))
                 ids = jnp.pad(ids, (0, pad), constant_values=-1)
-                if scales is not None:
-                    scales = jnp.pad(scales, (0, pad), constant_values=1.0)
         self.candidates = nnx.Variable(candidates)
         self.ids = nnx.Variable(jnp.asarray(ids))
         self.scales = nnx.Variable(scales) if scales is not None else nnx.data(None)
@@ -179,6 +201,7 @@ class BruteForce(TopKLayer):
         top_scores, top_ids = topk_scores(
             queries, self.candidates.value, k, ids=self.ids.value,
             n_valid=self.n_valid, col_scale=scales,
+            col_scale_per_bin=getattr(self, "scales_per_bin", False),
         )
         return TopKPrediction(top_scores, top_ids)
 

@@ -911,10 +911,13 @@ def test_brute_force_int8_index_recall():
         len(set(a) & set(b)) / k for a, b in zip(ids32, ids8)
     ])
     assert recall >= 0.95, recall
-    # score_all dequantizes: full matrix close to fp32 scoring
-    s8, _ = bf8.score_all(q)
-    s32, _ = bf32.score_all(q)
-    err = np.abs(np.asarray(s8) - np.asarray(s32)).max()
+    # score_all dequantizes: full matrix close to fp32 scoring (the int8
+    # index is norm-sorted, so align columns by the returned ids first)
+    s8, ids8_all = bf8.score_all(q)
+    s32, ids32_all = bf32.score_all(q)
+    inv = np.argsort(np.asarray(ids8_all))
+    s8_aligned = np.asarray(s8)[:, inv][:, np.asarray(ids32_all)]
+    err = np.abs(s8_aligned - np.asarray(s32)).max()
     scale_bound = np.abs(np.asarray(q)).sum(axis=1).max() * scales_max(cand)
     assert err <= scale_bound, (err, scale_bound)
 
@@ -951,3 +954,55 @@ def test_sharded_topk_int8_col_scale():
     ref = ref * qsc[:, None] * scales[None, :]
     ref_idx = np.argsort(-ref, axis=1, kind="stable")[:, :5]
     np.testing.assert_array_equal(np.asarray(i), ref_idx)
+
+
+def test_binned_topk_per_bin_scale_matches_per_row():
+    """col_scale_per_bin=True (the bin-quantized int8 fast path: int32 phase A
+    inside the conv fusion, dequant on the tiny (B, L) bin-max) must return
+    exactly what the per-row col_scale path returns when the scales ARE
+    bin-constant — both are exact integer scorings of the same function."""
+    from models_tpu.ops.topk import binned_topk
+
+    rng = np.random.default_rng(31)
+    C, D, B, k, bs = 4096, 16, 8, 5, 64
+    cand = rng.standard_normal((C, D)).astype(np.float32)
+    amax = np.abs(cand).max(axis=1)
+    bin_scale = amax.reshape(-1, bs).max(axis=1) / 127.0
+    scales = np.repeat(bin_scale, bs)
+    ci8 = np.clip(np.round(cand / scales[:, None]), -127, 127).astype(np.int8)
+    q = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+
+    s1, i1 = binned_topk(q, jnp.asarray(ci8), k, bin_size=bs,
+                         col_scale=jnp.asarray(scales))
+    s2, i2 = binned_topk(q, jnp.asarray(ci8), k, bin_size=bs,
+                         col_scale=jnp.asarray(scales), col_scale_per_bin=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_brute_force_int8_bin_quantized_layout():
+    """BruteForce.index(dtype=int8) norm-sorts rows and shares one scale per
+    bin (scales bin-constant); ids follow the permutation so predictions
+    map back to original identifiers."""
+    from models_tpu.ops.topk import _BINNED_BIN_SIZE
+    from models_tpu.outputs.topk import BruteForce
+
+    rng = np.random.default_rng(32)
+    C, D = 1000, 16
+    cand = (rng.standard_normal((C, D)) * (1 + np.arange(C))[:, None] / C
+            ).astype(np.float32)
+    bf = BruteForce(k=5).index(jnp.asarray(cand), dtype=jnp.int8)
+    assert bf.scales_per_bin
+    sc = np.asarray(bf.scales.value).reshape(-1, _BINNED_BIN_SIZE)
+    np.testing.assert_array_equal(sc, np.broadcast_to(sc[:, :1], sc.shape))
+    # rows norm-sorted ascending over the REAL rows
+    ci = np.asarray(bf.candidates.value)
+    ids = np.asarray(bf.ids.value)
+    real = ids >= 0
+    dequant = ci[real].astype(np.float32) * np.asarray(bf.scales.value)[real, None]
+    norms = np.abs(dequant).max(axis=1)
+    assert (np.diff(norms) > -0.02).all()  # ascending up to quantization jitter
+    assert sorted(ids[real].tolist()) == list(range(C))  # a permutation
+    # end-to-end: dequantized rows reconstruct the originals (bin scale error)
+    recon_err = np.abs(dequant - cand[ids[real]]).max()
+    assert recon_err <= np.abs(cand).max() / 127.0 * 0.5 + 1e-6, recon_err

@@ -213,3 +213,31 @@ def test_export_serving_bf16_tables(tmp_path):
     out = np.asarray(sm(x))
     ref = np.asarray(m.predict(ds, batch_size=32))[:32]
     np.testing.assert_allclose(out.reshape(ref.shape), ref, rtol=1e-5)
+
+
+def test_export_serving_int8_index(tmp_path):
+    """The bin-quantized int8 index (int8 candidates + per-bin f32 scales +
+    permuted ids) survives StableHLO export: served ids/scores match the
+    in-process encoder exactly."""
+    import jax.numpy as jnp
+
+    from models_tpu.core.types import to_device_batch
+    from models_tpu.data import Loader, generate_data
+    from models_tpu.models import MatrixFactorizationModel
+    from models_tpu.utils.io import load_serving
+
+    ds = generate_data("movielens-100k", num_rows=128)
+    m = MatrixFactorizationModel(ds.schema, dim=8)
+    m.compile()
+    m.fit(ds, epochs=1, batch_size=32, verbose=0)
+    topk = m.to_top_k_encoder(ds, k=5, candidate_dtype=jnp.int8)
+    topk.compile()
+    path = topk.export_serving(str(tmp_path / "topk8_srv"), data=ds, batch_size=32)
+    sm = load_serving(path)
+    x, _ = Loader(ds, batch_size=32, shuffle=False, drop_last=True).peek()
+    x = {k: v for k, v in to_device_batch(x).items() if k != "__row_valid__"}
+    out = sm(x)
+    ref = topk({k: v for k, v in x.items()})
+    ids = np.asarray(out["ids"] if isinstance(out, dict) else out[1])
+    np.testing.assert_array_equal(ids, np.asarray(ref.identifiers))
+    assert (ids >= 0).all()

@@ -100,8 +100,10 @@ class BruteForce(TopKLayer):
         force a 1 GB dequant intermediate at 1M×128). Ranking is exact w.r.t.
         the quantized scores; the norm-sorting keeps per-bin scales within a
         few percent of per-row ones (recall vs the fp32 index measured in
-        ``tests/unit/test_ops.py``). On a mesh the index falls back to
-        per-ROW scales (shard boundaries need not be bin-aligned).
+        ``tests/unit/test_ops.py``). On a mesh, bin quantization composes
+        with row sharding whenever each shard is a whole number of bins
+        (``C %% (n_shards * bin_size) == 0``); otherwise the index falls back
+        to per-ROW scales (exact, just without the fused int32 phase A).
 
         The stored matrix is zero-padded here, ONCE, to a bin multiple so the
         serving trace consumes it exactly once (any in-trace tail handling
@@ -119,11 +121,25 @@ class BruteForce(TopKLayer):
         scales = None
         self.scales_per_bin = False
         if dtype == jnp.int8:
+            from ..parallel.mesh import MODEL_AXIS as _MA
+
             cand_f = jnp.asarray(candidates, dtype=jnp.float32)
             amax = jnp.max(jnp.abs(cand_f), axis=1)
-            if use_mesh:
-                # per-row scales (shard boundaries need not be bin-aligned)
+            n_shards = dict(mesh.shape).get(_MA, 1) if use_mesh else 1
+            if use_mesh and n % (n_shards * _BINNED_BIN_SIZE) != 0:
+                # per-row scales (these shard boundaries aren't bin-aligned)
                 scales = jnp.where(amax > 0, amax, 1.0) / 127.0  # (C,) f32
+            elif use_mesh:
+                # shards are bin multiples: bin quantization composes with row
+                # sharding (each shard sees whole bins with constant scales)
+                order = jnp.argsort(amax)
+                cand_f = jnp.take(cand_f, order, axis=0)
+                ids = jnp.take(ids, order)
+                amax = jnp.take(amax, order)
+                bin_amax = amax.reshape(-1, _BINNED_BIN_SIZE).max(axis=1)
+                bin_scale = jnp.where(bin_amax > 0, bin_amax, 1.0) / 127.0
+                scales = jnp.repeat(bin_scale, _BINNED_BIN_SIZE)
+                self.scales_per_bin = True
             else:
                 # bin quantization: norm-sort rows, pad, one scale per bin
                 order = jnp.argsort(amax)
@@ -192,6 +208,7 @@ class BruteForce(TopKLayer):
             top_scores, top_ids = sharded_topk(
                 queries, self.candidates.value, k, mesh, axis=MODEL_AXIS,
                 ids=self.ids.value, col_scale=scales,
+                col_scale_per_bin=getattr(self, "scales_per_bin", False),
             )
             return TopKPrediction(top_scores, top_ids)
         from ..ops.topk import topk_scores

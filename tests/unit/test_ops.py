@@ -1006,3 +1006,38 @@ def test_brute_force_int8_bin_quantized_layout():
     # end-to-end: dequantized rows reconstruct the originals (bin scale error)
     recon_err = np.abs(dequant - cand[ids[real]]).max()
     assert recon_err <= np.abs(cand).max() / 127.0 * 0.5 + 1e-6, recon_err
+
+
+def test_brute_force_int8_mesh_bin_quantized_agreement():
+    """Mesh int8: when shards are bin multiples the index bin-quantizes and
+    the row-sharded serving result matches the single-device index exactly
+    (same quantization, same ids)."""
+    import jax
+    from models_tpu.ops.topk import _BINNED_BIN_SIZE
+    from models_tpu.outputs.topk import BruteForce
+    from models_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")[:4]
+    mesh = make_mesh({"model": 4}, devices=devs)
+    rng = np.random.default_rng(33)
+    C, D = 4 * _BINNED_BIN_SIZE * 4, 16  # shards are whole bins
+    cand = rng.standard_normal((C, D)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((16, D)), jnp.float32)
+
+    bf_mesh = BruteForce(k=5).index(jnp.asarray(cand), mesh=mesh, dtype=jnp.int8)
+    assert bf_mesh.scales_per_bin
+    bf_one = BruteForce(k=5).index(jnp.asarray(cand), dtype=jnp.int8)
+    p_mesh, p_one = bf_mesh(q), bf_one(q)
+    np.testing.assert_array_equal(
+        np.asarray(p_mesh.identifiers), np.asarray(p_one.identifiers)
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_mesh.scores), np.asarray(p_one.scores), rtol=1e-6
+    )
+    # non-bin-aligned shards fall back to per-row scales, still correct
+    bf_row = BruteForce(k=5).index(
+        jnp.asarray(cand[: 4 * 96]), mesh=mesh, dtype=jnp.int8
+    )  # 96 rows/shard: not a bin multiple
+    assert not bf_row.scales_per_bin
+    ids = np.asarray(bf_row(q).identifiers)
+    assert (ids >= 0).all() and (ids < 4 * 96).all()

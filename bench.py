@@ -768,10 +768,13 @@ def bench_topk():
     # bf16 index: the exact same dispatch over a half-width candidate matrix
     # (phase A streams the catalog, so ideal speedup approaches 2x)
     q_time_bf16 = _marginal(make_query_sweep(cand.astype(jnp.bfloat16)), 2, 22)
-    # int8 index (BruteForce.index(dtype=int8)): 1-byte catalog stream,
-    # int8 x int8 MXU dots, dequant fused into the epilogue
+    # int8 BIN-QUANTIZED index (BruteForce.index(dtype=int8)): 1-byte catalog
+    # stream, int8 x int8 MXU dots, one scale per bin so phase A reduces in
+    # int32 inside the conv fusion (per-row scales force a 1 GB dequant copy)
     amax = jnp.max(jnp.abs(cand), axis=1)
-    scales = jnp.where(amax > 0, amax, 1.0) / 127.0
+    bin_amax = amax.reshape(-1, _BINNED_BIN_SIZE).max(axis=1)
+    bin_scale = jnp.where(bin_amax > 0, bin_amax, 1.0) / 127.0
+    scales = jnp.repeat(bin_scale, _BINNED_BIN_SIZE)
     ci8 = jnp.clip(jnp.round(cand / scales[:, None]), -127, 127).astype(jnp.int8)
 
     def make_int8_sweep():
@@ -783,7 +786,7 @@ def bench_topk():
                         jax.random.fold_in(jax.random.key(7), t), (B, D)
                     ) + carry * 0
                     s, i = topk_scores(q, cand_i8, K, tile=4096, n_valid=C,
-                                       col_scale=sc)
+                                       col_scale=sc, col_scale_per_bin=True)
                     return carry + jnp.sum(s[:, 0].astype(jnp.float32)) * 1e-12, i
 
                 c, ids = jax.lax.scan(body, salt, jnp.arange(n))
@@ -1134,7 +1137,10 @@ def main():
     dlrm_eps, dlrm_ms, dlrm_param_bytes, dlrm_flops = results["dlrm"] or (None,) * 4
     sess_eps, sess_ms, sess_flops = results["session"] or (None, None, None)
     sb_eps, sb_ms = results["session_bucket"] or (None, None)
-    topk_qps, topk_ms, build_ms, topk_ms_bf16 = results["topk"] or (None,) * 4
+    _topk_res = results["topk"] or (None,) * 5
+    if len(_topk_res) == 4:  # resumed/legacy 4-tuple (pre-int8 sweep)
+        _topk_res = tuple(_topk_res) + (None,)
+    topk_qps, topk_ms, build_ms, topk_ms_bf16, topk_ms_int8 = _topk_res
     sparse_4m, dense_4m, sparse_8m, bf16_16m = results["sparse_opt"] or (None,) * 4
 
     candidates_early = [
@@ -1258,6 +1264,7 @@ def main():
         ),
         "topk_fp32": _topk_roofline(_clean_ms(topk_ms, "topk"), 1.0, 4),
         "topk_bf16_index": _topk_roofline(_clean_ms(topk_ms_bf16, "topk"), 1.0, 2),
+        "topk_int8_index": _topk_roofline(_clean_ms(topk_ms_int8, "topk"), 1.0, 1),
         "sparse_adagrad_4Mx128": _hbm_roofline(
             sparse_row_bytes, _clean_ms(sparse_4m, "sparse_opt")
         ),
@@ -1278,6 +1285,7 @@ def main():
             "session_bucket": _clean_ms(sb_ms, "session_bucket"),
             "topk_fp32": _clean_ms(topk_ms, "topk"),
             "topk_bf16_index": _clean_ms(topk_ms_bf16, "topk"),
+            "topk_int8_index": _clean_ms(topk_ms_int8, "topk"),
             "sparse_adagrad_4Mx128": _clean_ms(sparse_4m, "sparse_opt"),
             "bf16_sr_16Mx128": _clean_ms(bf16_16m, "sparse_opt"),
         }.items()
@@ -1317,6 +1325,10 @@ def main():
             "topk_qps_1M_catalog": _r(topk_qps, 1),
             "topk_ms_per_256q": _r(topk_ms),
             "topk_ms_per_256q_bf16_index": _r(topk_ms_bf16),
+            "topk_ms_per_256q_int8_index": _r(topk_ms_int8),
+            "topk_qps_1M_catalog_int8_index": _r(
+                256.0 / topk_ms_int8 * 1000.0, 1
+            ) if topk_ms_int8 else None,
             "topk_qps_1M_catalog_bf16_index": _r(
                 256.0 / topk_ms_bf16 * 1000.0, 1
             ) if topk_ms_bf16 else None,
@@ -1325,6 +1337,7 @@ def main():
             # kernel that must look at every candidate once)
             "topk_roofline_pct": _topk_roofline(topk_ms, 1.0, 4),
             "topk_roofline_pct_bf16_index": _topk_roofline(topk_ms_bf16, 1.0, 2),
+            "topk_roofline_pct_int8_index": _topk_roofline(topk_ms_int8, 1.0, 1),
             # per-section achieved/bound ratios at the calibrated stream rate
             # (see the traffic models above _hbm_roofline)
             "roofline_pct": roofline_pct,

@@ -377,6 +377,7 @@ def binned_topk(
         ).astype(candidates.dtype)
     if is_int and col_scale is None:
         col_scale = jnp.ones((C,), jnp.float32)
+        col_scale_per_bin = True  # constant scales are trivially bin-constant
     acc_dt = jnp.int32 if is_int else jnp.float32
 
     def _dequant(int_or_f32_scores, cand_scales):
